@@ -1,0 +1,177 @@
+"""Scalar-function surface (X9) and nested/array data (X13).
+
+String / date / math / conditional functions on orders; JSON extraction on
+events.props; higher-order array functions on embeddings.embedding. All
+JVM-side built-ins (whole-stage codegen) -- no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._rounding import mround
+from ..tables import load
+
+
+# --------------------------------------------------------------------------
+# X9: string / date / math / case gauntlet
+# --------------------------------------------------------------------------
+
+def q20_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.concat_ws("-", "o_orderstatus", F.year("o_orderdate").cast("string")).alias("status_year"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("trunc_month"),
+        mround(F.col("o_totalprice") * 1.1, 2).alias("price_bump"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod"),
+        mround(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        mround(F.abs(F.col("o_totalprice") - 250000.0), 2).alias("price_dist"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.regexp_replace("o_orderpriority", "[0-9]-", "").alias("prio_word"),
+    )
+
+
+ORACLE_Q20 = """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 3))                               AS prio3,
+       concat_ws('-', o_orderstatus, CAST(year(o_orderdate) AS VARCHAR))  AS status_year,
+       CAST(year(o_orderdate) AS INT)                                     AS order_year,
+       CAST(month(o_orderdate) AS INT)                                    AS order_month,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')             AS trunc_month,
+       round(1.37e-6 + o_totalprice * 1.1, 2)                                       AS price_bump,
+       CAST(o_orderkey % 7 AS BIGINT)                                     AS key_mod,
+       round(1.37e-6 + sqrt(o_totalprice), 4)                                       AS price_sqrt,
+       round(1.37e-6 + abs(o_totalprice - 250000.0), 2)                             AS price_dist,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END                                              AS size_class,
+       CAST(length(o_orderpriority) AS INT)                               AS prio_len,
+       regexp_replace(o_orderpriority, '[0-9]-', '')                      AS prio_word
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# X9 + X13: JSON extraction on events.props
+# --------------------------------------------------------------------------
+
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object on the raw string + aggregate over the extracted key.
+    At scale: extraction is codegen'd; prefer from_json into a struct once,
+    then prune -- both shown (from_json feeds k2)."""
+    events = load(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.from_json("props", "k INT").getField("k").alias("k2"),
+    )
+    return (
+        parsed.withColumn("k_bucket", (F.col("k") % 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            mround(F.sum("value"), 2).alias("sum_value"),
+            F.max("k2").cast("int").alias("max_k"),
+        )
+    )
+
+
+ORACLE_Q21 = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+       count(*)                                                         AS n,
+       round(1.37e-6 + sum(value), 2)                                             AS sum_value,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# X13: higher-order array functions on embeddings
+# --------------------------------------------------------------------------
+
+def q22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element_at / transform / aggregate / array_max over
+    array<float>. Elements are cast to double before arithmetic so both
+    engines accumulate in double (matching the oracle bit-for-bit after
+    rounding)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sumsq = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
+        F.round(sumsq, 6).alias("sum_sq"),
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(F.array_max(dbl), 6).alias("max_val"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("int").alias("n_positive"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INT)                                                     AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6)                                          AS first_val,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)           AS max_val,
+       CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS INT) AS n_positive
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# X13: explode / nested shredding (Dremel-style repeated field)
+# --------------------------------------------------------------------------
+
+def q23_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shred documents.text into a repeated field (split -> explode) and
+    aggregate token frequencies -- the flatten/agg path every Dremel-model
+    engine needs. Shuffle key is the token (high cardinality, well spread)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+ORACLE_Q23 = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 25
+"""
+
+
+QUERIES = {
+    "q20_scalar_gauntlet": q20_scalar_gauntlet,
+    "q21_json_extract": q21_json_extract,
+    "q22_array_functions": q22_array_functions,
+    "q23_explode_tokens": q23_explode_tokens,
+}
+
+ORACLES = {
+    "q20_scalar_gauntlet": ORACLE_Q20,
+    "q21_json_extract": ORACLE_Q21,
+    "q22_array_functions": ORACLE_Q22,
+    "q23_explode_tokens": ORACLE_Q23,
+}

@@ -1,0 +1,405 @@
+"""Core relational operators: scan/filter/project, joins (inner/semi/anti,
+broadcast), hash aggregation, distinct/approx-distinct, rollup/cube/grouping
+sets, window functions, sort/limit/top-k, set operations.
+
+SURVEY.md §2B X1-X8. All built-in DataFrame ops — Catalyst supplies pushdown,
+pruning, join selection (broadcast for the tiny dims), partial aggregation and
+AQE; nothing here needs a custom physical operator, so the same code scales
+from local[32] to a 1000-executor cluster.
+
+Every aggregate / computed column is aliased identically in the Spark query
+and the DuckDB oracle (driver hash-compares by sorted column name). Float
+aggregates are rounded *in the query* so the cross-engine comparison is not
+sensitive to summation order (SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._rounding import mround
+from ..tables import load
+
+
+# --------------------------------------------------------------------------
+# X1 + X3: scan -> filter -> hash aggregate (TPC-H Q1 flavored)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem. Filter pushes to the parquet scan;
+    aggregation is a partial (map-side) + final hash agg on 2 low-cardinality
+    keys -- the shuffle moves only #groups * #partitions rows at any SF."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            mround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            mround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            mround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            mround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            mround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            mround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            mround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(1.37e-6 + sum(l_quantity), 2)                                            AS sum_qty,
+       round(1.37e-6 + sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(1.37e-6 + sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(1.37e-6 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(1.37e-6 + avg(l_quantity), 4)                                            AS avg_qty,
+       round(1.37e-6 + avg(l_extendedprice), 4)                                       AS avg_price,
+       round(1.37e-6 + avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# X2 + X3: multi-way join with broadcast dims (flagship; TPC-H Q5 flavored)
+# --------------------------------------------------------------------------
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem |><| orders |><| customer |><| nation |><| region.
+
+    nation/region are broadcast explicitly (tiny at every SF); the
+    lineitem-orders join is the only shuffle that grows with data size and it
+    is an equi-join on the natural key, which AQE will skew-split if needed.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            mround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT r_name, n_name,
+       round(1.37e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# X2: semi join (EXISTS) -- TPC-H Q4 flavored
+# --------------------------------------------------------------------------
+
+def q03_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q03 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# X2: anti join (NOT EXISTS)
+# --------------------------------------------------------------------------
+
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (anti join against a filtered
+    build side -- the filter keeps the result non-empty at every SF)."""
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_Q04 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+# --------------------------------------------------------------------------
+# X4: exact distinct (approx variant in q06, rows-only)
+# --------------------------------------------------------------------------
+
+def q05_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_Q05 = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*)                                AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def q06_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct -- the 100 TB path where exact countDistinct's
+    per-key shuffle would dominate. Rows-only check (sketch != exact)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X5: rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+
+def q07_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            mround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+ORACLE_Q07 = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                         AS n_orders,
+       round(1.37e-6 + sum(o_totalprice), 2)      AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q08_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            mround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_Q08 = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)                      AS n_items,
+       round(1.37e-6 + sum(l_quantity), 2)     AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q09_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL')                      AS status,
+               coalesce(cast(year(o_orderdate) AS STRING), 'ALL')  AS order_year,
+               count(*)                                            AS n_orders,
+               round(1.37e-6 + avg(o_totalprice), 4)               AS avg_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+    """)
+
+
+ORACLE_Q09 = """
+SELECT coalesce(o_orderstatus, 'ALL')                       AS status,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL')  AS order_year,
+       count(*)                                             AS n_orders,
+       round(1.37e-6 + avg(o_totalprice), 4)                          AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# X6: window functions -- top-k per group, rank, running aggregate, lag
+# --------------------------------------------------------------------------
+
+def q10_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price. One shuffle on o_custkey; within a
+    partition the sort + row_number stream -- the canonical scalable top-k."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rn").cast("int").alias("rn"),
+            mround("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+ORACLE_Q10 = """
+SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn, round(1.37e-6 + o_totalprice, 2) AS totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q11_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue + previous-order gap per customer (sum/lag/rank over
+    an ordered window)."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        mround(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_spend"),
+        mround(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.rank().over(W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())).cast("int").alias("price_rank"),
+    )
+
+
+ORACLE_Q11 = """
+SELECT o_custkey, o_orderkey,
+       round(1.37e-6 + sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)              AS running_spend,
+       round(1.37e-6 + lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_rank
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# X7: global sort / limit / top-k
+# --------------------------------------------------------------------------
+
+def q12_part_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20: Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition heap + driver merge) -- no full sort at any scale."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(20)
+        .select("p_partkey", "p_name", "p_brand", mround("p_retailprice", 2).alias("retailprice"))
+    )
+
+
+ORACLE_Q12 = """
+SELECT p_partkey, p_name, p_brand, round(1.37e-6 + p_retailprice, 2) AS retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# X8: set operations
+# --------------------------------------------------------------------------
+
+def q13_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer vs supplier nation keys,
+    tagged and unioned into one result."""
+    cust_n = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_n = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust_n.intersect(supp_n).select(F.lit("both").alias("tag"), "nationkey")
+    cust_only = cust_n.subtract(supp_n).select(F.lit("cust_only").alias("tag"), "nationkey")
+    supp_only = supp_n.subtract(cust_n).select(F.lit("supp_only").alias("tag"), "nationkey")
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+ORACLE_Q13 = """
+SELECT 'both' AS tag, nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'cust_only' AS tag, nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'supp_only' AS tag, nationkey FROM
+  (SELECT s_nationkey AS nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_order_priority_semi": q03_order_priority_semi,
+    "q04_customers_without_orders": q04_customers_without_orders,
+    "q05_distinct_users": q05_distinct_users,
+    "q06_approx_distinct_users": q06_approx_distinct_users,
+    "q07_rollup_orders": q07_rollup_orders,
+    "q08_cube_lineitem": q08_cube_lineitem,
+    "q09_grouping_sets": q09_grouping_sets,
+    "q10_top_orders_per_customer": q10_top_orders_per_customer,
+    "q11_running_revenue": q11_running_revenue,
+    "q12_part_topk": q12_part_topk,
+    "q13_nation_set_ops": q13_nation_set_ops,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_revenue_by_nation": ORACLE_Q02,
+    "q03_order_priority_semi": ORACLE_Q03,
+    "q04_customers_without_orders": ORACLE_Q04,
+    "q05_distinct_users": ORACLE_Q05,
+    "q07_rollup_orders": ORACLE_Q07,
+    "q08_cube_lineitem": ORACLE_Q08,
+    "q09_grouping_sets": ORACLE_Q09,
+    "q10_top_orders_per_customer": ORACLE_Q10,
+    "q11_running_revenue": ORACLE_Q11,
+    "q12_part_topk": ORACLE_Q12,
+    "q13_nation_set_ops": ORACLE_Q13,
+    # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
+}

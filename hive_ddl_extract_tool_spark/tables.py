@@ -1,0 +1,54 @@
+"""Loaders for the synthetic TPC-H-ish tables (TESTDATA.md / FIXTURES.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. Loading goes
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and (on a partitioned layout) partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins. At 100 TB the
+# fact tables (lineitem/orders/events/documents/embeddings) grow with SF but
+# these stay tiny (TPC-H region=5, nation=25 rows at every SF).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and
+    convert in the plan -- fully distributed, no driver-side materialization,
+    lossless (the generator emits microsecond-aligned values)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the spark.sql surface)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
