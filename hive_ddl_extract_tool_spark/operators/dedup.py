@@ -1,4 +1,358 @@
-"""Placeholder -- filled in a later milestone."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2B X10 +
+the minhash/simhash/jaccard extension surface).
 
-QUERIES = {}
-ORACLES = {}
+Scale design (the point of each variant):
+
+- exact dedup: one hash-shuffle on the normalized text -- O(N) at any scale.
+- n-gram Jaccard (q43): exact pairwise similarity via a shingle self-join.
+  Correct but the join fans out quadratically inside hot shingles -- the
+  *baseline*, not the scale path.
+- MinHash + LSH (q41/q42): constant-size signature per doc (16 hashes), then
+  candidate generation by banding (8 bands x 2 rows): only docs agreeing on a
+  whole band meet in the shuffle, and the exact Jaccard verify runs on
+  candidates only. This is the 100 TB path: cost ~ O(N) + O(candidates).
+- SimHash (q44/q45): one 60-bit signature per doc; near-dup = small Hamming
+  distance. Signature build is a linear pass; pair search can use bit-prefix
+  bucketing (here: brute pairs at test SF, prefix-bucketed variant in q45).
+
+All hash math uses the md5-based 60-bit hash (_hashing.py) so the DuckDB
+oracle reproduces identical integers -- the correctness check is exact, not
+statistical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql, minhash_sql
+from ._rounding import mround
+from ..tables import load
+
+WS = r"\s+"
+SHINGLE_N = 3
+N_HASHES = 16
+N_BANDS = 8  # 2 rows per band
+JACCARD_THRESHOLD = 0.8
+
+
+def _words(col: Column | str = "text") -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.filter(F.split(col, WS), lambda x: x != F.lit(""))
+
+
+def _shingles(col: Column | str = "text") -> Column:
+    """3-word shingles as strings; empty array for docs under 3 words."""
+    w = _words(col)
+    n = F.size(w)
+    return F.when(
+        n >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# DuckDB twin of _shingles, as a FROM-able fragment producing (doc_id, shingle)
+SHINGLES_SQL = """
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q40: exact dedup on normalized text (keep lowest doc_id per group)
+# --------------------------------------------------------------------------
+
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), WS, " "))
+    return (
+        docs.select(norm.alias("norm"), "doc_id")
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+ORACLE_Q40 = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+"""
+
+
+# --------------------------------------------------------------------------
+# q41: MinHash signatures (16 universal hashes over 3-word shingles)
+# --------------------------------------------------------------------------
+
+def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format signature: (doc_id, seed_id, minh). One shuffle to the
+    (doc, seed) aggregate; signature size is constant per doc regardless of
+    document length -- the property that makes MinHash the scale path."""
+    ds = _doc_shingles(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_SEEDS)], "seed_id INT, a BIGINT, b BIGINT"
+    )
+    hm = (h60("shingle") % F.lit(P31)).alias("hm")
+    return (
+        ds.select("doc_id", hm)
+        .crossJoin(F.broadcast(seeds))
+        .select("doc_id", "seed_id", ((F.col("a") * F.col("hm") + F.col("b")) % F.lit(P31)).alias("h"))
+        .groupBy("doc_id", "seed_id")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def _minhash_long_sql() -> str:
+    hm = f"({h60_sql('shingle')} % {P31})"
+    seed_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_SEEDS))
+    return f"""
+  SELECT doc_id, seed_id, min((a * hm + b) % {P31}) AS minh
+  FROM (SELECT DISTINCT doc_id, {hm} AS hm FROM ({SHINGLES_SQL})),
+       (SELECT * FROM (VALUES {seed_rows}) AS t(seed_id, a, b))
+  GROUP BY doc_id, seed_id
+"""
+
+
+ORACLE_Q41 = f"SELECT doc_id, CAST(seed_id AS INT) AS seed_id, minh FROM ({_minhash_long_sql()})"
+
+
+# --------------------------------------------------------------------------
+# q42: LSH banding -> candidate pairs -> exact-Jaccard verify
+# --------------------------------------------------------------------------
+
+def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: band signatures (8 bands x 2 rows), bucket
+    self-join on (band, band_key), exact Jaccard on the candidates only,
+    threshold 0.8. At scale only band-collisions shuffle into the join."""
+    sig = q41_minhash_signatures(spark, sf_dir)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = (
+        sig.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed_id", "minh"))),
+                    lambda s: s.minh.cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ds = _doc_shingles(spark, sf_dir)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(ds.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(ds.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_Q42 = f"""
+WITH sig AS ({_minhash_long_sql()}),
+bands AS (
+  SELECT doc_id, seed_id // {N_HASHES // N_BANDS} AS band,
+         string_agg(minh, ',' ORDER BY seed_id) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_SQL})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS inter
+  FROM cand
+  JOIN ds sa ON doc_a = sa.doc_id
+  JOIN ds sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE round(inter / (za.sz + zb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# q43: exact n-gram Jaccard over all shingle-sharing pairs (the baseline)
+# --------------------------------------------------------------------------
+
+def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _doc_shingles(spark, sf_dir)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_Q43 = f"""
+WITH ds AS (SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_SQL})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE round(inter / (za.sz + zb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# q44: SimHash signatures (60-bit, tf-weighted word hashes)
+# --------------------------------------------------------------------------
+
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit weighted vote over token hashes; one aggregation pyramid
+    (doc,token)->(doc,bit)->(doc). The bit explosion (x60) happens after tf
+    aggregation, so volume is bounded by vocab size per doc."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", h60("token"))
+    )
+    bits = tf.select(
+        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(h >> b) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")).alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+ORACLE_Q44 = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf, {h60_sql('token')} AS h
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf, (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q45: SimHash near-dup pairs (Hamming distance on the signatures)
+# --------------------------------------------------------------------------
+
+def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming distance 3. Candidate generation buckets on the
+    top-16-bit prefix first (near-identical docs almost always agree there),
+    so the self-join shuffles buckets, not the full cross product; brute
+    force would be O(N^2) at 100 TB."""
+    sig = q44_simhash(spark, sf_dir).withColumn("prefix", F.shiftright("simhash", 44))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+ORACLE_Q45 = f"""
+WITH sig AS ({ORACLE_Q44}),
+pref AS (SELECT doc_id, simhash, simhash >> 44 AS prefix FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES = {
+    "q40_exact_dedup": q40_exact_dedup,
+    "q41_minhash_signatures": q41_minhash_signatures,
+    "q42_minhash_lsh_dedup": q42_minhash_lsh_dedup,
+    "q43_ngram_jaccard": q43_ngram_jaccard,
+    "q44_simhash": q44_simhash,
+    "q45_simhash_neardup": q45_simhash_neardup,
+}
+
+ORACLES = {
+    "q40_exact_dedup": ORACLE_Q40,
+    "q41_minhash_signatures": ORACLE_Q41,
+    "q42_minhash_lsh_dedup": ORACLE_Q42,
+    "q43_ngram_jaccard": ORACLE_Q43,
+    "q44_simhash": ORACLE_Q44,
+    "q45_simhash_neardup": ORACLE_Q45,
+}

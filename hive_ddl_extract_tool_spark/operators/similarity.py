@@ -1,4 +1,222 @@
-"""Placeholder -- filled in a later milestone."""
+"""Similarity search over the embedding column (SURVEY.md §2B X11).
 
-QUERIES = {}
-ORACLES = {}
+- q46: brute-force cosine top-k -- the exact baseline. The query set is
+  broadcast, the corpus stays partitioned, so the nested-loop scales with
+  corpus size / cluster width; cost is O(|Q| * N) dot products.
+- q47: LSH-bucketed ANN (random-hyperplane signs) -- the 100 TB path. Each
+  vector gets an 8-bit signature; search touches only the query's bucket
+  (~N/256 of the corpus). Hyperplane signs derive from the shared md5 hash,
+  so the DuckDB oracle reproduces the same buckets and the check is exact.
+
+All vector math is built-in higher-order functions (zip_with/aggregate) in
+double precision -- no UDFs, no Python in the hot path. Per-element work is
+codegen'd; at real scale the natural upgrade is a pandas_udf that BLAS-batches
+the dot products, which q48 demonstrates (rows-only check).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._hashing import h60, h60_sql
+from ..tables import load
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8
+
+
+def _dbl(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a, b) -> Column:
+    """Double-accumulated cosine, ascending index order (bit-identical to the
+    DuckDB list_transform/list_sum oracle; DuckDB's builtin
+    list_cosine_similarity accumulates in float32 and does NOT match)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(_dbl(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+# DuckDB fragment: cosine(qe, ce) with identical accumulation
+COSINE_SQL = """
+  list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+# --------------------------------------------------------------------------
+# q46: brute-force cosine top-k (exact baseline)
+# --------------------------------------------------------------------------
+
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+ORACLE_Q46 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, round({COSINE_SQL}, 6) AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q47: LSH-bucketed approximate NN (random-hyperplane signatures)
+# --------------------------------------------------------------------------
+
+def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit sign signature per vector. Hyperplane sign for (plane p, dim i)
+    = +-1 from h60('plane_{p}_{i}') parity -- reproducible in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("val"))
+    name = F.concat(F.lit("plane_"), F.col("p").cast("string"), F.lit("_"), F.col("i").cast("string"))
+    sign = F.when(h60(name) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        dims.crossJoin(F.broadcast(planes))
+        .select("vec_id", "p", (F.col("val") * sign).alias("contrib"))
+        .groupBy("vec_id", "p")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+                   .otherwise(F.lit(0).cast("bigint"))).alias("bucket"))
+    )
+
+
+def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: join query and corpus only within the same LSH bucket, then exact
+    cosine + top-3 inside the bucket. The bucket equi-join replaces the cross
+    product -- the shuffle moves each vector once, keyed by bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    bk = _buckets(spark, sf_dir)
+    vecs = emb.join(bk, "vec_id")
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+_PLANE_SIGN_SQL = (
+    "CASE WHEN " + h60_sql("'plane_' || p || '_' || i") + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+ORACLE_Q47 = f"""
+WITH dims AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+proj AS (
+  SELECT vec_id, p, sum(val * {_PLANE_SIGN_SQL}) AS s
+  FROM dims, (SELECT unnest(range({N_PLANES})) AS p)
+  GROUP BY vec_id, p
+),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+vecs AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM vecs WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM vecs),
+s AS (
+  SELECT query_id, neighbor_id, round({COSINE_SQL}, 6) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q48: vectorized (Arrow/pandas) cosine top-k -- the BLAS-batched upgrade
+# --------------------------------------------------------------------------
+
+def q48_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q46 via mapInPandas: queries are closed over (small,
+    broadcast-style), each corpus partition arrives as Arrow batches, and
+    numpy does the matrix multiply. Rows-only check (float32 BLAS accumulation
+    differs from the exact double oracle by design)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype="float32")
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["embedding"]), dtype="float32")
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_mat @ c_mat.T  # (nq, batch)
+            nq, nb = sims.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, nb),
+                "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), nq),
+                "cos_sim": sims.reshape(-1).astype("float64"),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+QUERIES = {
+    "q46_cosine_topk": q46_cosine_topk,
+    "q47_ann_lsh": q47_ann_lsh,
+    "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
+}
+
+ORACLES = {
+    "q46_cosine_topk": ORACLE_Q46,
+    "q47_ann_lsh": ORACLE_Q47,
+    # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
+}

@@ -1,4 +1,242 @@
-"""Placeholder -- filled in a later milestone."""
+"""Text analysis for training-data pipelines (SURVEY.md §2B X12):
+quality scoring, token counting (whitespace + BPE-ish regex), language ID
+(marker-word heuristic), document fingerprinting.
 
-QUERIES = {}
-ORACLES = {}
+Everything is built-in string/regex/higher-order functions -- JVM-side,
+whole-stage codegen, no Python UDFs -- so the per-row cost is constant and
+the operators scale linearly with document count (the only shuffles are the
+final low-cardinality aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._hashing import h60, h60_sql
+from ._rounding import mround
+from ..tables import load
+
+# Tokenization shared by every text operator (and mirrored in the oracles):
+# split on whitespace runs, drop empties.
+WS = r"\s+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Marker stopwords per language for the heuristic language ID.
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _words(col: Column | str = "text") -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.filter(F.split(col, WS), lambda x: x != F.lit(""))
+
+
+def _marker_regex(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+# --------------------------------------------------------------------------
+# q30: corpus stats per source (quality-distribution monitoring)
+# --------------------------------------------------------------------------
+
+def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("len"),
+        F.size(_words()).alias("n_words"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mround(F.avg("len"), 4).alias("avg_chars"),
+        mround(F.avg("n_words"), 4).alias("avg_words"),
+        F.min("len").cast("bigint").alias("min_chars"),
+        F.max("len").cast("bigint").alias("max_chars"),
+    )
+
+
+ORACLE_Q30 = """
+WITH per_doc AS (
+  SELECT source, length(text) AS len,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT source,
+       count(*)                          AS n_docs,
+       round(1.37e-6 + avg(len), 4)      AS avg_chars,
+       round(1.37e-6 + avg(n_words), 4)  AS avg_words,
+       CAST(min(len) AS BIGINT)          AS min_chars,
+       CAST(max(len) AS BIGINT)          AS max_chars
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q31: token counting -- whitespace tokens + BPE-ish regex pre-tokens
+# --------------------------------------------------------------------------
+
+def q31_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).cast("bigint").alias("bpe_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+
+
+ORACLE_Q31 = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)                    AS bpe_tokens,
+       CAST(octet_length(encode(text)) AS BIGINT)                                          AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q32: heuristic language ID (marker-word scores -> argmax) + confusion agg
+# --------------------------------------------------------------------------
+
+def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {lang: F.regexp_count(lowered, F.lit(_marker_regex(lang))) for lang in LANG_MARKERS}
+    # deterministic argmax: first language (in fixed order) with maximal score;
+    # all-zero scores -> 'unknown'
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    guess = F.when(best == 0, "unknown")
+    for lang in langs:
+        guess = guess.when(scores[lang] == best, lang)
+    scored = docs.select("lang", guess.alias("guess"))
+    return scored.groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _langid_guess_sql() -> str:
+    langs = list(LANG_MARKERS)
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(LANG_MARKERS[lang])})\\b'))"
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
+    whens = "\n         ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+  SELECT lang,
+         CASE WHEN best = 0 THEN 'unknown'
+         {whens}
+         END AS guess
+  FROM (SELECT lang, text, {best} AS best FROM documents)
+"""
+
+
+ORACLE_Q32 = f"""
+SELECT lang, guess, count(*) AS n_docs
+FROM ({_langid_guess_sql()})
+GROUP BY lang, guess
+"""
+
+
+# --------------------------------------------------------------------------
+# q33: document fingerprint (60-bit hash of whitespace-normalized text)
+# --------------------------------------------------------------------------
+
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), WS, " "))
+    return docs.select("doc_id", h60(norm).alias("fingerprint"))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+ORACLE_Q33 = f"""
+SELECT doc_id, {h60_sql(_NORM_SQL)} AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q34: per-document quality scoring (length / punctuation / stopword ratios)
+# --------------------------------------------------------------------------
+
+def q34_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words).cast("double")
+    n_chars_c = F.length("text").cast("double")
+    n_punct = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+    n_stop = F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double")
+    avg_wlen = F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words
+    punct_ratio = n_punct / n_chars_c
+    stop_ratio = n_stop / n_words
+    # toy quality score: long enough, some stopwords, not punctuation soup
+    score = (
+        F.least(n_words / 50.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+ORACLE_Q34 = """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)  AS n_words,
+         CAST(length(text) AS DOUBLE)                                                          AS n_chars_c,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)                      AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE)       AS n_stop,
+         list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                                 w -> CAST(length(w) AS DOUBLE)))                              AS sum_wlen
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         sum_wlen / n_words  AS avg_word_len,
+         n_punct / n_chars_c AS punct_ratio,
+         n_stop / n_words    AS stop_ratio,
+         least(n_words / 50.0, 1.0) * 0.4
+           + least((n_stop / n_words) * 5.0, 1.0) * 0.3
+           + (1.0 - least((n_punct / n_chars_c) * 10.0, 1.0)) * 0.3 AS score
+  FROM d
+)
+SELECT doc_id,
+       round(avg_word_len, 6) AS avg_word_len,
+       round(punct_ratio, 6)  AS punct_ratio,
+       round(stop_ratio, 6)   AS stopword_ratio,
+       round(score, 6)        AS quality,
+       score >= 0.5           AS keep
+FROM s
+"""
+
+
+QUERIES = {
+    "q30_text_stats": q30_text_stats,
+    "q31_token_count": q31_token_count,
+    "q32_langid": q32_langid,
+    "q33_fingerprint": q33_fingerprint,
+    "q34_quality_score": q34_quality_score,
+}
+
+ORACLES = {
+    "q30_text_stats": ORACLE_Q30,
+    "q31_token_count": ORACLE_Q31,
+    "q32_langid": ORACLE_Q32,
+    "q33_fingerprint": ORACLE_Q33,
+    "q34_quality_score": ORACLE_Q34,
+}

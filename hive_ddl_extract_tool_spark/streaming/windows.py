@@ -1,4 +1,213 @@
-"""Placeholder -- filled in a later milestone."""
+"""Event-time windowing (SURVEY.md §2B X14): tumbling, sliding, session
+windows over the events table, plus a true Structured Streaming path with
+watermarking.
 
-QUERIES = {}
-ORACLES = {}
+q60-q62 run the window assignment in batch mode (same `F.window` /
+`F.session_window` expressions Structured Streaming uses). q63 is a real
+`readStream` -> watermark -> windowed agg -> memory sink, driven to
+completion; in complete output mode its result equals the batch aggregation,
+so even the streaming path gets an exact DuckDB oracle.
+
+Spark aligns windows to the epoch; DuckDB's `time_bucket` origin
+(2000-01-01) is 5-minute aligned to the epoch, so bucket starts agree for
+the divisors used here. Window bounds are emitted as formatted strings to
+keep the cross-engine hash deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators._rounding import mround
+from ..tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+SESSION_GAP = "30 minutes"
+
+
+# --------------------------------------------------------------------------
+# q60: tumbling window (5 minutes)
+# --------------------------------------------------------------------------
+
+def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            F.date_format("w.end", TS_FMT_SPARK).alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q60 = f"""
+SELECT strftime(tb, '{TS_FMT_DUCK}')                         AS win_start,
+       strftime(tb + INTERVAL '5 minutes', '{TS_FMT_DUCK}')  AS win_end,
+       count(*)                                              AS n_events,
+       round(1.37e-6 + sum(value), 2)                        AS sum_value
+FROM (SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, value FROM events)
+GROUP BY tb
+"""
+
+
+# --------------------------------------------------------------------------
+# q61: sliding window (10 minutes, slide 2) -- each event lands in 5 windows
+# --------------------------------------------------------------------------
+
+def q61_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "2 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q61 = f"""
+SELECT strftime(win_start, '{TS_FMT_DUCK}') AS win_start,
+       event_type,
+       count(*)                             AS n_events,
+       round(1.37e-6 + sum(value), 2)       AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '2 minutes', ts) - k * INTERVAL '2 minutes' AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest(range(5)) AS k)
+)
+GROUP BY win_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q62: session window (30-minute gap) per user
+# --------------------------------------------------------------------------
+
+def q62_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`F.session_window` merges events whose windows overlap (next.ts -
+    prev.ts strictly < gap). The oracle reproduces that with lag + a running
+    session counter -- the classic batch sessionization."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_US_SPARK).alias("win_start"),
+            F.date_format("w.end", TS_US_SPARK).alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q62 = f"""
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL '{SESSION_GAP}'
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_US_DUCK}')                                  AS win_start,
+       strftime(max(ts) + INTERVAL '{SESSION_GAP}', '{TS_US_DUCK}')       AS win_end,
+       count(*)                                                           AS n_events,
+       round(1.37e-6 + sum(value), 2)                                     AS sum_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+# --------------------------------------------------------------------------
+# q63: true Structured Streaming -- readStream + watermark + tumbling agg
+# --------------------------------------------------------------------------
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def q63_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming over the same events parquet: watermark + 5-min
+    tumbling window per event_type, memory sink. Complete output mode emits
+    every window once the source drains, so the result equals the batch
+    aggregation and the DuckDB oracle stays exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = "q63_stream_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_Q63 = f"""
+SELECT strftime(tb, '{TS_FMT_DUCK}')   AS win_start,
+       event_type,
+       count(*)                        AS n_events,
+       round(1.37e-6 + sum(value), 2)  AS sum_value
+FROM (SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, value FROM events)
+GROUP BY tb, event_type
+"""
+
+
+QUERIES = {
+    "q60_tumbling_window": q60_tumbling_window,
+    "q61_sliding_window": q61_sliding_window,
+    "q62_session_window": q62_session_window,
+    "q63_stream_tumbling": q63_stream_tumbling,
+}
+
+ORACLES = {
+    "q60_tumbling_window": ORACLE_Q60,
+    "q61_sliding_window": ORACLE_Q61,
+    "q62_session_window": ORACLE_Q62,
+    "q63_stream_tumbling": ORACLE_Q63,
+}
