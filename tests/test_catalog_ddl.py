@@ -1,0 +1,220 @@
+"""Catalog/DDL extraction pipeline tests (SURVEY.md §2A / X16, FIXTURES.md §2).
+
+The pure transforms get exhaustive unit tests (they ARE the reference's
+semantics: header fixup, spec formatting, the 4-way strategy decision table
+incl. the fatal combination). The pipeline tests create fixture tables in
+Spark's catalog and compare the emitted script structure.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_ddl_extract_tool_spark.catalog.extractor import (
+    DefaultPartitionConflictError,
+    ExtractConfig,
+    add_partition_sql,
+    choose_partition_strategy,
+    extract_ddl,
+    fix_create_table,
+    format_partition_spec,
+    get_partitions,
+    list_databases,
+    list_tables,
+    msck_sql,
+    partition_restore_sql,
+)
+
+# --------------------------------------------------------------------------
+# Pure transforms
+# --------------------------------------------------------------------------
+
+def test_fix_create_table_rewrites_hive_style_header():
+    # Hive's SHOW CREATE TABLE `db.t` output (single backtick pair)
+    assert fix_create_table("CREATE TABLE `mydb.myt`(") == "CREATE TABLE `mydb`.`myt`("
+    assert (
+        fix_create_table("CREATE EXTERNAL TABLE `mydb.myt`(")
+        == "CREATE EXTERNAL TABLE `mydb`.`myt`("
+    )
+
+
+def test_fix_create_table_identity_cases():
+    # already correctly quoted -> unchanged
+    assert fix_create_table("CREATE TABLE `mydb`.`myt`(") == "CREATE TABLE `mydb`.`myt`("
+    # no dot inside the first quoted part -> unchanged
+    assert fix_create_table("CREATE TABLE `myt`(") == "CREATE TABLE `myt`("
+    # non-header lines -> unchanged
+    assert fix_create_table("  `col` string,") == "  `col` string,"
+
+
+def test_format_partition_spec():
+    assert format_partition_spec("dt=2024-01-01") == "dt='2024-01-01'"
+    assert format_partition_spec("dt=2024-01-01/region=emea") == "dt='2024-01-01',region='emea'"
+    # values containing '=' keep everything after the first '='
+    assert format_partition_spec("k=a=b") == "k='a=b'"
+
+
+def test_strategy_decision_table():
+    # (has_default, has_upper) x use_add_sql -> expected (True = ADD PARTITION)
+    assert choose_partition_strategy(False, False, use_add_sql=False) is False
+    assert choose_partition_strategy(False, False, use_add_sql=True) is True
+    assert choose_partition_strategy(True, False, use_add_sql=True) is False   # default forces MSCK
+    assert choose_partition_strategy(False, True, use_add_sql=False) is True   # upper forces ADD
+    with pytest.raises(DefaultPartitionConflictError):
+        choose_partition_strategy(True, True, use_add_sql=False)
+
+
+def test_sql_emission_context_variants():
+    assert msck_sql("db1", "t1", use_context=True) == "MSCK REPAIR TABLE t1;"
+    assert msck_sql("db1", "t1", use_context=False) == "MSCK REPAIR TABLE db1.t1;"
+    add_rel = add_partition_sql("db1", "t1", "/wh/t1", "dt=a/r=b", "/wh/t1/dt=a/r=b", True)
+    assert add_rel == 'ALTER TABLE t1 ADD PARTITION (dt=\'a\',r=\'b\') LOCATION "dt=a/r=b";'
+    add_abs = add_partition_sql("db1", "t1", "/wh/t1", "dt=a/r=b", "/wh/t1/dt=a/r=b", False)
+    assert add_abs == 'ALTER TABLE db1.t1 ADD PARTITION (dt=\'a\',r=\'b\') LOCATION "/wh/t1/dt=a/r=b";'
+
+
+# --------------------------------------------------------------------------
+# Pipeline against a live catalog (fixture tables per FIXTURES.md §2)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ddl_fixtures(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ddl_fixtures")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl_db1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl_db2")
+    spark.sql("""CREATE TABLE ddl_db1.plain_t (id INT, name STRING, score DOUBLE)
+                 USING parquet""")
+    spark.sql("""CREATE TABLE ddl_db1.part_lower (v INT, dt STRING, region STRING)
+                 USING parquet PARTITIONED BY (dt, region)""")
+    spark.sql("INSERT INTO ddl_db1.part_lower PARTITION (dt='2024-01-01', region='emea') VALUES (1)")
+    spark.sql("INSERT INTO ddl_db1.part_lower PARTITION (dt='2024-01-01', region='apac') VALUES (2)")
+    spark.sql("INSERT INTO ddl_db1.part_lower PARTITION (dt='2024-01-02', region='emea') VALUES (3)")
+    spark.sql("""CREATE TABLE ddl_db1.part_upper (v INT, dt STRING)
+                 USING parquet PARTITIONED BY (dt)""")
+    spark.sql("INSERT INTO ddl_db1.part_upper PARTITION (dt='a') VALUES (1)")
+    spark.sql(
+        f"ALTER TABLE ddl_db1.part_upper ADD PARTITION (dt='b') LOCATION '{base}/UPPER_LOC'"
+    )
+    spark.sql("""CREATE TABLE ddl_db1.part_default (v INT, dt STRING)
+                 USING parquet PARTITIONED BY (dt)""")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.sql("INSERT INTO ddl_db1.part_default PARTITION (dt) SELECT 1, 'x'")
+    spark.sql("INSERT INTO ddl_db1.part_default PARTITION (dt) SELECT 2, CAST(NULL AS STRING)")
+    spark.sql("""CREATE TABLE ddl_db1.part_conflict (v INT, dt STRING)
+                 USING parquet PARTITIONED BY (dt)""")
+    spark.sql("INSERT INTO ddl_db1.part_conflict PARTITION (dt) SELECT 1, CAST(NULL AS STRING)")
+    spark.sql(
+        f"ALTER TABLE ddl_db1.part_conflict ADD PARTITION (dt='c') LOCATION '{base}/UPPER_TOO'"
+    )
+    for t in ("sales_2023", "sales_2024", "inv_2024"):
+        spark.sql(f"CREATE TABLE ddl_db1.{t} (id INT) USING parquet")
+    spark.sql("CREATE TABLE ddl_db2.other_t (id INT) USING parquet")
+    yield
+    spark.sql("DROP DATABASE ddl_db1 CASCADE")
+    spark.sql("DROP DATABASE ddl_db2 CASCADE")
+
+
+def test_list_databases_and_tables(spark, ddl_fixtures):
+    assert list_databases(spark, "ddl_db*") == ["ddl_db1", "ddl_db2"]
+    assert list_tables(spark, "ddl_db1", "sales_*") == ["sales_2023", "sales_2024"]
+    assert list_tables(spark, "ddl_db1", "*") == sorted(
+        ["plain_t", "part_lower", "part_upper", "part_default", "part_conflict",
+         "sales_2023", "sales_2024", "inv_2024"]
+    )
+    # degrade-to-empty on a missing database (ExtractHiveDDL.java:146-148)
+    assert list_tables(spark, "no_such_db", "*") == []
+
+
+def test_partition_enumeration(spark, ddl_fixtures):
+    parts = get_partitions(spark, "ddl_db1", "part_lower")
+    assert [name for name, _ in parts] == [
+        "dt=2024-01-01/region=apac",
+        "dt=2024-01-01/region=emea",
+        "dt=2024-01-02/region=emea",
+    ]
+    assert all(loc for _, loc in parts)
+    assert get_partitions(spark, "ddl_db1", "plain_t") == []
+
+
+def test_strategy_lower_default_msck(spark, ddl_fixtures):
+    cfg = ExtractConfig(use_add_sql=False)
+    assert partition_restore_sql(spark, "ddl_db1", "part_lower", cfg) == [
+        "MSCK REPAIR TABLE part_lower;"
+    ]
+
+
+def test_strategy_add_partition_lines(spark, ddl_fixtures):
+    cfg = ExtractConfig(use_add_sql=True)
+    lines = partition_restore_sql(spark, "ddl_db1", "part_lower", cfg)
+    assert len(lines) == 3
+    assert lines[0].startswith(
+        "ALTER TABLE part_lower ADD PARTITION (dt='2024-01-01',region='apac') LOCATION"
+    )
+    # relative location under USE_CONTEXT
+    assert '"dt=2024-01-01/region=apac"' in lines[0]
+
+
+def test_strategy_uppercase_forces_add(spark, ddl_fixtures):
+    cfg = ExtractConfig(use_add_sql=False)  # MSCK default, but upper path wins
+    lines = partition_restore_sql(spark, "ddl_db1", "part_upper", cfg)
+    assert len(lines) == 2
+    assert all("ADD PARTITION" in line for line in lines)
+    assert any("UPPER_LOC" in line for line in lines)
+
+
+def test_strategy_default_partition_forces_msck(spark, ddl_fixtures):
+    cfg = ExtractConfig(use_add_sql=True)  # ADD requested, but default wins
+    lines = partition_restore_sql(spark, "ddl_db1", "part_default", cfg)
+    assert lines == ["MSCK REPAIR TABLE part_default;"]
+
+
+def test_conflict_is_fatal(spark, ddl_fixtures):
+    with pytest.raises(DefaultPartitionConflictError):
+        partition_restore_sql(spark, "ddl_db1", "part_conflict", ExtractConfig())
+
+
+def test_full_script_structure_and_determinism(spark, ddl_fixtures, tmp_path):
+    cfg = ExtractConfig(use_add_sql=False, use_context=True, beeline_markers=True)
+    out = tmp_path / "out.sql"
+    script = extract_ddl(spark, "ddl_db2", "*", str(out), cfg)
+    assert script == out.read_text()
+    lines = script.splitlines()
+    assert lines[0] == "CREATE DATABASE IF NOT EXISTS ddl_db2;"
+    assert lines[1] == "USE ddl_db2;"
+    assert '!sh echo "Creating table: other_t...";' in lines
+    assert any(line.startswith("CREATE TABLE") and "other_t" in line for line in lines)
+    assert script.rstrip().endswith(";")
+    # deterministic (reference interleaved nondeterministically, :109)
+    assert extract_ddl(spark, "ddl_db2", "*", None, cfg) == script
+
+
+def test_full_script_patterns_and_partitions(spark, ddl_fixtures):
+    cfg = ExtractConfig(use_add_sql=False, use_context=False)
+    script = extract_ddl(spark, "ddl_db1", "part_lower|part_upper|part_default", None, cfg)
+    # qualified names without USE under use_context=False
+    assert "USE ddl_db1;" not in script
+    assert "MSCK REPAIR TABLE ddl_db1.part_lower;" in script
+    assert "MSCK REPAIR TABLE ddl_db1.part_default;" in script
+    # uppercase table: ADD PARTITION with absolute locations
+    assert "ALTER TABLE ddl_db1.part_upper ADD PARTITION (dt='b')" in script
+    # conflict table raises through the pipeline
+    with pytest.raises(DefaultPartitionConflictError):
+        extract_ddl(spark, "ddl_db1", "part_conflict", None, cfg)
+
+
+def test_roundtrip_recreate(spark, ddl_fixtures):
+    """The emitted CREATE TABLE actually recreates the table (script is
+    executable on Spark itself -- the cross-cluster migration use case)."""
+    from hive_ddl_extract_tool_spark.catalog.extractor import get_create_ddl
+
+    ddl = get_create_ddl(spark, "ddl_db1", "plain_t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl_rt")
+    try:
+        recreated = ddl.rstrip(";").replace("ddl_db1", "ddl_rt", 1)
+        spark.sql(recreated)
+        src = spark.table("ddl_db1.plain_t").schema
+        dst = spark.table("ddl_rt.plain_t").schema
+        assert [f.name for f in src] == [f.name for f in dst]
+        assert [f.dataType for f in src] == [f.dataType for f in dst]
+    finally:
+        spark.sql("DROP DATABASE ddl_rt CASCADE")
