@@ -1,0 +1,114 @@
+"""True Structured Streaming semantics tests (SURVEY.md §7 step 7):
+deterministic late-data handling driven by explicit micro-batches (one
+parquet file per batch into a watched directory), and the custom stateful
+operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_batch(spark, directory, batch_no, rows):
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{directory}/batch{batch_no}")
+
+
+def _start_watch(spark, directory, name, agg_builder, output_mode):
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(directory)
+    )
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    return (
+        agg_builder(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + 5-min watermark on 5-min tumbling windows: a row older
+    than the watermark must NOT update its (already finalized) window."""
+    d = str(tmp_path / "stream_src")
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "HH:mm").alias("win"), "n")
+        )
+
+    _write_batch(spark, d, 1, [
+        ("2024-01-01 10:00:10", 1, 1.0),
+        ("2024-01-01 10:07:00", 1, 1.0),
+        ("2024-01-01 10:21:00", 1, 1.0),
+    ])
+    q = _start_watch(spark, d, "late_test", agg, "append")
+    try:
+        q.processAllAvailable()  # wm -> 10:16 after this batch
+        _write_batch(spark, d, 2, [
+            ("2024-01-01 10:01:00", 2, 1.0),   # LATE: window 10:00 < wm
+            ("2024-01-01 10:40:00", 1, 1.0),
+        ])
+        q.processAllAvailable()  # emits windows ending <= 10:16; wm -> 10:35
+        _write_batch(spark, d, 3, [("2024-01-01 11:00:00", 1, 1.0)])
+        q.processAllAvailable()  # flushes the 10:20 window
+        out = {r["win"]: r["n"] for r in spark.table("late_test").collect()}
+        # 10:00 window emitted with ONLY the on-time row; late row dropped
+        assert out["10:00"] == 1
+        assert out["10:05"] == 1
+        assert out["10:20"] == 1
+        # the late row must not have produced a second 10:00 emission
+        wins = [r["win"] for r in spark.table("late_test").collect()]
+        assert wins.count("10:00") == 1
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches."""
+    from hive_ddl_extract_tool_spark.streaming.stateful import running_user_totals
+
+    d = str(tmp_path / "state_src")
+    _write_batch(spark, d, 1, [
+        ("2024-01-01 10:00:00", 1, 2.0),
+        ("2024-01-01 10:01:00", 1, 3.0),
+        ("2024-01-01 10:02:00", 2, 5.0),
+    ])
+    q = _start_watch(spark, d, "state_test", running_user_totals, "update")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, d, 2, [
+            ("2024-01-01 10:10:00", 1, 10.0),
+        ])
+        q.processAllAvailable()
+        rows = spark.table("state_test").collect()
+        # last emission per user carries the running totals
+        latest = {}
+        for r in rows:
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert latest[1] == (3, 15.0)   # 2 events b1 + 1 event b2
+        assert latest[2] == (1, 5.0)
+    finally:
+        q.stop()
