@@ -42,9 +42,9 @@ def _words(col: Column | str = "text") -> Column:
     return F.filter(F.split(col, WS), lambda x: x != F.lit(""))
 
 
-def _shingles(col: Column | str = "text") -> Column:
-    """3-word shingles as strings; empty array for docs under 3 words."""
-    w = _words(col)
+def _shingles_from_words(w: Column) -> Column:
+    """3-word shingles from a *materialized* word-array column; empty array
+    for docs under 3 words."""
     n = F.size(w)
     return F.when(
         n >= SHINGLE_N,
@@ -53,6 +53,12 @@ def _shingles(col: Column | str = "text") -> Column:
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles(col: Column | str = "text") -> Column:
+    """3-word shingles straight from a text column (convenience form; prefer
+    materializing the word array first in hot paths)."""
+    return _shingles_from_words(_words(col))
 
 
 # DuckDB twin of _shingles, as a FROM-able fragment producing (doc_id, shingle)
@@ -65,12 +71,27 @@ SHINGLES_SQL = """
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+    """Distinct (doc_id, sh) pairs where sh = h60(shingle). Deduping and
+    joining on the 60-bit hash instead of the 3-word string cuts shuffle
+    bytes ~3x; every downstream consumer (minhash, jaccard, sizes) only needs
+    hash identity, and the oracles hash identically."""
     docs = load(spark, sf_dir, "documents")
+    # Materialize the word array before building shingles: element_at over a
+    # *column* is an array lookup, while element_at over the inline
+    # filter(split(...)) expression re-evaluates the regex split per access
+    # (O(words^2) per doc -- measured 3x slower at sf0.1).
     return (
-        docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+        docs.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
+        .select("doc_id", h60("shingle").alias("sh"))
         .distinct()
     )
+
+
+# DuckDB twin of _doc_shingles
+DS_HASH_SQL = (
+    "SELECT DISTINCT doc_id, " + h60_sql("shingle") + f" AS sh FROM ({SHINGLES_SQL})"
+)
 
 
 # --------------------------------------------------------------------------
@@ -100,29 +121,33 @@ GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
 # --------------------------------------------------------------------------
 
 def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-format signature: (doc_id, seed_id, minh). One shuffle to the
-    (doc, seed) aggregate; signature size is constant per doc regardless of
-    document length -- the property that makes MinHash the scale path."""
+    """Long-format signature: (doc_id, seed_id, minh).
+
+    All 16 hash-family values are computed as expressions on each shingle
+    row and min-aggregated columnarly in ONE groupBy(doc_id) -- no seed
+    cross-join, so the shuffle carries |distinct shingles| rows instead of
+    16x that (was the top hotspot at sf0.1: 15s -> ~1s). Signature size per
+    doc is constant regardless of document length -- the property that makes
+    MinHash the scale path."""
     ds = _doc_shingles(spark, sf_dir)
-    seeds = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_SEEDS)], "seed_id INT, a BIGINT, b BIGINT"
-    )
-    hm = (h60("shingle") % F.lit(P31)).alias("hm")
-    return (
-        ds.select("doc_id", hm)
-        .crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed_id", ((F.col("a") * F.col("hm") + F.col("b")) % F.lit(P31)).alias("h"))
-        .groupBy("doc_id", "seed_id")
-        .agg(F.min("h").alias("minh"))
-    )
+    hm = F.col("sh") % F.lit(P31)
+    mins = [
+        F.min((F.lit(a) * hm + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    wide = ds.groupBy("doc_id").agg(*mins)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(len(MINHASH_SEEDS)))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({len(MINHASH_SEEDS)}, {stack_args}) AS (seed_id, minh)"),
+    ).select("doc_id", F.col("seed_id").cast("int").alias("seed_id"), "minh")
 
 
 def _minhash_long_sql() -> str:
-    hm = f"({h60_sql('shingle')} % {P31})"
     seed_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_SEEDS))
     return f"""
-  SELECT doc_id, seed_id, min((a * hm + b) % {P31}) AS minh
-  FROM (SELECT DISTINCT doc_id, {hm} AS hm FROM ({SHINGLES_SQL})),
+  SELECT doc_id, seed_id, min((a * (sh % {P31}) + b) % {P31}) AS minh
+  FROM ({DS_HASH_SQL}),
        (SELECT * FROM (VALUES {seed_rows}) AS t(seed_id, a, b))
   GROUP BY doc_id, seed_id
 """
@@ -165,7 +190,7 @@ def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(ds.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(ds.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .join(ds.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -193,13 +218,13 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-ds AS (SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_SQL})),
+ds AS ({DS_HASH_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
 inter AS (
   SELECT doc_a, doc_b, count(*) AS inter
   FROM cand
   JOIN ds sa ON doc_a = sa.doc_id
-  JOIN ds sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+  JOIN ds sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -220,7 +245,7 @@ def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -237,11 +262,11 @@ def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q43 = f"""
-WITH ds AS (SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_SQL})),
+WITH ds AS ({DS_HASH_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

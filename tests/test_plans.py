@@ -1,0 +1,70 @@
+"""Physical-plan audits (the 100 TB checklist): filters reach the parquet
+scan, dims broadcast, top-k avoids global sorts, and no query silently drops
+into row-at-a-time Python. A failure here is a scalability regression even if
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_ddl_extract_tool_spark.operators import all_queries
+from hive_ddl_extract_tool_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_top_k_plan,
+    count_shuffles,
+)
+
+QUERIES = all_queries()
+
+# Queries that intentionally run Python stages (Arrow-batched, documented).
+PYTHON_OK = {"q48_cosine_topk_pandas", "q51_decode_features"}
+# Streaming / driver-side queries whose plan isn't a single batch pipeline.
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling"}
+
+
+def test_filter_pushdown_q01(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_filter_pushdown_semi_join_build_side(spark, sf_dir):
+    df = QUERIES["q03_order_priority_semi"](spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+
+
+def test_broadcast_dims_q02(spark, sf_dir):
+    assert_broadcast_join(QUERIES["q02_revenue_by_nation"](spark, sf_dir))
+
+
+def test_broadcast_queries_q46(spark, sf_dir):
+    assert_broadcast_join(QUERIES["q46_cosine_topk"](spark, sf_dir))
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    assert_top_k_plan(QUERIES["q12_part_topk"](spark, sf_dir))
+    assert_top_k_plan(QUERIES["q23_explode_tokens"](spark, sf_dir))
+
+
+def test_column_pruning_q12(spark, sf_dir):
+    df = QUERIES["q12_part_topk"](spark, sf_dir)
+    assert_read_schema_only(
+        df, "part", {"p_partkey", "p_name", "p_brand", "p_retailprice"}
+    )
+
+
+def test_pricing_summary_single_shuffle(spark, sf_dir):
+    """q01 is partial-agg + one exchange on the 2 group keys (+ AQE reads);
+    a second data shuffle would mean the partial aggregation was lost."""
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert count_shuffles(df) <= 2  # exchange + possible AQE shuffle-read
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - PYTHON_OK - SKIP_PLAN_AUDIT)
+)
+def test_no_accidental_python_stages(name, spark, sf_dir):
+    assert_no_python_udf(QUERIES[name](spark, sf_dir))
