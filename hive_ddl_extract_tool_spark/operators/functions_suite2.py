@@ -1,0 +1,308 @@
+"""Extended operator surface: pivot, exact percentiles, window extras
+(ntile/percent_rank/nth_value), conditional aggregates (count_if/bool_or/
+min_by), null-handling semantics, extra string/date/map functions.
+
+Everything JVM-side built-ins; each query's oracle maps to the DuckDB
+equivalent (noting the few semantic differences: DuckDB's dayofweek origin
+differs from Spark's, so day-of-week goes through ISO weekday; DuckDB has no
+initcap, so it is not exercised).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._rounding import mround
+from ..tables import load
+
+
+# --------------------------------------------------------------------------
+# q14: pivot (orders: status x order-year -> summed price)
+# --------------------------------------------------------------------------
+
+def q14_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(mround(F.sum("o_totalprice"), 2))
+        .select(
+            "order_year",
+            F.col("O").alias("sum_open"),
+            F.col("F").alias("sum_filled"),
+            F.col("P").alias("sum_partial"),
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       round(1.37e-6 + sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS sum_open,
+       round(1.37e-6 + sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_filled,
+       round(1.37e-6 + sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS sum_partial
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q15: exact percentiles (linear interpolation) per group
+# --------------------------------------------------------------------------
+
+def q15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_Q15 = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_cont(c_acctbal, 0.5), 6)  AS p50,
+       round(quantile_cont(c_acctbal, 0.9), 6)  AS p90,
+       count(*)                                 AS n
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q15b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles -- the 100 TB path (single pass, mergeable
+    state, no per-group sort). Rows-only: the sketch is not exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("approx_p50_p95")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16: window extras -- ntile, percent_rank, dense_rank, nth_value, lead
+# --------------------------------------------------------------------------
+
+def q16_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        mround(F.first_value(F.col("o_totalprice")).over(wf), 2).alias("top_price"),
+        mround(F.nth_value(F.col("o_totalprice"), 2).over(wf), 2).alias("second_price"),
+        mround(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+ORACLE_Q16 = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INT)                           AS quartile,
+       round(percent_rank() OVER w, 6)                        AS pct_rank,
+       CAST(dense_rank() OVER w AS INT)                       AS drank,
+       round(1.37e-6 + first_value(o_totalprice) OVER wf, 2)  AS top_price,
+       round(1.37e-6 + nth_value(o_totalprice, 2) OVER wf, 2) AS second_price,
+       round(1.37e-6 + lead(o_totalprice, 1) OVER w, 2)       AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17: conditional aggregates -- count_if / bool_or / min_by / max_by
+# --------------------------------------------------------------------------
+
+def q17_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        # tiebreak inside the ordering value: prices are 2dp-quantized, so
+        # +key*1e-10 never reorders distinct prices but makes ties deterministic
+        F.min_by("o_orderkey", F.col("o_totalprice") - F.col("o_orderkey") * 1e-10).alias("cheapest_key"),
+        F.max_by("o_orderkey", F.col("o_totalprice") + F.col("o_orderkey") * 1e-10).alias("priciest_key"),
+        mround(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2)
+        .alias("filled_revenue"),
+    )
+
+
+ORACLE_Q17 = """
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT)        AS n_big,
+       bool_or(o_orderstatus = 'O')                           AS any_open,
+       bool_and(o_totalprice > 0)                             AS all_positive,
+       min_by(o_orderkey, o_totalprice - o_orderkey * 1e-10)  AS cheapest_key,
+       max_by(o_orderkey, o_totalprice + o_orderkey * 1e-10)  AS priciest_key,
+       round(1.37e-6 + sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
+                                                              AS filled_revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q18: null-handling semantics over an outer join
+# --------------------------------------------------------------------------
+
+def q18_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"), mround(F.max("o_totalprice"), 2).alias("max_big"))
+    )
+    j = customer.join(big, customer.c_custkey == big.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_big", F.lit(0)).alias("n_big_orders"),
+        F.coalesce("max_big", F.lit(-1.0)).alias("max_big_price"),
+        F.col("n_big").isNull().alias("never_big"),
+        F.nullif(F.coalesce("n_big", F.lit(0)), F.lit(0)).alias("n_or_null"),
+        F.col("n_big").eqNullSafe(F.lit(1)).alias("exactly_one_big"),
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT o_custkey, count(*) AS n_big, round(1.37e-6 + max(o_totalprice), 2) AS max_big
+  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(n_big, 0)                   AS n_big_orders,
+       coalesce(max_big, -1.0)              AS max_big_price,
+       n_big IS NULL                        AS never_big,
+       nullif(coalesce(n_big, 0), 0)        AS n_or_null,
+       n_big IS NOT DISTINCT FROM 1         AS exactly_one_big
+FROM customer LEFT JOIN big ON c_custkey = o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q19: string function extras
+# --------------------------------------------------------------------------
+
+def q19_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("int").alias("lev_to_b1"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.left("p_name", F.lit(5)).alias("name5"),
+        F.position(F.lit("a"), F.col("p_name")).cast("int").alias("first_a"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT p_partkey,
+       translate(p_brand, '#', '-')                   AS brand_dash,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0')       AS key_padded,
+       reverse(p_type)                                AS type_rev,
+       repeat('*', CAST(p_size % 5 AS INT))           AS stars,
+       CAST(levenshtein(p_brand, 'Brand#1') AS INT)   AS lev_to_b1,
+       split_part(p_type, ' ', 1)                     AS type_head,
+       left(p_name, 5)                                AS name5,
+       CAST(strpos(p_name, 'a') AS INT)               AS first_a
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# q24: map functions over parsed JSON props
+# --------------------------------------------------------------------------
+
+def q24_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_val"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+    )
+
+
+ORACLE_Q24 = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT)                             AS n_keys,
+       array_to_string(list_sort(json_keys(props)), ',')              AS keys_sorted,
+       CAST(json_extract_string(props, '$.k') AS INT)                 AS k_val,
+       json_extract(props, '$.missing') IS NOT NULL                   AS has_missing
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q25: date/time extras
+# --------------------------------------------------------------------------
+
+def q25_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.weekday(d).cast("int").alias("wday"),            # Monday = 0
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).cast("string").alias("plus3m"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("int").alias("days_to_2002"),
+        F.date_trunc("week", d).cast("date").cast("string").alias("week_start"),
+    )
+
+
+ORACLE_Q25 = """
+SELECT o_orderkey,
+       CAST(isodow(o_orderdate) - 1 AS INT)                              AS wday,
+       CAST(weekofyear(o_orderdate) AS INT)                              AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INT)                               AS doy,
+       CAST(quarter(o_orderdate) AS INT)                                 AS qtr,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)              AS month_end,
+       CAST(CAST(o_orderdate + INTERVAL '3 months' AS DATE) AS VARCHAR)  AS plus3m,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+       CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)    AS week_start
+FROM orders
+"""
+
+
+QUERIES = {
+    "q14_pivot_status_year": q14_pivot_status_year,
+    "q15_percentiles": q15_percentiles,
+    "q15b_approx_percentiles": q15b_approx_percentiles,
+    "q16_window_extras": q16_window_extras,
+    "q17_conditional_aggs": q17_conditional_aggs,
+    "q18_null_handling": q18_null_handling,
+    "q19_string_extras": q19_string_extras,
+    "q24_map_functions": q24_map_functions,
+    "q25_date_extras": q25_date_extras,
+}
+
+ORACLES = {
+    "q14_pivot_status_year": ORACLE_Q14,
+    "q15_percentiles": ORACLE_Q15,
+    "q16_window_extras": ORACLE_Q16,
+    "q17_conditional_aggs": ORACLE_Q17,
+    "q18_null_handling": ORACLE_Q18,
+    "q19_string_extras": ORACLE_Q19,
+    "q24_map_functions": ORACLE_Q24,
+    "q25_date_extras": ORACLE_Q25,
+    # q15b: rows-only (sketch-based)
+}

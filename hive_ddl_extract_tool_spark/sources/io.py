@@ -1,0 +1,89 @@
+"""Source/sink surface: parquet (default), ORC, CSV, JSON, partitioned
+layouts, and bucketed tables.
+
+Scale notes baked into the helpers:
+- Partitioned writes (`partition_by`) give partition *pruning* on read --
+  a filter on the partition column skips whole directories.
+- Bucketed tables (`write_bucketed`) pre-shuffle once at write time; joins
+  and aggregations on the bucket key then run with NO exchange (verified by
+  plan assert in tests/test_sources.py). This is how a 100 TB fact table
+  avoids re-shuffling for every join against it.
+- CSV/JSON readers take an explicit schema -- schema inference is a full
+  extra pass over the data and type-unstable; never use it in production
+  paths.
+
+Format connectors that need external jars (Delta/Iceberg/Hudi, JDBC
+drivers, Kafka) are exposed behind `optional_format`, which reports
+unavailability cleanly instead of failing mid-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+CORE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    if fmt not in CORE_FORMATS:
+        raise ValueError(f"fmt must be one of {CORE_FORMATS}; for others use optional_format")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    reader: DataFrameReader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} requires an explicit schema (inference is a full extra scan)")
+    return reader.load(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) catalog table. Joins between
+    tables bucketed the same way on the join key are exchange-free."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def optional_format(spark: SparkSession, fmt: str) -> bool:
+    """Probe whether an external-connector format (delta, iceberg, kafka,
+    jdbc driver) is on the classpath. Returns False instead of raising so
+    callers can degrade gracefully in environments without the jars."""
+    try:
+        spark.read.format(fmt).schema("x INT").load("/nonexistent_probe_path")
+        return True
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # Path errors mean the format itself resolved; classpath errors mean
+        # the connector is absent.
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg

@@ -1,0 +1,84 @@
+"""Source/sink roundtrips, partition pruning, and bucketed (exchange-free)
+joins -- the physical-layout half of the 100 TB story."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hive_ddl_extract_tool_spark.plans.explain import count_shuffles, formatted_plan
+from hive_ddl_extract_tool_spark.sources.io import (
+    optional_format,
+    read_table,
+    write_bucketed,
+    write_table,
+)
+from hive_ddl_extract_tool_spark.tables import load
+
+DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip(spark, sf_dir, tmp_path, fmt):
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / f"docs_{fmt}")
+    write_table(docs, path, fmt)
+    back = read_table(spark, path, fmt, schema=DOC_SCHEMA if fmt in ("csv", "json") else None)
+    assert back.count() == docs.count()
+    a = docs.agg(F.sum("doc_id"), F.sum("n_chars")).collect()[0]
+    b = back.agg(F.sum("doc_id"), F.sum("n_chars")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_schemaless_csv_read_is_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), "csv")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_partitioned")
+    write_table(docs, path, "parquet", partition_by=["lang"])
+    back = read_table(spark, path, "parquet").filter(F.col("lang") == "de")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = docs.filter(F.col("lang") == "de").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucketed on the join key: the join must plan with ZERO
+    Exchange operators -- the write-once-shuffle-never property."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8)
+    write_bucketed(customer, "b_customer", ["c_custkey"], 8)
+    try:
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # one exchange allowed for the final tiny groupBy, none for the join
+        plan = formatted_plan(j)
+        join_section = plan.split("HashAggregate")[-1]  # below the agg: join + scans
+        assert "Exchange" not in join_section, f"join section shuffles:\n{join_section}"
+        # correctness unchanged vs the plain join
+        plain = (
+            orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_optional_format_probe(spark):
+    assert optional_format(spark, "parquet") is True
+    assert optional_format(spark, "delta") is False  # jars not in this image
