@@ -209,8 +209,44 @@ def q48_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q49: embedding-cosine near-dup pairs (the dedup-by-embedding operator)
+# --------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.45  # synthetic corpus max pairwise cos ~0.51/0.60
+
+
+def q49_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= threshold -- embedding-based near-dup
+    detection. Exact all-pairs baseline (sort-merge on the trivial cross
+    bucket): at corpus scale you'd gate through the q47 sign-LSH buckets
+    first, identically to MinHash banding; the exact pipeline here is what
+    verifies those candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+ORACLE_Q49 = f"""
+WITH a AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
+b AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings),
+s AS (
+  SELECT vec_a, vec_b, round({COSINE_SQL}, 6) AS cos_sim
+  FROM a, b WHERE vec_a < vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
+    "q49_cosine_neardup": q49_cosine_neardup,
     "q47_ann_lsh": q47_ann_lsh,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
 }
@@ -218,5 +254,6 @@ QUERIES = {
 ORACLES = {
     "q46_cosine_topk": ORACLE_Q46,
     "q47_ann_lsh": ORACLE_Q47,
+    "q49_cosine_neardup": ORACLE_Q49,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }
