@@ -283,8 +283,36 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# q26: correlated scalar subquery (Catalyst decorrelates to a join)
+# --------------------------------------------------------------------------
+
+def q26_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance. Written as a
+    correlated scalar subquery; Catalyst decorrelates it into an aggregate +
+    join, so the executed plan shuffles once on nationkey, not once per row."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cs_customer")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey,
+               round(1.37e-6 + c_acctbal, 2) AS acctbal
+        FROM cs_customer outer_c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cs_customer
+                           WHERE c_nationkey = outer_c.c_nationkey)
+    """)
+
+
+ORACLE_Q26 = """
+SELECT c_custkey, c_nationkey,
+       round(1.37e-6 + c_acctbal, 2) AS acctbal
+FROM customer outer_c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_nationkey = outer_c.c_nationkey)
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
+    "q26_correlated_subquery": q26_correlated_subquery,
     "q15_percentiles": q15_percentiles,
     "q15b_approx_percentiles": q15b_approx_percentiles,
     "q16_window_extras": q16_window_extras,
@@ -297,6 +325,7 @@ QUERIES = {
 
 ORACLES = {
     "q14_pivot_status_year": ORACLE_Q14,
+    "q26_correlated_subquery": ORACLE_Q26,
     "q15_percentiles": ORACLE_Q15,
     "q16_window_extras": ORACLE_Q16,
     "q17_conditional_aggs": ORACLE_Q17,

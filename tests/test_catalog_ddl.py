@@ -218,3 +218,17 @@ def test_roundtrip_recreate(spark, ddl_fixtures):
         assert [f.dataType for f in src] == [f.dataType for f in dst]
     finally:
         spark.sql("DROP DATABASE ddl_rt CASCADE")
+
+
+def test_cli_contract(spark, ddl_fixtures, tmp_path):
+    """Reference CLI parity: exactly 3 args or non-zero exit
+    (ExtractHiveDDL.java:36-45); success writes the script file."""
+    from hive_ddl_extract_tool_spark.catalog.cli import main
+
+    assert main([]) == 1
+    assert main(["a", "b"]) == 1
+    out = str(tmp_path / "cli_out.sql")
+    assert main(["ddl_db2", "*", out]) == 0
+    text = open(out).read()
+    assert "CREATE DATABASE IF NOT EXISTS ddl_db2;" in text
+    assert "other_t" in text

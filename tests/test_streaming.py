@@ -112,3 +112,32 @@ def test_stateful_running_totals(spark, tmp_path):
         assert latest[2] == (1, 5.0)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the streaming exact-dedup operator --
+    duplicates arriving within the watermark horizon are dropped."""
+    d = str(tmp_path / "dedup_src")
+    _write_batch(spark, d, 1, [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:00:00", 1, 1.0),   # in-batch duplicate
+        ("2024-01-01 10:02:00", 2, 5.0),
+    ])
+
+    def dedup(stream):
+        return stream.withWatermark("ts", "10 minutes") \
+            .dropDuplicatesWithinWatermark(["user_id", "value"])
+
+    q = _start_watch(spark, d, "dedup_test", dedup, "append")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, d, 2, [
+            ("2024-01-01 10:03:00", 1, 1.0),   # cross-batch duplicate (within watermark)
+            ("2024-01-01 10:04:00", 3, 7.0),
+        ])
+        q.processAllAvailable()
+        rows = spark.table("dedup_test").collect()
+        keys = sorted((r["user_id"], r["value"]) for r in rows)
+        assert keys == [(1, 1.0), (2, 5.0), (3, 7.0)]
+    finally:
+        q.stop()
