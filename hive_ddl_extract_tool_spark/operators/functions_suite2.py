@@ -310,9 +310,61 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
 """
 
 
+# --------------------------------------------------------------------------
+# q28: unpivot (melt) -- inverse of q14's pivot
+# --------------------------------------------------------------------------
+
+def q28_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q14_pivot_status_year(spark, sf_dir)
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["sum_open", "sum_filled", "sum_partial"],
+        variableColumnName="status_col",
+        valueColumnName="sum_price",
+    )
+
+
+ORACLE_Q28 = f"""
+WITH wide AS ({ORACLE_Q14})
+SELECT order_year, 'sum_open' AS status_col, sum_open AS sum_price FROM wide
+UNION ALL
+SELECT order_year, 'sum_filled', sum_filled FROM wide
+UNION ALL
+SELECT order_year, 'sum_partial', sum_partial FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# q52: grouped applyInPandas (per-group z-score normalization)
+# --------------------------------------------------------------------------
+
+def q52_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mktsegment z-score via grouped-map pandas UDF -- the X15 surface
+    for per-group vectorized transforms (each group arrives as one pandas
+    DataFrame over Arrow). Rows-only: pandas' two-pass std differs from SQL
+    stddev at the last ulp by design."""
+    import pandas as pd
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["c_acctbal"].std(ddof=1)
+        m = pdf["c_acctbal"].mean()
+        pdf = pdf.assign(z=0.0 if not s or s != s else (pdf["c_acctbal"] - m) / s)
+        return pdf
+
+    return (
+        cust.groupBy("c_mktsegment")
+        .applyInPandas(zscore, schema="c_custkey long, c_mktsegment string, c_acctbal double, z double")
+        .select("c_custkey", "c_mktsegment", F.round("z", 4).alias("z"))
+    )
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
+    "q28_unpivot": q28_unpivot,
+    "q52_zscore_groups": q52_zscore_groups,
     "q15_percentiles": q15_percentiles,
     "q15b_approx_percentiles": q15b_approx_percentiles,
     "q16_window_extras": q16_window_extras,
@@ -326,6 +378,8 @@ QUERIES = {
 ORACLES = {
     "q14_pivot_status_year": ORACLE_Q14,
     "q26_correlated_subquery": ORACLE_Q26,
+    "q28_unpivot": ORACLE_Q28,
+    # q52: rows-only (pandas two-pass std != SQL stddev at the last ulp)
     "q15_percentiles": ORACLE_Q15,
     "q16_window_extras": ORACLE_Q16,
     "q17_conditional_aggs": ORACLE_Q17,

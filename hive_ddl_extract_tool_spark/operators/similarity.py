@@ -92,25 +92,35 @@ WHERE rn <= {TOP_K}
 # q47: LSH-bucketed approximate NN (random-hyperplane signatures)
 # --------------------------------------------------------------------------
 
+DIM = 64  # embedding dimensionality (TESTDATA fixture)
+
+
+def _plane_sign(p: int, i: int) -> float:
+    """+-1 from h60('plane_{p}_{i}') parity, computed driver-side with
+    hashlib -- bit-identical to the Spark/DuckDB md5 expression (verified in
+    tests/test_properties.py), so the sign vectors can be shipped as
+    literals instead of being recomputed per row."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane_{p}_{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
 def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-bit sign signature per vector. Hyperplane sign for (plane p, dim i)
-    = +-1 from h60('plane_{p}_{i}') parity -- reproducible in SQL."""
+    """8-bit sign signature per vector, fully columnar: each plane's
+    projection is one zip_with/aggregate against a literal sign vector -- no
+    row explosion (the posexplode x planes form shuffled 512x the rows)."""
     emb = load(spark, sf_dir, "embeddings")
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("val"))
-    name = F.concat(F.lit("plane_"), F.col("p").cast("string"), F.lit("_"), F.col("i").cast("string"))
-    sign = F.when(h60(name) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-    return (
-        dims.crossJoin(F.broadcast(planes))
-        .select("vec_id", "p", (F.col("val") * sign).alias("contrib"))
-        .groupBy("vec_id", "p")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("vec_id")
-        .agg(F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
-                   .otherwise(F.lit(0).cast("bigint"))).alias("bucket"))
-    )
+    bucket = F.lit(0).cast("bigint")
+    for p in range(N_PLANES):
+        signs = F.array(*[F.lit(_plane_sign(p, i)) for i in range(1, DIM + 1)])
+        proj = F.aggregate(
+            F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,14 +152,11 @@ _PLANE_SIGN_SQL = (
 )
 
 ORACLE_Q47 = f"""
-WITH dims AS (
-  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
-),
-proj AS (
-  SELECT vec_id, p, sum(val * {_PLANE_SIGN_SQL}) AS s
-  FROM dims, (SELECT unnest(range({N_PLANES})) AS p)
-  GROUP BY vec_id, p
+WITH proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * {_PLANE_SIGN_SQL})) AS s
+  FROM embeddings, (SELECT unnest(range({N_PLANES})) AS p)
 ),
 buck AS (
   SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
