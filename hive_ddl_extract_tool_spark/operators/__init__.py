@@ -18,11 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, functions_suite, functions_suite2, multimodal, relational, similarity, text
+    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, relational, similarity, text
     from ..streaming import windows
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, windows):
+    for mod in (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, advanced, windows):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -31,10 +31,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup, functions_suite, functions_suite2, multimodal, relational, similarity, text
+    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, relational, similarity, text
     from ..streaming import windows
 
     merged: dict[str, str] = {}
-    for mod in (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, windows):
+    for mod in (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, advanced, windows):
         merged.update(mod.ORACLES)
     return merged

@@ -75,6 +75,30 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def compact(spark: SparkSession, path: str, fmt: str = "parquet",
+            target_files: int = 1, schema: str | None = None) -> int:
+    """Small-files compaction: rewrite a directory into `target_files` files.
+
+    Streaming sinks and fine-grained partition writes accumulate thousands of
+    tiny files; at 100 TB that murders scan planning (one task per file) and
+    the namenode. Rewrite via coalesce (no shuffle) into a staging dir, then
+    swap. Returns the file count before compaction."""
+    import os
+    import shutil
+    import tempfile
+
+    df = read_table(spark, path, fmt, schema=schema)
+    before = sum(
+        1 for root, _, files in os.walk(path)
+        for f in files if not f.startswith(("_", "."))
+    )
+    staging = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return before
+
+
 def optional_format(spark: SparkSession, fmt: str) -> bool:
     """Probe whether an external-connector format (delta, iceberg, kafka,
     jdbc driver) is on the classpath. Returns False instead of raising so

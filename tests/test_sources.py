@@ -82,3 +82,17 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
 def test_optional_format_probe(spark):
     assert optional_format(spark, "parquet") is True
     assert optional_format(spark, "delta") is False  # jars not in this image
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(path)  # simulate a small-files mess
+    from hive_ddl_extract_tool_spark.sources.io import compact
+
+    before = compact(spark, path, "parquet", target_files=1)
+    assert before >= 16
+    import os
+    data_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(data_files) == 1
+    assert spark.read.parquet(path).count() == docs.count()

@@ -141,3 +141,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert keys == [(1, 1.0), (2, 5.0), (3, 7.0)]
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """With a checkpointLocation, a restarted query resumes from the last
+    committed offsets: already-processed files are not recounted (the
+    foundation of exactly-once file pipelines)."""
+    src = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt_dir")
+    out = str(tmp_path / "ckpt_out")
+    _write_batch(spark, src, 1, [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:01:00", 2, 2.0),
+    ])
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 2
+
+    # restart with the same checkpoint; add one new file
+    _write_batch(spark, src, 2, [("2024-01-01 10:05:00", 3, 3.0)])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # 2 original rows + 1 new; NOT 4+ (no reprocessing of batch 1)
+    assert spark.read.parquet(out).count() == 3
