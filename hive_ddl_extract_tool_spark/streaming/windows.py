@@ -153,6 +153,9 @@ def q63_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling window per event_type, memory sink. Complete output mode emits
     every window once the source drains, so the result equals the batch
     aggregation and the DuckDB oracle stays exact."""
+    from ..tables import _ensure_session_defaults
+
+    _ensure_session_defaults(spark)  # q63 bypasses tables.load (readStream)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     name = "q63_stream_result"
     for q in spark.streams.active:

@@ -28,9 +28,19 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the runtime confs correctness depends on, regardless of who built
+    the session (the external driver uses its own). UTC keeps timestamp
+    parsing/formatting aligned with the DuckDB oracle (naive-UTC semantics);
+    both are plain runtime confs, safe to set mid-session."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_defaults(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
