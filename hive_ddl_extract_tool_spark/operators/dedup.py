@@ -25,8 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql, minhash_sql
-from ._rounding import mround
+from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql
 from ..tables import load
 
 WS = r"\s+"

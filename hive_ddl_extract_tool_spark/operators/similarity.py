@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ._hashing import h60, h60_sql
+from ._hashing import h60_sql
 from ..tables import load
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
