@@ -132,12 +132,77 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# q55: bucketized range join (events within 60s per user)
+# --------------------------------------------------------------------------
+
+def q55_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of events from the same user within 60 seconds. A naive
+    inequality join is O(N^2) per user; bucketizing event time to 60s and
+    equi-joining on (user, bucket) plus (user, bucket+1) turns it into two
+    hash joins whose fan-out is bounded by events-per-bucket -- the standard
+    range-join decomposition when the engine lacks a native one. The exact
+    |dt| predicate then filters inside the matched buckets."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", (F.unix_micros("ts") / 1_000_000).alias("sec")
+    )
+    a = events.select(
+        F.col("event_id").alias("id_a"), F.col("user_id").alias("u"),
+        F.col("sec").alias("sec_a"), F.floor(F.col("sec") / 60).alias("bkt"),
+    )
+    b = events.select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("u2"),
+        F.col("sec").alias("sec_b"), F.floor(F.col("sec") / 60).alias("bkt2"),
+    )
+    pairs = None
+    for shift in (0, 1):
+        j = a.join(
+            b,
+            (F.col("u") == F.col("u2")) & (F.col("bkt") + shift == F.col("bkt2")),
+        )
+        pairs = j if pairs is None else pairs.unionByName(j)
+    # The two shifts cover every pair with the earlier-bucket event on the
+    # `a` side; normalize to (lower id, higher id) afterwards so pairs whose
+    # id-order opposes time-order are not lost (and same-bucket pairs, seen
+    # in both orientations, collapse via distinct).
+    return (
+        pairs.filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("sec_b") - F.col("sec_a")) <= 60.0)
+        )
+        .select(
+            "u",
+            F.least("id_a", "id_b").alias("id_lo"),
+            F.greatest("id_a", "id_b").alias("id_hi"),
+            F.round(
+                F.when(F.col("id_a") < F.col("id_b"), F.col("sec_b") - F.col("sec_a"))
+                .otherwise(F.col("sec_a") - F.col("sec_b")),
+                6,
+            ).alias("dt_sec"),
+        )
+        .withColumnsRenamed({"id_lo": "id_a", "id_hi": "id_b"})
+        .distinct()
+    )
+
+
+ORACLE_Q55 = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) / 1000000.0 AS sec FROM events)
+SELECT DISTINCT a.user_id AS u, a.event_id AS id_a, b.event_id AS id_b,
+       round(b.sec - a.sec, 6) AS dt_sec
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(b.sec - a.sec) <= 60.0
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
+    "q55_range_join": q55_range_join,
 }
 
 ORACLES = {
     "q53_sql_ml_inference": ORACLE_Q53,
     "q54_skyline": ORACLE_Q54,
+    "q55_range_join": ORACLE_Q55,
 }
