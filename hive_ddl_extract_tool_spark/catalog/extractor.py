@@ -47,6 +47,8 @@ class ExtractConfig:
     use_context: bool = True    # USE_CONTEXT: USE db + unqualified names + relative paths
     beeline_markers: bool = False  # emit the `!sh echo ...` progress lines
     max_workers: int = 8        # reference: ForkJoinPool parallelism=8 (extract_hive_ddl.sh:25)
+    progress: bool = False      # R3: per-table "(i/total)" progress lines on stderr
+    refresh_cache: bool = False  # per-db metadata refresh (reference flushCache, :112)
 
     @classmethod
     def from_spark_conf(cls, spark: SparkSession) -> "ExtractConfig":
@@ -58,6 +60,8 @@ class ExtractConfig:
             use_context=b("spark.hiveddl.useContext", True),
             beeline_markers=b("spark.hiveddl.beelineMarkers", False),
             max_workers=int(spark.conf.get("spark.hiveddl.maxWorkers", "8")),
+            progress=b("spark.hiveddl.progress", False),
+            refresh_cache=b("spark.hiveddl.refreshCache", False),
         )
 
 
@@ -104,9 +108,13 @@ def format_partition_spec(name: str) -> str:
 def relative_location(location: str, table_path: str) -> str:
     """Partition location minus the table-path prefix; the reference appends
     '/' to the table path first so relative paths carry no leading slash
-    (ExtractHiveDDL.java:206 `getLocation() + "/"`, :222, :270)."""
+    (ExtractHiveDDL.java:206 `getLocation() + "/"`, :222, :270).
+
+    Deliberate deviation: the reference's String.replace removes EVERY
+    occurrence of the prefix, which mangles locations that embed the table
+    path more than once; only a leading prefix is stripped here."""
     prefix = table_path if table_path.endswith("/") else table_path + "/"
-    return location.replace(prefix, "")
+    return location[len(prefix):] if location.startswith(prefix) else location
 
 
 def choose_partition_strategy(
@@ -260,6 +268,17 @@ def table_section(spark: SparkSession, db: str, table: str, cfg: ExtractConfig) 
     return lines
 
 
+def refresh_database(spark: SparkSession, db: str, table_pattern: str = "*") -> int:
+    """Per-database metadata refresh (reference `client.flushCache()`,
+    ExtractHiveDDL.java:112): drop Spark's cached metadata/file listings for
+    every matching table so a long-lived session sees a mutating metastore.
+    Returns the number of tables refreshed."""
+    tables = list_tables(spark, db, table_pattern)
+    for t in tables:
+        spark.catalog.refreshTable(f"`{db}`.`{t}`")
+    return len(tables)
+
+
 def extract_ddl(
     spark: SparkSession,
     database_pattern: str,
@@ -269,26 +288,42 @@ def extract_ddl(
 ) -> str:
     """The whole pipeline (ExtractHiveDDL.java:34-74): enumerate databases,
     emit per-db header (R18: CREATE DATABASE IF NOT EXISTS + optional USE,
-    :101-105), fetch every matching table's section concurrently (catalog
-    calls are driver-side; the reference used an 8-thread pool,
-    extract_hive_ddl.sh:25), assemble in sorted order (deterministic --
-    improves on the reference's nondeterministic interleaving, :109).
+    :101-105 -- emitted for EVERY matched database, even table-less ones,
+    matching the reference), fetch every matching table's section
+    concurrently (catalog calls are driver-side; the reference used an
+    8-thread pool, extract_hive_ddl.sh:25), assemble in sorted order
+    (deterministic -- improves on the reference's nondeterministic
+    interleaving, :109).
+
+    R3 parity: with cfg.progress, matching tables are pre-counted across all
+    databases and a "(i/total) db.table" line goes to stderr per table
+    (reference pre-count + per-table println, ExtractHiveDDL.java:60-61,129).
 
     Returns the script text; also writes it to `out_file` when given (R20).
     """
+    import sys as _sys
+
     cfg = cfg or ExtractConfig.from_spark_conf(spark)
+    dbs = list_databases(spark, database_pattern)
+    if cfg.refresh_cache:
+        for db in dbs:
+            refresh_database(spark, db, table_pattern)
+    db_tables = {db: list_tables(spark, db, table_pattern) for db in dbs}
+    total = sum(len(ts) for ts in db_tables.values())
+    done = 0
     out: list[str] = []
-    for db in list_databases(spark, database_pattern):
-        tables = list_tables(spark, db, table_pattern)
-        if not tables:
-            continue
+    for db in dbs:
+        tables = db_tables[db]
         out.append(f"CREATE DATABASE IF NOT EXISTS {db};")
         if cfg.use_context:
             out.append(f"USE {db};")
         out.append("")
         with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
             sections = pool.map(lambda t: table_section(spark, db, t, cfg), tables)
-        for section in sections:
+        for table, section in zip(tables, sections):
+            done += 1
+            if cfg.progress:
+                print(f"({done}/{total}) {db}.{table}", file=_sys.stderr)
             out.extend(section)
     script = "\n".join(out)
     if out_file:

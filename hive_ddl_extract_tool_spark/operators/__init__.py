@@ -8,6 +8,19 @@ Each module exposes two dicts keyed by query name:
 
 ``all_queries()`` / ``all_oracles()`` merge every module for
 ``__spark_entry__.py``.
+
+Ordering matters: the external driver sweeps ``queries()`` in dict order
+under a wall-clock budget, and entries past the cutoff get NO correctness
+row at all (round 1: the sweep stopped exactly at q60, leaving q61-q63
+unverified despite passing locally). So the merged dict is emitted as:
+
+1. an explicit priority prefix -- queries that most need a fresh driver
+   verdict this round (previously-truncated streaming windows, newly added
+   operators);
+2. every remaining oracle-backed query in module order (these carry the
+   hard correctness signal);
+3. rows-only queries last (the driver only records that they ran, so they
+   lose the least if the budget truncates the tail).
 """
 
 from __future__ import annotations
@@ -16,25 +29,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Queries that must reach the driver's correctness sweep first this round.
+_PRIORITY = [
+    "q61_sliding_window",
+    "q62_session_window",
+    "q63_stream_tumbling",
+    "q49b_cosine_neardup_lsh",
+    "q56_salted_join",
+    "q58_bucketed_join",
+    "q64_stream_dedup",
+]
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, relational, similarity, text
+
+def _modules():
+    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, physical, relational, similarity, text
     from ..streaming import windows
 
+    return (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, advanced, physical, windows)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, advanced, windows):
+    for mod in _modules():
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+
+    oracles = all_oracles()
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _PRIORITY:
+        if name in merged:
+            ordered[name] = merged[name]
+    for name, fn in merged.items():
+        if name not in ordered and name in oracles:
+            ordered[name] = fn
+    for name, fn in merged.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:
-    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, relational, similarity, text
-    from ..streaming import windows
-
     merged: dict[str, str] = {}
-    for mod in (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, advanced, windows):
+    for mod in _modules():
         merged.update(mod.ORACLES)
     return merged

@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,24 +79,25 @@ FROM scored
 # --------------------------------------------------------------------------
 
 def _local_skyline(batches):
-    """Per-batch 2-D Pareto front: sort by (price asc, size desc); a row is
-    locally undominated iff its size strictly exceeds every cheaper row's."""
+    """Per-batch 2-D Pareto front, fully vectorized: sort by price asc, take
+    the running max of size over *strictly cheaper* rows as the dominance
+    bar; a row survives iff its size strictly exceeds that bar (equal-price
+    rows tie-survive, matching the NOT EXISTS dominance oracle)."""
+    import numpy as np
+
     for pdf in batches:
         if pdf.empty:
             yield pdf
             continue
         pdf = pdf.sort_values(["p_retailprice", "p_size"], ascending=[True, False])
-        best = -1
-        keep = []
-        prev_price = None
-        for price, size in zip(pdf["p_retailprice"], pdf["p_size"]):
-            # strictly-cheaper rows set the bar; equal-price rows tie-survive
-            if prev_price is None or price > prev_price:
-                bar = best
-            keep.append(size > bar)
-            best = max(best, size)
-            prev_price = price
-        yield pdf[pd.Series(keep, index=pdf.index)]
+        prices = pdf["p_retailprice"].to_numpy()
+        sizes = pdf["p_size"].to_numpy()
+        cummax = np.maximum.accumulate(sizes)
+        # index of the first row sharing this row's price; rows before it are
+        # strictly cheaper (prices is sorted ascending)
+        first_same = np.searchsorted(prices, prices, side="left")
+        bar = np.where(first_same > 0, cummax[np.maximum(first_same - 1, 0)], -np.inf)
+        yield pdf[sizes > bar]
 
 
 def q54_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:

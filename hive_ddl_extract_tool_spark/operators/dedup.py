@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._cache import cached_df
 from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql
 from ..tables import load
 
@@ -73,18 +74,27 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, sh) pairs where sh = h60(shingle). Deduping and
     joining on the 60-bit hash instead of the 3-word string cuts shuffle
     bytes ~3x; every downstream consumer (minhash, jaccard, sizes) only needs
-    hash identity, and the oracles hash identically."""
-    docs = load(spark, sf_dir, "documents")
-    # Materialize the word array before building shingles: element_at over a
-    # *column* is an array lookup, while element_at over the inline
-    # filter(split(...)) expression re-evaluates the regex split per access
-    # (O(words^2) per doc -- measured 3x slower at sf0.1).
-    return (
-        docs.select("doc_id", _words().alias("w"))
-        .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
-        .select("doc_id", h60("shingle").alias("sh"))
-        .distinct()
-    )
+    hash identity, and the oracles hash identically.
+
+    Persisted via cached_df: q42 uses the shingle set in two subtrees
+    (signatures and the Jaccard verify) Catalyst does not CSE across, and
+    q43 self-joins it -- without the persist, documents would be scanned and
+    re-shingled up to 3x per query. With it, ONE scan feeds q41/q42/q43."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        # Materialize the word array before building shingles: element_at
+        # over a *column* is an array lookup, while element_at over the
+        # inline filter(split(...)) expression re-evaluates the regex split
+        # per access (O(words^2) per doc -- measured 3x slower at sf0.1).
+        return (
+            docs.select("doc_id", _words().alias("w"))
+            .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
+            .select("doc_id", h60("shingle").alias("sh"))
+            .distinct()
+        )
+
+    return cached_df(spark, f"doc_shingles:{sf_dir}", build)
 
 
 # DuckDB twin of _doc_shingles
@@ -339,8 +349,11 @@ def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming distance 3. Candidate generation buckets on the
     top-16-bit prefix first (near-identical docs almost always agree there),
     so the self-join shuffles buckets, not the full cross product; brute
-    force would be O(N^2) at 100 TB."""
-    sig = q44_simhash(spark, sf_dir).withColumn("prefix", F.shiftright("simhash", 44))
+    force would be O(N^2) at 100 TB. The signature build is persisted so the
+    self-join computes it once, not once per side."""
+    sig = cached_df(
+        spark, f"simhash:{sf_dir}", lambda: q44_simhash(spark, sf_dir)
+    ).withColumn("prefix", F.shiftright("simhash", 44))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -77,10 +77,15 @@ GROUP BY c_mktsegment
 
 def q15b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles -- the 100 TB path (single pass, mergeable
-    state, no per-group sort). Rows-only: the sketch is not exact."""
+    state, no per-group sort). Rows-only: the sketch is not exact. The
+    sketch's array output is projected into scalar columns so downstream
+    row canonicalizers (which sort on every column) never see an
+    unhashable array cell."""
     li = load(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("approx_p50_p95")
+        F.element_at(pcts, 1).alias("approx_p50"),
+        F.element_at(pcts, 2).alias("approx_p95"),
     )
 
 

@@ -1,0 +1,123 @@
+"""Physical-layout and skew operators driven from the query surface.
+
+These wrap the pytest-verified primitives (`operators/skew.salted_join`,
+`sources/io.write_bucketed`) in oracle-backed queries so the external
+driver exercises them too:
+
+- q56: joins the events fact through its pathologically hot key
+  (event_type has only a handful of distinct values, so every row of a
+  type lands on one task in a plain shuffle join) via `salted_join`. The
+  salt spreads each hot key across 16 tasks; the result is identical to
+  the plain join, which is exactly what the DuckDB oracle checks.
+- q58: writes orders and a pre-aggregated lineitem side as bucketed tables
+  on the join key, then joins the two bucketed tables -- at 100 TB this is
+  the one-time-shuffle-at-write pattern: the join itself runs with no
+  exchange on either side (plan-asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._rounding import mround
+from .skew import salted_join
+from ..sources.io import write_bucketed
+from ..tables import load
+
+
+# --------------------------------------------------------------------------
+# q56: skew-salted join through the hot event_type key
+# --------------------------------------------------------------------------
+
+def q56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type count and revenue of events beating their type's average
+    value. The dim side (one row per event_type) is joined to the full
+    events fact via salted_join: the 16-way salt turns each hot key's
+    single monster partition into 16 splittable ones. Row-level semantics
+    are identical to the unsalted join -- the oracle is the plain SQL."""
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(
+        events, dim.withColumnRenamed("event_type", "et"),
+        big_key="event_type", small_key="et", n_salts=16,
+    )
+    return (
+        joined.filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            mround(F.sum("value"), 2).alias("sum_above"),
+        )
+    )
+
+
+ORACLE_Q56 = """
+WITH dim AS (SELECT event_type AS et, avg(value) AS type_avg FROM events GROUP BY 1)
+SELECT event_type,
+       count(*)                        AS n_above_avg,
+       round(1.37e-6 + sum(value), 2)  AS sum_above
+FROM events JOIN dim ON event_type = et
+WHERE value > type_avg
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q58: bucketed-table join (exchange-free at read time)
+# --------------------------------------------------------------------------
+
+def q58_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to per-order lineitem revenue where BOTH sides are
+    bucketed tables on o_orderkey/l_orderkey: the shuffle happened once at
+    write time, so the join plan has no Exchange. The tables are written
+    under a temp warehouse path each run (idempotent overwrite); at real
+    scale the write is the one-time layout cost a 100 TB fact pays so that
+    every later join against it is exchange-free."""
+    base = tempfile.mkdtemp(prefix="q58_bucketed_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    li_rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    write_bucketed(orders, "q58_orders_b", ["o_orderkey"], n_buckets=8,
+                   sort_cols=["o_orderkey"], path=f"{base}/orders")
+    write_bucketed(li_rev, "q58_lineitem_b", ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"], path=f"{base}/lineitem")
+    o = spark.table("q58_orders_b")
+    l = spark.table("q58_lineitem_b")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            mround(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_Q58 = """
+WITH li AS (
+  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderstatus,
+       count(*)                      AS n_orders,
+       round(1.37e-6 + sum(rev), 2)  AS revenue
+FROM orders JOIN li ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "q56_salted_join": q56_salted_join,
+    "q58_bucketed_join": q58_bucketed_join,
+}
+
+ORACLES = {
+    "q56_salted_join": ORACLE_Q56,
+    "q58_bucketed_join": ORACLE_Q58,
+}

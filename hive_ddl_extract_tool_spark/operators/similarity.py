@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ._cache import cached_df
 from ._hashing import h60_sql
 from ..tables import load
 
@@ -123,12 +124,19 @@ def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
+def _ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, bucket): the signature build (8 hyperplane
+    projections per vector) is the expensive linear pass, and both q47's
+    query/corpus sides and q49b's candidate generation reuse it."""
+    return cached_df(spark, f"ann_buckets:{sf_dir}", lambda: _buckets(spark, sf_dir))
+
+
 def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: join query and corpus only within the same LSH bucket, then exact
     cosine + top-3 inside the bucket. The bucket equi-join replaces the cross
     product -- the shuffle moves each vector once, keyed by bucket."""
     emb = load(spark, sf_dir, "embeddings")
-    bk = _buckets(spark, sf_dir)
+    bk = _ann_buckets(spark, sf_dir)
     vecs = emb.join(bk, "vec_id")
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
@@ -226,16 +234,22 @@ COSINE_DUP_THRESHOLD = 0.45  # synthetic corpus max pairwise cos ~0.51/0.60
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, unit-norm double array). Norm is materialized as a column
     BEFORE the per-element divide -- an inline norm expression inside the
-    transform lambda would re-evaluate the aggregate per element."""
-    emb = load(spark, sf_dir, "embeddings")
-    dbl = emb.select("vec_id", _dbl(F.col("embedding")).alias("e"))
-    with_norm = dbl.select(
-        "vec_id", "e",
-        F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
-    )
-    return with_norm.select(
-        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
-    )
+    transform lambda would re-evaluate the aggregate per element. Persisted:
+    q49's self-pairing and q49b's two candidate-side joins each consume it
+    more than once."""
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        dbl = emb.select("vec_id", _dbl(F.col("embedding")).alias("e"))
+        with_norm = dbl.select(
+            "vec_id", "e",
+            F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+        )
+        return with_norm.select(
+            "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
+        )
+
+    return cached_df(spark, f"unit_vecs:{sf_dir}", build)
 
 
 def q49_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,9 +289,94 @@ SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# q49b: bucketed embedding near-dup -- the scale path q49 verifies
+# --------------------------------------------------------------------------
+
+PROBE_RADIUS = 2  # multi-probe: buckets within Hamming distance <= 2
+
+
+def _probe_masks() -> list[int]:
+    """XOR masks for radius-2 multi-probe: identity, every 1-bit flip, every
+    2-bit flip of the 8-bit signature (1 + 8 + 28 = 37 probes)."""
+    masks = [0]
+    masks += [1 << p for p in range(N_PLANES)]
+    masks += [
+        (1 << p1) | (1 << p2)
+        for p1 in range(N_PLANES)
+        for p2 in range(p1 + 1, N_PLANES)
+    ]
+    return masks
+
+
+def q49b_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup WITHOUT the cross product: candidate pairs come
+    from sign-LSH bucket collisions (radius-2 multi-probe, so pairs whose
+    8-bit signatures differ in <= 2 bits meet), then the exact unit-vector
+    dot product verifies each candidate -- the same band-then-verify shape
+    as q42's MinHash LSH. Scale design: only (vec_id, probe) integers fan
+    out (37x one side); the fat vectors join back by id afterwards, so the
+    shuffle never carries a vector more than twice. q49 (all-pairs) is the
+    exact baseline that audits this operator's recall."""
+    bk = _ann_buckets(spark, sf_dir)
+    probes = bk.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks()])).alias("probe"),
+    )
+    right = bk.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
+    # each qualifying pair matches on exactly ONE probe mask, so no distinct
+    # is needed; vec_a < vec_b fixes the orientation
+    cand = probes.join(
+        right, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b")
+    vecs = _normalized(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")), "vec_b")
+        .select("vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+ORACLE_Q49B = f"""
+WITH proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * {_PLANE_SIGN_SQL})) AS s
+  FROM embeddings, (SELECT unnest(range({N_PLANES})) AS p)
+),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+masks AS (SELECT unnest([{", ".join(str(m) for m in _probe_masks())}]) AS mask),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a, masks, buck b
+  WHERE xor(a.bucket, mask::BIGINT) = b.bucket AND a.vec_id < b.vec_id
+),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+),
+s AS (
+  SELECT vec_a, vec_b,
+         round(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), 6) AS cos_sim
+  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
+    "q49b_cosine_neardup_lsh": q49b_cosine_neardup_lsh,
     "q47_ann_lsh": q47_ann_lsh,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
 }
@@ -286,5 +385,6 @@ ORACLES = {
     "q46_cosine_topk": ORACLE_Q46,
     "q47_ann_lsh": ORACLE_Q47,
     "q49_cosine_neardup": ORACLE_Q49,
+    "q49b_cosine_neardup_lsh": ORACLE_Q49B,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }

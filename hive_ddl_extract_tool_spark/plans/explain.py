@@ -6,6 +6,8 @@ so plan regressions fail CI, not a 100 TB run.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -26,20 +28,32 @@ def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
 
 
 def assert_read_schema_only(df: DataFrame, table_fragment: str, allowed: set[str]) -> None:
-    """Column pruning: the scan of `table_fragment` must read no columns
-    outside `allowed`."""
+    """Column pruning: every scan whose Location matches `table_fragment`
+    must read no columns outside `allowed`. The formatted plan is parsed per
+    scan node -- ReadSchema lines are checked only against their own scan's
+    Location, and a plan with NO scan of the table fails loudly instead of
+    passing vacuously."""
     plan = formatted_plan(df)
-    for line in plan.splitlines():
-        if "ReadSchema" in line and table_fragment in plan:
-            cols = {
-                c.split(":")[0].strip()
-                for c in line.split("struct<", 1)[-1].rstrip(">").split(",")
-                if ":" in c
-            }
-            extra = cols - allowed
-            assert not extra or table_fragment not in line, (
-                f"scan reads unpruned columns {extra}: {line}"
-            )
+    sections = re.split(r"\n(?=\(\d+\) )", plan)
+    matched = False
+    for sec in sections:
+        lines = sec.splitlines()
+        if not lines or "Scan" not in lines[0]:
+            continue
+        loc = next((l for l in lines if l.strip().startswith("Location")), "")
+        if table_fragment not in loc:
+            continue
+        matched = True
+        rs = next((l for l in lines if l.strip().startswith("ReadSchema")), None)
+        assert rs is not None, f"scan of {table_fragment!r} has no ReadSchema:\n{sec}"
+        cols = {
+            c.split(":")[0].strip()
+            for c in rs.split("struct<", 1)[-1].rstrip(">").split(",")
+            if ":" in c
+        }
+        extra = cols - allowed
+        assert not extra, f"scan of {table_fragment!r} reads unpruned columns {extra}: {rs}"
+    assert matched, f"no scan with Location matching {table_fragment!r} in plan:\n{plan}"
 
 
 def assert_broadcast_join(df: DataFrame) -> None:
@@ -64,3 +78,11 @@ def assert_no_python_udf(df: DataFrame) -> None:
 
 def count_shuffles(df: DataFrame) -> int:
     return formatted_plan(df).count("Exchange")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """Candidate-generation plans (LSH, banding, bucketized range join) must
+    never fall back to an all-pairs product."""
+    plan = formatted_plan(df)
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"all-pairs {marker} in plan:\n{plan}"

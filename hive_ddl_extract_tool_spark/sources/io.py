@@ -65,13 +65,17 @@ def read_table(
 
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_cols: list[str], n_buckets: int = 8,
-    sort_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None, path: str | None = None,
 ) -> None:
     """Persist as a bucketed (optionally sorted) catalog table. Joins between
-    tables bucketed the same way on the join key are exchange-free."""
+    tables bucketed the same way on the join key are exchange-free. With
+    `path`, the table is external at that location (lets callers keep data
+    out of the default warehouse dir)."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
@@ -94,8 +98,19 @@ def compact(spark: SparkSession, path: str, fmt: str = "parquet",
     )
     staging = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
     df.coalesce(target_files).write.mode("overwrite").format(fmt).save(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    # Swap atomically-enough: move the old dir aside first so a crash between
+    # the two renames leaves the data reachable (either at path.old or at
+    # path), never a missing dataset path.
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(old, path)  # restore the original on failure
+        raise
+    shutil.rmtree(old)
     return before
 
 

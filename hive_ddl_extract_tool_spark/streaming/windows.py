@@ -201,11 +201,64 @@ GROUP BY tb, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q64: streaming dedup (dropDuplicatesWithinWatermark) with an exact oracle
+# --------------------------------------------------------------------------
+
+def q64_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type, minute): readStream ->
+    watermark -> dropDuplicatesWithinWatermark -> append memory sink, then a
+    tiny batch rollup of the sink. The file source delivers the single
+    events parquet in ONE micro-batch, so every duplicate key is still in
+    state when its later rows arrive and the streamed result equals a batch
+    DISTINCT -- which is what the DuckDB oracle computes. At scale the
+    watermark bounds the dedup state to the late-data horizon instead of
+    the whole corpus (the reason this operator exists)."""
+    from ..tables import _ensure_session_defaults
+
+    _ensure_session_defaults(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = "q64_dedup_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withColumn("minute", F.date_trunc("minute", "ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        .select("user_id", "event_type", "minute")
+    )
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_user_minutes"))
+    )
+
+
+ORACLE_Q64 = """
+SELECT event_type, count(*) AS n_unique_user_minutes
+FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute FROM events)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
     "q62_session_window": q62_session_window,
     "q63_stream_tumbling": q63_stream_tumbling,
+    "q64_stream_dedup": q64_stream_dedup,
 }
 
 ORACLES = {
@@ -213,4 +266,5 @@ ORACLES = {
     "q61_sliding_window": ORACLE_Q61,
     "q62_session_window": ORACLE_Q62,
     "q63_stream_tumbling": ORACLE_Q63,
+    "q64_stream_dedup": ORACLE_Q64,
 }

@@ -220,6 +220,54 @@ def test_roundtrip_recreate(spark, ddl_fixtures):
         spark.sql("DROP DATABASE ddl_rt CASCADE")
 
 
+def test_relative_location_strips_leading_prefix_only():
+    from hive_ddl_extract_tool_spark.catalog.extractor import relative_location
+
+    assert relative_location("/wh/t/dt=a", "/wh/t") == "dt=a"
+    assert relative_location("/wh/t/dt=a", "/wh/t/") == "dt=a"
+    # partition outside the table path stays absolute
+    assert relative_location("/elsewhere/dt=a", "/wh/t") == "/elsewhere/dt=a"
+    # embedded occurrence of the prefix is NOT removed (reference's
+    # replace-all would mangle this)
+    assert relative_location("/wh/t/backup//wh/t/dt=a", "/wh/t") == "backup//wh/t/dt=a"
+
+
+def test_empty_database_still_emits_header(spark, tmp_path):
+    """Reference parity: CREATE DATABASE IF NOT EXISTS is emitted for every
+    matched database even when no table matches (ExtractHiveDDL.java:101)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl_empty_db")
+    try:
+        script = extract_ddl(spark, "ddl_empty_db", "*", None, ExtractConfig())
+        assert "CREATE DATABASE IF NOT EXISTS ddl_empty_db;" in script
+        assert "CREATE TABLE" not in script
+    finally:
+        spark.sql("DROP DATABASE ddl_empty_db CASCADE")
+
+
+def test_progress_lines(spark, ddl_fixtures, capsys):
+    """R3 parity: cfg.progress pre-counts matching tables and emits one
+    '(i/total) db.table' line per table (ExtractHiveDDL.java:60-61,129)."""
+    cfg = ExtractConfig(progress=True)
+    extract_ddl(spark, "ddl_db1", "sales_*", None, cfg)
+    err = capsys.readouterr().err
+    assert "(1/2) ddl_db1.sales_2023" in err
+    assert "(2/2) ddl_db1.sales_2024" in err
+
+
+def test_refresh_database(spark, ddl_fixtures):
+    """Metastore cache refresh hook (reference flushCache per database,
+    ExtractHiveDDL.java:112): refreshes every matching table and reports
+    the count; also reachable from extract_ddl via cfg.refresh_cache."""
+    from hive_ddl_extract_tool_spark.catalog.extractor import refresh_database
+
+    assert refresh_database(spark, "ddl_db1", "sales_*") == 2
+    assert refresh_database(spark, "no_such_db", "*") == 0
+    # end-to-end: the flag path doesn't disturb extraction
+    cfg = ExtractConfig(refresh_cache=True)
+    script = extract_ddl(spark, "ddl_db2", "*", None, cfg)
+    assert "other_t" in script
+
+
 def test_cli_contract(spark, ddl_fixtures, tmp_path):
     """Reference CLI parity: exactly 3 args or non-zero exit
     (ExtractHiveDDL.java:36-45); success writes the script file."""

@@ -11,11 +11,13 @@ import pytest
 from hive_ddl_extract_tool_spark.operators import all_queries
 from hive_ddl_extract_tool_spark.plans.explain import (
     assert_broadcast_join,
+    assert_no_cartesian,
     assert_no_python_udf,
     assert_pushed_filter,
     assert_read_schema_only,
     assert_top_k_plan,
     count_shuffles,
+    formatted_plan,
 )
 
 QUERIES = all_queries()
@@ -23,7 +25,7 @@ QUERIES = all_queries()
 # Queries that intentionally run Python stages (Arrow-batched, documented).
 PYTHON_OK = {"q48_cosine_topk_pandas", "q51_decode_features", "q52_zscore_groups", "q54_skyline"}
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup"}
 
 
 def test_filter_pushdown_q01(spark, sf_dir):
@@ -61,6 +63,36 @@ def test_pricing_summary_single_shuffle(spark, sf_dir):
     a second data shuffle would mean the partial aggregation was lost."""
     df = QUERIES["q01_pricing_summary"](spark, sf_dir)
     assert count_shuffles(df) <= 2  # exchange + possible AQE shuffle-read
+
+
+def test_bucketed_neardup_has_no_cartesian(spark, sf_dir):
+    """q49b is the scale path that replaces q49's all-pairs cross join; its
+    plan must contain only equi-joins (probe buckets, then id lookups)."""
+    assert_no_cartesian(QUERIES["q49b_cosine_neardup_lsh"](spark, sf_dir))
+
+
+def test_salted_join_plan_shows_salt_expansion(spark, sf_dir):
+    """q56's plan must carry the salt plumbing: the small side explodes the
+    0..n_salts-1 sequence, and the join keys include the salt column."""
+    plan = formatted_plan(QUERIES["q56_salted_join"](spark, sf_dir))
+    assert "explode" in plan.lower(), f"no salt explode in plan:\n{plan}"
+    assert "__salt" in plan, f"salt column not in join keys:\n{plan}"
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """q58 joins two tables bucketed on the join key: with broadcast off
+    (at test SF the dims fit in a broadcast, which hides the property), the
+    join must run bucket-to-bucket -- both scans Bucketed, NO exchange on
+    the join keys; the only shuffle is the final tiny groupBy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(QUERIES["q58_bucketed_join"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
 
 
 @pytest.mark.parametrize(
