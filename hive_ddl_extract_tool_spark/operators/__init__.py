@@ -38,6 +38,7 @@ _PRIORITY = [
     "q56_salted_join",
     "q58_bucketed_join",
     "q64_stream_dedup",
+    "q59_asof_join",
 ]
 
 

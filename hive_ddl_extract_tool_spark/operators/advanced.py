@@ -194,14 +194,75 @@ FROM e a JOIN e b
 """
 
 
+# --------------------------------------------------------------------------
+# q59: as-of join (latest prior 'view' for every 'click', per user)
+# --------------------------------------------------------------------------
+
+def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join without an inequality join: union-tag both sides, ONE
+    shuffle on user_id, then `last(ignorenulls)` over the time-ordered
+    window carries the most recent 'view' forward to each 'click'. A naive
+    `a.ts >= b.ts` join is a per-user cross product; this runs in a single
+    sort-based window pass whatever the corpus size (the same plan shape
+    pandas' merge_asof / kdb's aj execute, expressed relationally). Ties on
+    ts break on event_id in BOTH engines, so the result is deterministic."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    rel = events.filter(F.col("event_type").isin("view", "click"))
+    is_view = F.col("event_type") == "view"
+    tagged = rel.withColumn("view_id", F.when(is_view, F.col("event_id"))).withColumn(
+        "view_ts", F.when(is_view, F.col("ts"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged.withColumn(
+        "prior_view", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("prior_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return filled.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("prior_view").alias("view_id"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("prior_view_ts")) / 1_000_000.0, 6
+        ).alias("gap_sec"),
+    )
+
+
+ORACLE_Q59 = """
+WITH rel AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+filled AS (
+  SELECT *,
+         last_value(view_id IGNORE NULLS) OVER w AS prior_view,
+         last_value(view_ts IGNORE NULLS) OVER w AS prior_view_ts
+  FROM rel
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_id, prior_view AS view_id,
+       round((epoch_us(ts) - epoch_us(prior_view_ts)) / 1000000.0, 6) AS gap_sec
+FROM filled WHERE event_type = 'click'
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
     "q55_range_join": q55_range_join,
+    "q59_asof_join": q59_asof_join,
 }
 
 ORACLES = {
     "q53_sql_ml_inference": ORACLE_Q53,
     "q54_skyline": ORACLE_Q54,
     "q55_range_join": ORACLE_Q55,
+    "q59_asof_join": ORACLE_Q59,
 }

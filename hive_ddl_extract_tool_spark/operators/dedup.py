@@ -70,31 +70,42 @@ SHINGLES_SQL = """
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
     """Distinct (doc_id, sh) pairs where sh = h60(shingle). Deduping and
     joining on the 60-bit hash instead of the 3-word string cuts shuffle
     bytes ~3x; every downstream consumer (minhash, jaccard, sizes) only needs
     hash identity, and the oracles hash identically.
 
-    Persisted via cached_df: q42 uses the shingle set in two subtrees
-    (signatures and the Jaccard verify) Catalyst does not CSE across, and
-    q43 self-joins it -- without the persist, documents would be scanned and
-    re-shingled up to 3x per query. With it, ONE scan feeds q41/q42/q43."""
+    cache=True persists the set: q42 consumes it in two subtrees (signatures
+    and the Jaccard verify) Catalyst does not CSE across, and q43 self-joins
+    it -- without the persist, documents would be scanned and re-shingled up
+    to 3x per query. Single-consumer pipelines (q41 standalone) leave it off
+    so the shingle stream fuses straight into their aggregation (measured:
+    the persist costs ~1.2 s at sf0.1 with no reuse to amortize it)."""
 
     def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        # Materialize the word array before building shingles: element_at
-        # over a *column* is an array lookup, while element_at over the
-        # inline filter(split(...)) expression re-evaluates the regex split
-        # per access (O(words^2) per doc -- measured 3x slower at sf0.1).
-        return (
-            docs.select("doc_id", _words().alias("w"))
-            .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
-            .select("doc_id", h60("shingle").alias("sh"))
-            .distinct()
-        )
+        return _doc_shingles_raw(spark, sf_dir).distinct()
 
+    if not cache:
+        return build()
     return cached_df(spark, f"doc_shingles:{sf_dir}", build)
+
+
+def _doc_shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) stream WITH duplicates -- no distinct shuffle. Consumers
+    whose aggregates are duplicate-insensitive (min for MinHash) use this
+    directly: the groupBy's map-side partial aggregation then ships one
+    16-min row per (doc, partition) instead of every distinct shingle."""
+    docs = load(spark, sf_dir, "documents")
+    # Materialize the word array before building shingles: element_at over a
+    # *column* is an array lookup, while element_at over the inline
+    # filter(split(...)) expression re-evaluates the regex split per access
+    # (O(words^2) per doc -- measured 3x slower at sf0.1).
+    return (
+        docs.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
+        .select("doc_id", h60("shingle").alias("sh"))
+    )
 
 
 # DuckDB twin of _doc_shingles
@@ -137,8 +148,16 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join, so the shuffle carries |distinct shingles| rows instead of
     16x that (was the top hotspot at sf0.1: 15s -> ~1s). Signature size per
     doc is constant regardless of document length -- the property that makes
-    MinHash the scale path."""
-    ds = _doc_shingles(spark, sf_dir)
+    MinHash the scale path.
+
+    Built from the RAW shingle stream (no distinct): min() is insensitive to
+    duplicate shingles, so the usual dedup shuffle is skipped entirely and
+    the only exchange carries map-side-combined partial minima -- one row
+    per (doc, partition), constant in document length."""
+    return _minhash_from_shingles(_doc_shingles_raw(spark, sf_dir))
+
+
+def _minhash_from_shingles(ds: DataFrame) -> DataFrame:
     hm = F.col("sh") % F.lit(P31)
     mins = [
         F.min((F.lit(a) * hm + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
@@ -173,7 +192,8 @@ def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: band signatures (8 bands x 2 rows), bucket
     self-join on (band, band_key), exact Jaccard on the candidates only,
     threshold 0.8. At scale only band-collisions shuffle into the join."""
-    sig = q41_minhash_signatures(spark, sf_dir)
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    sig = _minhash_from_shingles(ds)
     rows_per_band = N_HASHES // N_BANDS
     bands = (
         sig.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
@@ -195,7 +215,6 @@ def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ds = _doc_shingles(spark, sf_dir)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(ds.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -250,7 +269,7 @@ WHERE round(inter / (za.sz + zb.sz - inter), 6) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 
 def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _doc_shingles(spark, sf_dir)
+    ds = _doc_shingles(spark, sf_dir, cache=True)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
@@ -349,11 +368,11 @@ def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming distance 3. Candidate generation buckets on the
     top-16-bit prefix first (near-identical docs almost always agree there),
     so the self-join shuffles buckets, not the full cross product; brute
-    force would be O(N^2) at 100 TB. The signature build is persisted so the
-    self-join computes it once, not once per side."""
-    sig = cached_df(
-        spark, f"simhash:{sf_dir}", lambda: q44_simhash(spark, sf_dir)
-    ).withColumn("prefix", F.shiftright("simhash", 44))
+    force would be O(N^2) at 100 TB. The self-join's two sides are identical
+    subplans, so Spark's ReusedExchange computes the signature aggregation
+    once and replays its shuffle output for the other side -- measured
+    faster than materializing the signatures out-of-band."""
+    sig = q44_simhash(spark, sf_dir).withColumn("prefix", F.shiftright("simhash", 44))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))
