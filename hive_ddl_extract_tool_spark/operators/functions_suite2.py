@@ -125,6 +125,43 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
 
 
 # --------------------------------------------------------------------------
+# q27: RANGE-frame window -- trailing 30-day revenue per customer
+# --------------------------------------------------------------------------
+
+def q27_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    over integer order-day): the frame is defined by the ordering VALUE, not
+    row position, so same-day orders share a frame and gaps in the calendar
+    shrink it -- semantics a rowsBetween frame cannot express. One shuffle
+    on o_custkey; the frame scan is a per-partition sorted sliding window."""
+    orders = load(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day.cast("int").alias("order_day"),
+        mround(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+ORACLE_Q27 = """
+SELECT o_orderkey, o_custkey,
+       CAST(day AS INT)                                AS order_day,
+       round(1.37e-6 + sum(o_totalprice) OVER w, 2)    AS rev_30d,
+       count(*) OVER w                                 AS n_orders_30d
+FROM (SELECT *, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # q17: conditional aggregates -- count_if / bool_or / min_by / max_by
 # --------------------------------------------------------------------------
 
@@ -373,6 +410,7 @@ QUERIES = {
     "q15_percentiles": q15_percentiles,
     "q15b_approx_percentiles": q15b_approx_percentiles,
     "q16_window_extras": q16_window_extras,
+    "q27_range_frame_window": q27_range_frame_window,
     "q17_conditional_aggs": q17_conditional_aggs,
     "q18_null_handling": q18_null_handling,
     "q19_string_extras": q19_string_extras,
@@ -387,6 +425,7 @@ ORACLES = {
     # q52: rows-only (pandas two-pass std != SQL stddev at the last ulp)
     "q15_percentiles": ORACLE_Q15,
     "q16_window_extras": ORACLE_Q16,
+    "q27_range_frame_window": ORACLE_Q27,
     "q17_conditional_aggs": ORACLE_Q17,
     "q18_null_handling": ORACLE_Q18,
     "q19_string_extras": ORACLE_Q19,

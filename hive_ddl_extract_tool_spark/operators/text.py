@@ -225,12 +225,113 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q35: tf-idf top terms per document (corpus-statistic weighting)
+# --------------------------------------------------------------------------
+
+def q35_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed tf-idf. Plan shape for scale:
+    tf and df are both partial-aggregated before their shuffles; the corpus
+    size is a 1-row aggregate broadcast into the scoring join (never a
+    driver collect); the per-doc top-3 is a window over each document's
+    distinct terms only. Ties order by the ROUNDED score then term so the
+    ranking is identical cross-engine."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+ORACLE_Q35 = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q36: deterministic hash split (train/val/test) + stratified sample counts
+# --------------------------------------------------------------------------
+
+SPLIT_SEED = "split_v1"
+
+
+def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset splitting -- the sampling operator a training
+    pipeline actually needs. NOT rand(): the split key is the 60-bit md5
+    hash of (seed, doc_id), so membership is a pure function of the row --
+    stable across runs, executors, retries, and engines (F.rand is
+    nondeterministic under task retry and unreproducible elsewhere).
+    80/10/10 by hash mod 100; emits per-(source, split) counts so the
+    oracle also checks the stratification is unbiased."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_Q36 = f"""
+WITH b AS (
+  SELECT source,
+         {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
     "q32_langid": q32_langid,
     "q33_fingerprint": q33_fingerprint,
     "q34_quality_score": q34_quality_score,
+    "q35_tfidf_topterms": q35_tfidf_topterms,
+    "q36_hash_split": q36_hash_split,
 }
 
 ORACLES = {
@@ -239,4 +340,6 @@ ORACLES = {
     "q32_langid": ORACLE_Q32,
     "q33_fingerprint": ORACLE_Q33,
     "q34_quality_score": ORACLE_Q34,
+    "q35_tfidf_topterms": ORACLE_Q35,
+    "q36_hash_split": ORACLE_Q36,
 }

@@ -143,6 +143,59 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.filterwarnings("ignore")
+def test_foreachbatch_late_data_emission_schedule(spark, tmp_path):
+    """foreachBatch sink + deterministic out-of-order feed: each micro-batch
+    hands its finalized windows to driver code, so the test pins not just
+    WHAT is emitted but WHEN -- window 10:00 must be finalized by the batch
+    that advances the watermark past it, with only its on-time rows, and a
+    later-arriving row for it must never cause a second emission."""
+    d = str(tmp_path / "fb_src")
+    emitted: list[tuple[int, list]] = []
+
+    def sink(batch_df, epoch_id):
+        rows = sorted((r["win"], r["n"]) for r in batch_df.collect())
+        if rows:
+            emitted.append(rows)
+
+    _write_batch(spark, d, 1, [
+        ("2024-01-01 10:00:10", 1, 1.0),
+        ("2024-01-01 10:02:00", 2, 1.0),
+        ("2024-01-01 10:21:00", 1, 1.0),   # max ts -> watermark 10:16
+    ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("win"), "n")
+    )
+    q = agg.writeStream.foreachBatch(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()   # batch 1 ingested; nothing final yet
+        _write_batch(spark, d, 2, [
+            ("2024-01-01 10:01:30", 3, 1.0),   # LATE: 10:00 window < watermark
+            ("2024-01-01 10:40:00", 1, 1.0),   # advances watermark to 10:35
+        ])
+        q.processAllAvailable()   # finalizes windows ending <= 10:16
+        _write_batch(spark, d, 3, [("2024-01-01 11:00:00", 1, 1.0)])
+        q.processAllAvailable()   # finalizes the 10:20 window
+    finally:
+        q.stop()
+
+    # emission schedule: 10:00 finalized after batch 2 (on-time rows only --
+    # the late user-3 row dropped), 10:20 after batch 3
+    assert emitted[0] == [("10:00", 2)]
+    assert emitted[1] == [("10:20", 1)]
+    all_wins = [w for batch in emitted for w, _ in batch]
+    assert all_wins.count("10:00") == 1
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """With a checkpointLocation, a restarted query resumes from the last
     committed offsets: already-processed files are not recounted (the
