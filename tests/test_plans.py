@@ -95,6 +95,22 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert "hashpartitioning(l_orderkey" not in plan, plan
 
 
+def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
+    """q59's as-of join must compile to a window pass, not a join: exactly
+    one data exchange (on user_id) and zero join operators of any kind."""
+    plan = formatted_plan(QUERIES["q59_asof_join"](spark, sf_dir))
+    assert "Join" not in plan, f"as-of should be join-free:\n{plan}"
+    assert plan.count("Exchange") <= 2  # one hash-partition + possible AQE read
+    assert "Window" in plan
+
+
+def test_tfidf_corpus_total_is_broadcast(spark, sf_dir):
+    """q35's corpus-size scalar joins via broadcast, never a shuffle or a
+    driver collect baked into the plan."""
+    plan = formatted_plan(QUERIES["q35_tfidf_topterms"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - PYTHON_OK - SKIP_PLAN_AUDIT)
 )

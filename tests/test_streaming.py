@@ -196,6 +196,58 @@ def test_foreachbatch_late_data_emission_schedule(spark, tmp_path):
     assert all_wins.count("10:00") == 1
 
 
+@pytest.mark.filterwarnings("ignore")
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: each view matches clicks of the same
+    user within the following 10 minutes. Both sides are watermarked so the
+    engine can bound the join state (the property that makes this runnable
+    forever); the interval condition rides on the event-time columns."""
+    vd = str(tmp_path / "views_src")
+    cd = str(tmp_path / "clicks_src")
+    _write_batch(spark, vd, 1, [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:30:00", 2, 1.0),
+    ])
+    _write_batch(spark, cd, 1, [
+        ("2024-01-01 10:05:00", 1, 2.0),   # within 10 min of user-1 view
+        ("2024-01-01 10:20:00", 1, 3.0),   # too late for the 10:00 view
+        ("2024-01-01 10:31:00", 2, 4.0),   # within 10 min of user-2 view
+    ])
+
+    def src(d, prefix):
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        return s.withWatermark("ts", "10 minutes").select(
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("value").alias(f"{prefix}_val"),
+        )
+
+    joined = src(vd, "v").join(
+        src(cd, "c"),
+        F.expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"),
+    ).select("v_user", "v_ts", "c_ts", "c_val")
+
+    name = "ssj_test"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r["v_user"], r["c_ts"].strftime("%H:%M"), r["c_val"])
+            for r in spark.table(name).collect()
+        )
+        assert rows == [(1, "10:05", 2.0), (2, "10:31", 4.0)]
+    finally:
+        q.stop()
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """With a checkpointLocation, a restarted query resumes from the last
     committed offsets: already-processed files are not recounted (the
