@@ -198,6 +198,55 @@ FROM e a JOIN e b
 # q59: as-of join (latest prior 'view' for every 'click', per user)
 # --------------------------------------------------------------------------
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Generic as-of join: every `left` row gains the `right_cols` values of
+    the most recent `right` row with right_ts <= left_ts and the same `by`
+    key (NULLs when no prior right row exists).
+
+    Executed WITHOUT an inequality join: both sides are union-tagged, ONE
+    shuffle on `by`, then `last(ignorenulls)` over the time-ordered window
+    carries the latest right values forward -- the plan shape pandas'
+    merge_asof / kdb's aj execute, expressed relationally. A naive
+    `l.ts >= r.ts` join is a per-key cross product. Ties on the timestamp
+    order by `tiebreak` (must exist on both sides) so results are
+    deterministic. Output: every left column plus `right_cols` (which must
+    not collide with left's names)."""
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.withColumn("__side", F.lit(0))
+    carried = [F.when(F.col("__side") == 0, F.col(c)).alias(f"__r_{c}") for c in right_cols]
+    all_cols = sorted(set(left.columns) | set(right.columns))
+    unioned = (
+        lt.select(*[(F.col(c) if c in left.columns else F.lit(None)).alias(c) for c in all_cols], "__side")
+        .unionByName(
+            rt.select(*[(F.col(c) if c in right.columns else F.lit(None)).alias(c) for c in all_cols], "__side")
+        )
+        .withColumn("__ts", F.coalesce(F.when(F.col("__side") == 1, F.col(left_ts)), F.col(right_ts)))
+        .select("*", *carried)
+    )
+    from pyspark.sql import Window as W
+
+    # right rows sort BEFORE left rows on an equal timestamp (__side 0 < 1),
+    # so an exactly-simultaneous right row is visible to the left row
+    w = (
+        W.partitionBy(by)
+        .orderBy("__ts", "__side", tiebreak)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_cols]
+    )
+    keep = [c for c in left.columns] + [f"asof_{c}" for c in right_cols]
+    return filled.filter(F.col("__side") == 1).select(*keep)
+
+
 def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join without an inequality join: union-tag both sides, ONE
     shuffle on user_id, then `last(ignorenulls)` over the time-ordered
@@ -205,7 +254,11 @@ def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `a.ts >= b.ts` join is a per-user cross product; this runs in a single
     sort-based window pass whatever the corpus size (the same plan shape
     pandas' merge_asof / kdb's aj execute, expressed relationally). Ties on
-    ts break on event_id in BOTH engines, so the result is deterministic."""
+    ts break on event_id in BOTH engines, so the result is deterministic.
+
+    (Inlined rather than built on the generic `asof_join` helper: the query
+    joins a table to itself partitioned by event_type, so the single-pass
+    tagged form avoids even the union.)"""
     from pyspark.sql import Window as W
 
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")

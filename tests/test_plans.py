@@ -95,6 +95,21 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert "hashpartitioning(l_orderkey" not in plan, plan
 
 
+def test_q42_scans_documents_once(spark, sf_dir):
+    """The MinHash-LSH pipeline consumes the shingle set in two subtrees
+    (signatures, Jaccard verify): documents must be scanned ONCE -- the
+    staged shingle parquet feeds every consumer, so the final plan contains
+    at most one reference to the raw documents file (and the staging job
+    itself is the single real scan)."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    plan = formatted_plan(QUERIES["q42_minhash_lsh_dedup"](spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, (
+        f"documents scanned more than once:\n{plan}"
+    )
+
+
 def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
     """q59's as-of join must compile to a window pass, not a join: exactly
     one data exchange (on user_id) and zero join operators of any kind."""
