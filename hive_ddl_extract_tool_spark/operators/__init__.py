@@ -39,6 +39,11 @@ _PRIORITY = [
     "q58_bucketed_join",
     "q64_stream_dedup",
     "q59_asof_join",
+    "q65_frame_sample",
+    "q66_ivf_ann",
+    "q35_tfidf_topterms",
+    "q27_range_frame_window",
+    "q36_hash_split",
 ]
 
 

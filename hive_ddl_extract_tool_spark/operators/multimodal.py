@@ -71,9 +71,26 @@ def _fake_decode(payload: bytes) -> dict:
     return {"byte_sum": int(s), "n_bytes": len(payload), "brightness": s / (len(head) * 255.0)}
 
 
+RESIZE_TARGET = 16  # thumbnail size in bytes (stands in for target pixel dims)
+
+
+def _fake_resize(payload: bytes) -> bytes:
+    """STUB for a real resize (PIL thumbnail / ffmpeg scale): uniform
+    subsampling of the byte stream down to RESIZE_TARGET bytes -- the
+    byte-level analogue of nearest-neighbor downsampling, deterministic so
+    the pipeline's output is stable. A real implementation decodes, resizes,
+    re-encodes; only this function changes."""
+    if not payload:
+        return b""
+    step = max(1, len(payload) // RESIZE_TARGET)
+    return payload[::step][:RESIZE_TARGET]
+
+
 def q51_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payloads flow through mapInPandas as Arrow batches; the stub
-    decoder runs per row inside the batch (a real one would vectorize).
+    """Binary payloads flow through mapInPandas as Arrow batches: decode ->
+    feature-extract -> resize, the full media-preprocessing shape. The stub
+    stages run per row inside the batch (real ones would vectorize); the
+    thumbnail comes back as a binary column ready for a downstream model.
     Rows-only check (the decode internals are not SQL-expressible)."""
     docs = load(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
@@ -81,24 +98,95 @@ def q51_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches):
         for pdf in batches:
             feats = [_fake_decode(p) for p in pdf["payload"]]
+            thumbs = [_fake_resize(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "byte_sum": [f["byte_sum"] for f in feats],
                 "n_bytes": [f["n_bytes"] for f in feats],
                 "brightness": [f["brightness"] for f in feats],
+                "thumb": thumbs,
+                "thumb_bytes": [len(t) for t in thumbs],
             })
 
     return with_payload.mapInPandas(
-        extract, schema="doc_id long, byte_sum long, n_bytes long, brightness double"
+        extract,
+        schema="doc_id long, byte_sum long, n_bytes long, brightness double, "
+               "thumb binary, thumb_bytes long",
     )
+
+
+# --------------------------------------------------------------------------
+# q65: frame sampling over binary payloads (oracle-checked, all JVM-side)
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 64     # bytes per "frame" of the fake video payload
+FRAME_STRIDE = 4     # sample every 4th frame
+MAX_FRAMES = 5       # cap sampled frames per document
+
+
+def q65_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: treat the binary payload as a sequence of
+    fixed-size frames, keep every STRIDE-th frame up to MAX_FRAMES, emit one
+    row per sampled frame with its byte length and content hash. All
+    byte-level work happens on the hex encoding of the payload (2 chars per
+    byte), which both engines slice identically -- so unlike the decode stub
+    (q51) this sampling pipeline is exactly oracle-checked. The explode
+    multiplies rows by <= MAX_FRAMES (bounded fan-out); a real frame decoder
+    slots in behind the sampled (doc_id, frame_idx, bytes) rows."""
+    docs = load(spark, sf_dir, "documents")
+    hexed = docs.select(
+        "doc_id", F.lower(F.hex(F.encode(F.col("text"), "UTF-8"))).alias("hx")
+    )
+    n_frames = F.ceil(F.length("hx") / (2 * FRAME_BYTES))
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.lit((MAX_FRAMES - 1) * FRAME_STRIDE)),
+        lambda i: (i % FRAME_STRIDE == 0) & (i < n_frames),
+    )
+    frames = hexed.select(
+        "doc_id", "hx", F.explode(idxs).alias("frame_idx")
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.substring(
+            "hx", F.col("frame_idx") * (2 * FRAME_BYTES) + 1, F.lit(2 * FRAME_BYTES)
+        ).alias("frame_hex"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.length("frame_hex") / 2).cast("int").alias("frame_bytes"),
+        h60("frame_hex").alias("frame_hash"),
+    )
+
+
+ORACLE_Q65 = f"""
+WITH hexed AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         CAST(ceil(length(lower(hex(encode(text)))) / {2 * FRAME_BYTES}.0) AS BIGINT) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS frame_idx,
+         substr(hx, i * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES}) AS frame_hex
+  FROM hexed, (SELECT unnest(range(0, {(MAX_FRAMES - 1) * FRAME_STRIDE + 1}, {FRAME_STRIDE})) AS i)
+  WHERE i < n_frames
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame_hex) / 2 AS INT) AS frame_bytes,
+       {h60_sql('frame_hex')}             AS frame_hash
+FROM frames
+"""
 
 
 QUERIES = {
     "q50_binary_metadata": q50_binary_metadata,
     "q51_decode_features": q51_decode_features,
+    "q65_frame_sample": q65_frame_sample,
 }
 
 ORACLES = {
     "q50_binary_metadata": ORACLE_Q50,
+    "q65_frame_sample": ORACLE_Q65,
     # q51: rows-only (decode stub internals not SQL-expressible)
 }

@@ -373,11 +373,112 @@ SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# q66: IVF-flat ANN (centroid cells + nprobe=2), the other classic ANN index
+# --------------------------------------------------------------------------
+
+N_CELLS = 8   # centroids = embeddings of vec_id 0..7 (deterministic "training")
+N_PROBE = 2   # each query searches its 2 nearest cells
+
+
+def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat: partition the corpus into Voronoi cells around fixed
+    centroids, then search only the query's N_PROBE nearest cells --
+    complementary to q47's LSH (data-dependent cells vs oblivious
+    hyperplanes). Centroids are the first N_CELLS corpus vectors (a
+    deterministic stand-in for k-means training; swapping in trained
+    centroids changes only the literals). The centroid fetch is a bounded
+    N_CELLS-row collect shipped as plan literals, so cell assignment is pure
+    columnar arithmetic -- corpus vectors shuffle once, keyed by cell.
+    Squared-distance accumulates left-to-right in doubles and ties break on
+    cell index via a 1e-9 nudge, keeping the DuckDB oracle bit-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < N_CELLS).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def dist_to(c_vec) -> Column:
+        lits = F.array(*[F.lit(float(v)) for v in c_vec])
+        return F.aggregate(
+            F.zip_with("embedding", lits, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("ci"), (dist_to(r["embedding"]) + F.lit(i * 1e-9)).alias("d"))
+        for i, r in enumerate(cent_rows)
+    ])
+    exploded = emb.select("vec_id", "embedding", F.explode(cells).alias("c"))
+    ranked = exploded.select(
+        "vec_id", "embedding", F.col("c.ci").alias("ci"), F.col("c.d").alias("d")
+    )
+    w_cell = W.partitionBy("vec_id").orderBy("d")
+    with_rank = ranked.withColumn("rk", F.row_number().over(w_cell))
+    corpus = with_rank.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("ci").alias("cell")
+    )
+    probes = (
+        with_rank.filter((F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("ci").alias("cell"))
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _ivf_cells_sql() -> str:
+    """DuckDB twin of the cell ranking: same centroid literals, same
+    left-to-right double accumulation, same 1e-9 index nudge."""
+    return f"""
+  SELECT vec_id, embedding, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d) AS rk
+  FROM (
+    SELECT e.vec_id, e.embedding, c.ci,
+           list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) + c.ci * 1e-9 AS d
+    FROM embeddings e,
+         (SELECT ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM (SELECT vec_id AS ci, embedding FROM embeddings WHERE vec_id < {N_CELLS})) c
+  )
+"""
+
+
+ORACLE_Q66 = f"""
+WITH ranked AS ({_ivf_cells_sql()}),
+corpus AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, ci AS cell FROM ranked WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, ci AS cell
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+),
+s AS (
+  SELECT query_id, neighbor_id, round({COSINE_SQL}, 6) AS cos_sim
+  FROM probes JOIN corpus USING (cell) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
     "q49b_cosine_neardup_lsh": q49b_cosine_neardup_lsh,
     "q47_ann_lsh": q47_ann_lsh,
+    "q66_ivf_ann": q66_ivf_ann,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
 }
 
@@ -386,5 +487,6 @@ ORACLES = {
     "q47_ann_lsh": ORACLE_Q47,
     "q49_cosine_neardup": ORACLE_Q49,
     "q49b_cosine_neardup_lsh": ORACLE_Q49B,
+    "q66_ivf_ann": ORACLE_Q66,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }
