@@ -38,6 +38,44 @@ def test_asof_join_matches_naive_definition(spark):
     assert got[(2, 50)] is None and got[(3, 10)] is None
 
 
+def test_asof_join_randomized_against_naive(spark):
+    """Seeded random corpus: 12 keys, duplicate timestamps on both sides,
+    keys present on only one side -- compared row-for-row against the naive
+    quadratic definition computed in Python."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    lrows = [
+        (int(rng.randint(0, 12)), int(rng.randint(0, 40)), i)
+        for i in range(200)
+    ]
+    rrows = [
+        (int(rng.randint(0, 14)), int(rng.randint(0, 40)), 1000 + i)
+        for i in range(150)
+    ]
+    # `tb` exists on BOTH sides (the operator's tiebreak contract): right
+    # rows sharing a timestamp order among themselves by tb, so the carried
+    # row is well-defined
+    left = spark.createDataFrame([(k, t, i, i) for k, t, i in lrows], "k int, lts int, lid int, tb int")
+    right = spark.createDataFrame([(k, t, i, i) for k, t, i in rrows], "k int, rts int, rid int, tb int")
+    got = {
+        (r["k"], r["lts"], r["lid"]): r["asof_rid"]
+        for r in asof_join(
+            left, right, by="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"], tiebreak="tb",
+        ).collect()
+    }
+    assert len(got) == len(lrows)
+    for k, lts, lid in lrows:
+        prior = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts <= lts]
+        # naive: latest rts wins; equal rts resolved by the window's order,
+        # where the LAST right row in (ts, side, tiebreak) order is carried --
+        # right rows tie-break among themselves on the tiebreak column (rid
+        # ascending), so max (rts, rid) is the carried row
+        expected = max(prior)[1] if prior else None
+        assert got[(k, lts, lid)] == expected, (k, lts, lid)
+
+
 def test_asof_join_plan_has_no_join(spark):
     from hive_ddl_extract_tool_spark.plans.explain import formatted_plan
 
