@@ -44,6 +44,7 @@ _PRIORITY = [
     "q35_tfidf_topterms",
     "q27_range_frame_window",
     "q36_hash_split",
+    "q67_pandas_udf_scalar",
 ]
 
 

@@ -402,6 +402,49 @@ def q52_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q67: vectorized scalar pandas UDF (Arrow batches, numpy inside)
+# --------------------------------------------------------------------------
+
+def q67_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The @pandas_udf scalar surface: embedding stats computed by numpy
+    over Arrow batches (one Python call per ~10k rows, not per row). The
+    outputs are INTEGERS (positive-component count, 1-based argmax of |x|
+    with first-wins ties), so despite the Python path the DuckDB oracle is
+    exact -- integer results cannot drift the way re-accumulated floats can."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: this module defers annotation evaluation (PEP 563),
+    # which breaks pandas_udf's hint inference; the explicit returnType
+    # form selects the scalar Arrow UDF directly
+    def _n_positive(col):
+        return pd.Series([int((np.asarray(v) > 0).sum()) for v in col])
+
+    def _argmax_abs(col):
+        return pd.Series([int(np.argmax(np.abs(np.asarray(v)))) + 1 for v in col]).astype("int32")
+
+    n_positive = pandas_udf(_n_positive, "long")
+    argmax_abs = pandas_udf(_argmax_abs, "int")
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        n_positive("embedding").alias("n_pos"),
+        argmax_abs("embedding").alias("peak_dim"),
+    )
+
+
+ORACLE_Q67 = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)  AS n_pos,
+       CAST(list_position(list_transform(embedding, x -> abs(x)),
+                          list_max(list_transform(embedding, x -> abs(x)))) AS INT) AS peak_dim
+FROM embeddings
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -416,6 +459,7 @@ QUERIES = {
     "q19_string_extras": q19_string_extras,
     "q24_map_functions": q24_map_functions,
     "q25_date_extras": q25_date_extras,
+    "q67_pandas_udf_scalar": q67_pandas_udf_scalar,
 }
 
 ORACLES = {
@@ -431,5 +475,6 @@ ORACLES = {
     "q19_string_extras": ORACLE_Q19,
     "q24_map_functions": ORACLE_Q24,
     "q25_date_extras": ORACLE_Q25,
+    "q67_pandas_udf_scalar": ORACLE_Q67,
     # q15b: rows-only (sketch-based)
 }
