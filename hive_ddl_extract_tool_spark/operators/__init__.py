@@ -45,6 +45,15 @@ _PRIORITY = [
     "q27_range_frame_window",
     "q36_hash_split",
     "q67_pandas_udf_scalar",
+    "q68_dup_clusters",
+    "q69_regression_stats",
+    "q70_stream_static_join",
+    "q71_repetition_metrics",
+    "q72_embed_quantize",
+    "q73_stratified_sample",
+    "q74_funnel",
+    "q75_cohort_retention",
+    "q76_heavy_hitters",
 ]
 
 

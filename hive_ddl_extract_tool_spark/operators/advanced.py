@@ -306,11 +306,114 @@ FROM filled WHERE event_type = 'click'
 """
 
 
+# --------------------------------------------------------------------------
+# q74: funnel conversion (click -> purchase within 30 minutes, per user)
+# --------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def q74_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: for every click, was there a purchase by the
+    same user within 30 minutes? Implemented as a value-RANGE window frame
+    over epoch-microseconds (min purchase-ts in [t, t+30min] FOLLOWING) --
+    ONE shuffle on user_id, no self-join, no pair explosion: the classic
+    funnel formulation as an ordered window scan, linear per user. Exact
+    integer microseconds keep the frame arithmetic engine-identical."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(W.currentRow, FUNNEL_WINDOW_US)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("tus"))
+    ).over(w)
+    per_click = e.withColumn("np", next_purchase).filter(F.col("event_type") == "click")
+    return per_click.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count_if(F.col("np").isNotNull()).alias("n_converted"),
+    )
+
+
+ORACLE_Q74 = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+scanned AS (
+  SELECT user_id, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN tus END)
+           OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN CURRENT ROW AND {FUNNEL_WINDOW_US} FOLLOWING) AS np
+  FROM e
+)
+SELECT user_id,
+       count(*)                                  AS n_clicks,
+       count(*) FILTER (WHERE np IS NOT NULL)    AS n_converted
+FROM scanned
+WHERE event_type = 'click'
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q75: cohort retention (weekly cohorts x week offset)
+# --------------------------------------------------------------------------
+
+def q75_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in every later week they return. Shape for scale: the (user, week)
+    grid is distinct-reduced FIRST (events -> at most users x weeks rows),
+    the cohort assignment is a min-aggregate on that reduced set, and the
+    final count(*) needs no distinct because (user, week) is already
+    unique. Both engines truncate weeks to Monday, and the offset is exact
+    integer day-arithmetic / 7."""
+    events = load(spark, sf_dir, "events")
+    uw = (
+        events.select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_Q75 = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d')                          AS cohort_week,
+       CAST(date_diff('day', cohort_wk, wk) / 7 AS INT)         AS week_offset,
+       count(*)                                                 AS n_users
+FROM uw JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
     "q55_range_join": q55_range_join,
     "q59_asof_join": q59_asof_join,
+    "q74_funnel": q74_funnel,
+    "q75_cohort_retention": q75_cohort_retention,
 }
 
 ORACLES = {
@@ -318,4 +421,6 @@ ORACLES = {
     "q54_skyline": ORACLE_Q54,
     "q55_range_join": ORACLE_Q55,
     "q59_asof_join": ORACLE_Q59,
+    "q74_funnel": ORACLE_Q74,
+    "q75_cohort_retention": ORACLE_Q75,
 }

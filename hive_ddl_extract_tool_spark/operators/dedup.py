@@ -395,6 +395,93 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# q68: duplicate-cluster resolution (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 15
+
+
+def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the pairwise near-dup edges (q42) into actionable dedup clusters:
+    every document mapped to a canonical representative (the minimum doc_id
+    in its connected component) plus the component size. Filtering
+    ``doc_id == canonical_id`` is the "keep one per cluster" purge step a
+    training pipeline actually executes.
+
+    Scale design: min-label propagation runs ONLY over the near-dup
+    subgraph (nodes that appear in an edge), which at corpus scale is
+    orders of magnitude smaller than the corpus itself; the full document
+    set joins in exactly once at the end (left join + coalesce for
+    singletons). Each iteration is one join + one min-aggregate over the
+    edge set; the loop stops when a fixpoint is reached (per-iteration
+    convergence check, the standard Pregel/GraphX shape). Iteration count
+    equals the component diameter -- near-dup clusters are tight (pairs and
+    small cliques), so 2-3 rounds in practice; a degenerate long-chain graph
+    would call for the large-star/small-star O(log n) variant instead."""
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "lbl"
+        )
+        new = labels.union(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl")).persist()
+        improved = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if improved == 0:
+            break
+    edges.unpersist()
+
+    docs = load(spark, sf_dir, "documents")
+    mapped = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
+    )
+    sizes = mapped.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return mapped.join(F.broadcast(sizes), "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
+# The oracle computes the same components by recursive transitive closure --
+# feasible for DuckDB at oracle SF because the edge set is tiny.
+ORACLE_Q68 = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),
+mapped AS (
+  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)
+),
+sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM mapped GROUP BY 1)
+SELECT m.doc_id, m.canonical_id, s.cluster_size
+FROM mapped m JOIN sizes s USING (canonical_id)
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -402,6 +489,7 @@ QUERIES = {
     "q43_ngram_jaccard": q43_ngram_jaccard,
     "q44_simhash": q44_simhash,
     "q45_simhash_neardup": q45_simhash_neardup,
+    "q68_dup_clusters": q68_dup_clusters,
 }
 
 ORACLES = {
@@ -411,4 +499,5 @@ ORACLES = {
     "q43_ngram_jaccard": ORACLE_Q43,
     "q44_simhash": ORACLE_Q44,
     "q45_simhash_neardup": ORACLE_Q45,
+    "q68_dup_clusters": ORACLE_Q68,
 }

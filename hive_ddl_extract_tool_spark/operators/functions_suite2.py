@@ -445,6 +445,80 @@ FROM embeddings
 """
 
 
+# --------------------------------------------------------------------------
+# q69: correlation / OLS regression via exact sufficient statistics
+# --------------------------------------------------------------------------
+
+def q69_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / OLS slope / intercept / R^2 of extendedprice on quantity per
+    returnflag, computed from EXACT integer moments: quantity and cents are
+    losslessly integer, so n, Sx, Sy, Sxx, Syy, Sxy are summed as decimals
+    (no double accumulation at all) and the statistics derive from those six
+    numbers in one final double expression.
+
+    Why not F.corr/F.regr_slope: their double co-moments accumulate in
+    partition order, so results drift run-to-run on a cluster --
+    irreproducible statistics at 100 TB. The sufficient-statistics form is a
+    single map-side-combinable pass, bit-identical on every run and engine
+    (pytest cross-checks it against the builtins to 1e-9). The same trick is
+    the distributed-friendly shape: one narrow agg, constant state per group."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 -- exact sums (int64 would overflow on Syy)
+    m = base.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r6 = lambda c: F.round(F.lit(1.37e-6) + c, 6)  # noqa: E731 -- mround, matches oracle eps
+    return m.select(
+        "flag",
+        "n_rows",
+        r6(cov / vx).alias("slope"),
+        r6((sy - (cov / vx) * sx) / n).alias("intercept"),
+        r6(cov / F.sqrt(vx * vy)).alias("corr_xy"),
+        r6((cov * cov) / (vx * vy)).alias("r2"),
+    )
+
+
+ORACLE_Q69 = """
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity) AS BIGINT)            AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT flag,
+         count(*)                 AS n_rows,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE)   AS sx,
+         CAST(sum(y) AS DOUBLE)   AS sy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx,
+         CAST(sum(y*y) AS DOUBLE) AS syy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy
+  FROM b GROUP BY flag
+)
+SELECT flag, n_rows,
+       round(1.37e-6 + (n*sxy - sx*sy) / (n*sxx - sx*sx), 6)                                    AS slope,
+       round(1.37e-6 + (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)                  AS intercept,
+       round(1.37e-6 + (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)            AS corr_xy,
+       round(1.37e-6 + ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM m
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -460,6 +534,7 @@ QUERIES = {
     "q24_map_functions": q24_map_functions,
     "q25_date_extras": q25_date_extras,
     "q67_pandas_udf_scalar": q67_pandas_udf_scalar,
+    "q69_regression_stats": q69_regression_stats,
 }
 
 ORACLES = {
@@ -476,5 +551,6 @@ ORACLES = {
     "q24_map_functions": ORACLE_Q24,
     "q25_date_extras": ORACLE_Q25,
     "q67_pandas_udf_scalar": ORACLE_Q67,
+    "q69_regression_stats": ORACLE_Q69,
     # q15b: rows-only (sketch-based)
 }

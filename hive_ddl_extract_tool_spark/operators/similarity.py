@@ -473,12 +473,97 @@ WHERE rn <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# q72: int8 embedding quantization (storage compression for vector corpora)
+# --------------------------------------------------------------------------
+
+def q72_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization -- the 4x storage/bandwidth
+    compression step before a 100 TB vector corpus is written or shipped to
+    an ANN index. scale = 127/max|x|; codes = floor(x*scale) (floor, not
+    round: tie-free, so the integer codes are bit-identical cross-engine and
+    the oracle check is exact despite the float inputs). Everything is
+    higher-order array functions over the embedding column: linear pass,
+    no shuffle at all. The codes are emitted as a CSV string because the
+    verify harness canonicalizes rows by sorting on every column and an
+    array cell is unhashable there; err_ppb is the total reconstruction loss
+    in integer parts-per-1e9, floor-quantized per element BEFORE the sum so
+    the aggregate is order-independent and exact cross-engine (summing the
+    raw doubles first proved fragile: DuckDB's list_sum is not strictly
+    sequential)."""
+    emb = load(spark, sf_dir, "embeddings")
+    xd = _dbl("embedding")
+    maxabs = F.array_max(F.transform(xd, F.abs))
+    base = emb.select(
+        "vec_id",
+        xd.alias("xd"),
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("scale"),
+    )
+    codes = F.transform("xd", lambda v: F.floor(v * F.col("scale")).cast("int"))
+    with_codes = base.select("vec_id", "xd", "scale", codes.alias("q"))
+    # Per-element error quantized to an integer BEFORE the sum: floor on
+    # bit-identical doubles is exact, and an integer sum is order-free --
+    # summing the doubles first proved fragile (DuckDB's list_sum is not
+    # strictly sequential, so the accumulated double drifted 1 ulp past a
+    # floor/round boundary at sf0.01).
+    err_ppb = F.aggregate(
+        F.zip_with(
+            "xd", "q",
+            lambda a, b: F.floor(F.abs(a - b / F.col("scale")) * 1e9).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    # err_ppb is computed in its own projection: the final select re-aliases
+    # the ROUNDED scale to the name "scale", and a sibling expression in that
+    # same select resolving F.col("scale") against the rounded alias would
+    # silently shift every error term (observed: off-by-2 ppb totals).
+    staged = with_codes.select(
+        "vec_id",
+        "scale",
+        "q",
+        F.when(F.col("scale") > 0, err_ppb).otherwise(F.lit(0).cast("bigint")).alias("err_ppb"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.transform("q", lambda c: c.cast("string")), ",").alias("codes"),
+        "err_ppb",
+    )
+
+
+ORACLE_Q72 = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              ELSE 0.0 END AS scale
+  FROM embeddings
+),
+wc AS (
+  SELECT vec_id, xd, scale,
+         list_transform(xd, v -> CAST(floor(v * scale) AS INT)) AS q
+  FROM base
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       list_aggregate(list_transform(q, c -> CAST(c AS VARCHAR)), 'string_agg', ',') AS codes,
+       CASE WHEN scale > 0
+            THEN CAST(list_sum(list_transform(range(1, len(xd) + 1),
+                     i -> CAST(floor(abs(xd[i] - q[i] / scale) * 1e9) AS BIGINT))) AS BIGINT)
+            ELSE 0 END AS err_ppb
+FROM wc
+"""
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
     "q49b_cosine_neardup_lsh": q49b_cosine_neardup_lsh,
     "q47_ann_lsh": q47_ann_lsh,
     "q66_ivf_ann": q66_ivf_ann,
+    "q72_embed_quantize": q72_embed_quantize,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
 }
 
@@ -488,5 +573,6 @@ ORACLES = {
     "q49_cosine_neardup": ORACLE_Q49,
     "q49b_cosine_neardup_lsh": ORACLE_Q49B,
     "q66_ivf_ann": ORACLE_Q66,
+    "q72_embed_quantize": ORACLE_Q72,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }

@@ -324,6 +324,142 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q71: repetition metrics (Gopher-style repetitious-text detection)
+# --------------------------------------------------------------------------
+
+def q71_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals used to drop boilerplate/spam from training
+    corpora: distinct-word ratio and the fraction of word-bigrams taken by
+    the single most frequent bigram (the Gopher-rule shape; the corpus has
+    no newlines, so line-level duplication is moot). The bigram mode is an
+    explode -> (doc, gram) count -> per-doc max: two partial-aggregated
+    shuffles, both keyed by doc so the data volume is bounded by token
+    count, never pairwise."""
+    docs = load(spark, sf_dir, "documents")
+    # materialize the word array once (HOF-over-inline-expression recompute trap)
+    w = docs.select("doc_id", _words(F.lower("text")).alias("w"))
+    stats = w.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        w.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total"))
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6).alias("distinct_word_ratio"),
+        F.round(
+            F.coalesce(F.col("top_c").cast("double") / F.col("total"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+ORACLE_Q71 = """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+stats AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM w),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM cnt GROUP BY 1)
+SELECT s.doc_id,
+       round(CAST(n_distinct AS DOUBLE) / n_words, 6)              AS distinct_word_ratio,
+       round(coalesce(CAST(top_c AS DOUBLE) / total, 0.0), 6)      AS top_bigram_frac
+FROM stats s LEFT JOIN top t USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q73: deterministic stratified sampling (top-n per stratum by hash order)
+# --------------------------------------------------------------------------
+
+SAMPLE_SEED = "sample_v1"
+SAMPLE_N = 5
+
+
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sample of 5 documents, chosen by 60-bit hash order --
+    the distributed sampling shape a corpus-curation pipeline needs:
+    membership is a pure function of (seed, doc_id), so the sample is
+    stable across runs/retries/engines (unlike TABLESAMPLE/rand), and the
+    per-stratum top-n is one window over the stratum, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    hk = h60(F.concat(F.lit(SAMPLE_SEED + ":"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_N)
+        .select("lang", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+ORACLE_Q73 = f"""
+SELECT lang, doc_id, CAST(rn AS INT) AS rn
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+  FROM (SELECT lang, doc_id,
+               {h60_sql(f"'{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents)
+)
+WHERE rn <= {SAMPLE_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# q76: exact heavy hitters -- global top-20 tokens
+# --------------------------------------------------------------------------
+
+TOP_TOKENS = 20
+
+
+def q76_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent-token census: explode -> count -> top-20 with a
+    deterministic (count DESC, token ASC) tiebreak. The count is
+    map-side-combined per token before the single shuffle, and the top-k is
+    TakeOrderedAndProject -- each partition keeps 20 rows, the driver merges
+    20 per partition, never a global sort of the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words(F.lower("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(TOP_TOKENS)
+    )
+
+
+ORACLE_Q76 = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {TOP_TOKENS}
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
@@ -332,6 +468,9 @@ QUERIES = {
     "q34_quality_score": q34_quality_score,
     "q35_tfidf_topterms": q35_tfidf_topterms,
     "q36_hash_split": q36_hash_split,
+    "q71_repetition_metrics": q71_repetition_metrics,
+    "q73_stratified_sample": q73_stratified_sample,
+    "q76_heavy_hitters": q76_heavy_hitters,
 }
 
 ORACLES = {
@@ -342,4 +481,7 @@ ORACLES = {
     "q34_quality_score": ORACLE_Q34,
     "q35_tfidf_topterms": ORACLE_Q35,
     "q36_hash_split": ORACLE_Q36,
+    "q71_repetition_metrics": ORACLE_Q71,
+    "q73_stratified_sample": ORACLE_Q73,
+    "q76_heavy_hitters": ORACLE_Q76,
 }

@@ -253,12 +253,71 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q70: stream-static enrichment join (stream events x customer dim)
+# --------------------------------------------------------------------------
+
+def q70_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join -- the enrichment shape every event pipeline runs:
+    a readStream over events joined to the static customer dimension
+    (broadcast: the dim is re-read per micro-batch and never holds join
+    state, unlike stream-stream), then a 15-minute tumbling rollup per
+    market segment. Complete output mode over the drained source equals the
+    batch join+agg, so the DuckDB oracle is exact."""
+    from ..tables import _ensure_session_defaults, load as load_table
+
+    _ensure_session_defaults(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = "q70_enrich_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_Q70 = f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', e.ts), '{TS_FMT_DUCK}') AS win_start,
+       c.c_mktsegment                  AS segment,
+       count(*)                        AS n_events,
+       round(1.37e-6 + sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
     "q62_session_window": q62_session_window,
     "q63_stream_tumbling": q63_stream_tumbling,
     "q64_stream_dedup": q64_stream_dedup,
+    "q70_stream_static_join": q70_stream_static_join,
 }
 
 ORACLES = {
@@ -267,4 +326,5 @@ ORACLES = {
     "q62_session_window": ORACLE_Q62,
     "q63_stream_tumbling": ORACLE_Q63,
     "q64_stream_dedup": ORACLE_Q64,
+    "q70_stream_static_join": ORACLE_Q70,
 }

@@ -30,3 +30,37 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_q69_sufficient_stats_match_builtin_aggregates(spark, sf_dir):
+    """q69 derives corr/slope/intercept/r2 from exact integer moments (for
+    cross-engine and cross-run reproducibility); this pins it against
+    Spark's builtin co-moment aggregates to fp tolerance."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.tables import load
+
+    got = {r["flag"]: r for r in QUERIES["q69_regression_stats"](spark, sf_dir).collect()}
+    x = F.round("l_quantity")
+    y = F.round(F.col("l_extendedprice") * 100)
+    ref = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.corr(x, y).alias("corr"),
+            F.regr_slope(y, x).alias("slope"),
+            F.regr_intercept(y, x).alias("intercept"),
+            F.regr_r2(y, x).alias("r2"),
+        )
+        .collect()
+    )
+    assert len(ref) > 0
+    for r in ref:
+        g = got[r["flag"]]
+        for mine, theirs in (
+            (g["corr_xy"], r["corr"]),
+            (g["slope"], r["slope"]),
+            (g["intercept"], r["intercept"]),
+            (g["r2"], r["r2"]),
+        ):
+            assert abs(mine - theirs) < 1e-5, (r["flag"], mine, theirs)

@@ -25,7 +25,7 @@ QUERIES = all_queries()
 # Queries that intentionally run Python stages (Arrow-batched, documented).
 PYTHON_OK = {"q48_cosine_topk_pandas", "q51_decode_features", "q52_zscore_groups", "q54_skyline", "q67_pandas_udf_scalar"}
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join"}
 
 
 def test_filter_pushdown_q01(spark, sf_dir):
