@@ -126,6 +126,23 @@ def test_tfidf_corpus_total_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_funnel_is_window_scan_not_self_join(spark, sf_dir):
+    """q74 must express the sequence match as a RANGE-frame window over one
+    user_id exchange -- a click x purchase self-join would pair-explode."""
+    plan = formatted_plan(QUERIES["q74_funnel"](spark, sf_dir))
+    assert "Join" not in plan, f"funnel should be join-free:\n{plan}"
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 3  # user_id window + final groupBy + AQE read
+
+
+def test_heavy_hitters_uses_topk_heap(spark, sf_dir):
+    assert_top_k_plan(QUERIES["q76_heavy_hitters"](spark, sf_dir))
+
+
+def test_dup_clusters_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(QUERIES["q68_dup_clusters"](spark, sf_dir))
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - PYTHON_OK - SKIP_PLAN_AUDIT)
 )
