@@ -54,6 +54,8 @@ _PRIORITY = [
     "q74_funnel",
     "q75_cohort_retention",
     "q76_heavy_hitters",
+    "q77_variant_json",
+    "q78_udtf_chunk",
 ]
 
 

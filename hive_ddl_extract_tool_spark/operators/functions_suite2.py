@@ -519,6 +519,86 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# q77: VARIANT semi-structured type (parse_json -> variant_get)
+# --------------------------------------------------------------------------
+
+def q77_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path for semi-structured data: parse once into
+    the binary-encoded variant type, then typed variant_get extraction --
+    at scale this replaces per-access JSON string re-parsing (the variant
+    encoding is parsed once per row, fields are O(1) lookups, and shredded
+    parquet writes can push extraction into the scan). Integer payloads
+    keep the oracle exact; the average is derived from exact integer sums
+    with identical arithmetic in both engines."""
+    events = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    base = events.select("event_type", k.alias("k"))
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+ORACLE_Q77 = """
+SELECT event_type,
+       count(*)                                         AS n,
+       CAST(sum(k) AS BIGINT)                           AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(*)                AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q78: Python UDTF (table function) -- fixed-width document chunking
+# --------------------------------------------------------------------------
+
+CHUNK_CHARS = 200
+
+
+def q78_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL: split each document into fixed 200-char
+    chunks -- the context-window packing step of an LLM data pipeline,
+    expressed as a table function so one input row fans out to N output
+    rows inside the plan (no collect, no explode-precompute). Outputs are
+    integer offsets/lengths, so even this Python path is oracle-exact.
+    The UDTF runs per-partition in a single Python worker pass; at 100 TB
+    the fan-out stays bounded by document length and the stage remains
+    embarrassingly parallel."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_chars int")
+    class Chunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = len(text)
+            idx = 0
+            for start in range(0, n, CHUNK_CHARS):
+                yield idx, min(CHUNK_CHARS, n - start)
+                idx += 1
+
+    spark.udtf.register("q78_chunker", Chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q78_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chars
+        FROM q78_documents d, LATERAL q78_chunker(d.text) c
+        """
+    )
+
+
+ORACLE_Q78 = f"""
+SELECT doc_id,
+       CAST(i AS INT)                                          AS chunk_idx,
+       CAST(least({CHUNK_CHARS}, length(text) - i * {CHUNK_CHARS}) AS INT) AS n_chars
+FROM documents,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / {CHUNK_CHARS}.0) AS INT))) AS i)
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -535,6 +615,8 @@ QUERIES = {
     "q25_date_extras": q25_date_extras,
     "q67_pandas_udf_scalar": q67_pandas_udf_scalar,
     "q69_regression_stats": q69_regression_stats,
+    "q77_variant_json": q77_variant_json,
+    "q78_udtf_chunk": q78_udtf_chunk,
 }
 
 ORACLES = {
@@ -552,5 +634,7 @@ ORACLES = {
     "q25_date_extras": ORACLE_Q25,
     "q67_pandas_udf_scalar": ORACLE_Q67,
     "q69_regression_stats": ORACLE_Q69,
+    "q77_variant_json": ORACLE_Q77,
+    "q78_udtf_chunk": ORACLE_Q78,
     # q15b: rows-only (sketch-based)
 }

@@ -23,7 +23,14 @@ from hive_ddl_extract_tool_spark.plans.explain import (
 QUERIES = all_queries()
 
 # Queries that intentionally run Python stages (Arrow-batched, documented).
-PYTHON_OK = {"q48_cosine_topk_pandas", "q51_decode_features", "q52_zscore_groups", "q54_skyline", "q67_pandas_udf_scalar"}
+PYTHON_OK = {
+    "q48_cosine_topk_pandas",
+    "q51_decode_features",
+    "q52_zscore_groups",
+    "q54_skyline",
+    "q67_pandas_udf_scalar",
+    "q78_udtf_chunk",
+}
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
 SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join"}
 
