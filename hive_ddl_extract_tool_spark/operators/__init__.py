@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Queries that must reach the driver's correctness sweep first this round.
 _PRIORITY = [
+    # q15b first: round-1 VERDICT item ("driver-safe q15b") -- its evidence
+    # is a clean rows-only row, which it can only earn if the budgeted sweep
+    # reaches it. The other rows-only entries ride along (cheap, and they
+    # lose everything if truncated, unlike re-verified oracle queries).
+    "q15b_approx_percentiles",
+    "q06_approx_distinct_users",
+    "q48_cosine_topk_pandas",
+    "q51_decode_features",
+    "q52_zscore_groups",
     "q61_sliding_window",
     "q62_session_window",
     "q63_stream_tumbling",
