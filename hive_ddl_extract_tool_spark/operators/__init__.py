@@ -65,6 +65,7 @@ _PRIORITY = [
     "q76_heavy_hitters",
     "q77_variant_json",
     "q78_udtf_chunk",
+    "q79_resample_ffill",
 ]
 
 

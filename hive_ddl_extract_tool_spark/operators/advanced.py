@@ -407,6 +407,96 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q79: time-series resample + forward fill (gap-filling onto a fixed grid)
+# --------------------------------------------------------------------------
+
+RESAMPLE_USERS = 20  # bound the output grid (users x ~720 hourly buckets)
+
+
+def q79_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular event stream onto an hourly grid per user,
+    carrying the last observed value forward through empty buckets -- the
+    resample+ffill primitive of every time-series store. Scale shape: the
+    per-bucket reduction happens FIRST (events collapse to at most
+    users x buckets rows before anything widens), the grid is generated
+    per user with sequence/explode (no cross join against a calendar
+    table), and the fill is one last(ignorenulls) window over the grid --
+    two narrow shuffles total, both on user_id. The grid starts at each
+    user's first active bucket, so the fill column is never NULL and the
+    cross-engine compare stays total."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < RESAMPLE_USERS)
+    bucketed = events.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    # last observation per (user, bucket), ties broken by (ts, event_id)
+    wlast = W.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per_bucket = (
+        bucketed.withColumn("rn", F.row_number().over(wlast))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("last_value"),
+        )
+    )
+    span = per_bucket.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = grid.join(per_bucket, ["user_id", "bucket"], "left")
+    wfill = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("last_value", ignorenulls=True).over(wfill).alias("ffill_value"),
+    )
+
+
+ORACLE_Q79 = f"""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events WHERE user_id < {RESAMPLE_USERS}
+),
+per_bucket AS (
+  SELECT user_id, bucket,
+         count(*) AS n_events,
+         max(CASE WHEN rn = 1 THEN value END) AS last_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM b)
+  GROUP BY user_id, bucket
+),
+span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM per_bucket GROUP BY user_id),
+grid AS (
+  SELECT user_id, g.bucket
+  FROM span, LATERAL (SELECT unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket) g
+)
+SELECT g.user_id,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S')                        AS bucket,
+       CAST(coalesce(p.n_events, 0) AS BIGINT)                        AS n_events,
+       last_value(p.last_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)      AS ffill_value
+FROM grid g LEFT JOIN per_bucket p USING (user_id, bucket)
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -414,6 +504,7 @@ QUERIES = {
     "q59_asof_join": q59_asof_join,
     "q74_funnel": q74_funnel,
     "q75_cohort_retention": q75_cohort_retention,
+    "q79_resample_ffill": q79_resample_ffill,
 }
 
 ORACLES = {
@@ -423,4 +514,5 @@ ORACLES = {
     "q59_asof_join": ORACLE_Q59,
     "q74_funnel": ORACLE_Q74,
     "q75_cohort_retention": ORACLE_Q75,
+    "q79_resample_ffill": ORACLE_Q79,
 }

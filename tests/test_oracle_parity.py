@@ -64,3 +64,27 @@ def test_q69_sufficient_stats_match_builtin_aggregates(spark, sf_dir):
             (g["r2"], r["r2"]),
         ):
             assert abs(mine - theirs) < 1e-5, (r["flag"], mine, theirs)
+
+
+def test_q68_clusters_are_valid_components(spark, sf_dir):
+    """Structural invariants of the dup-cluster output, independent of the
+    oracle: every near-dup edge joins two docs of the SAME cluster, every
+    canonical id is the minimum doc_id of its cluster, and cluster sizes
+    sum to the corpus size."""
+    clusters = {
+        r["doc_id"]: r["canonical_id"]
+        for r in QUERIES["q68_dup_clusters"](spark, sf_dir).collect()
+    }
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q42_minhash_lsh_dedup"](spark, sf_dir).collect()
+    ]
+    assert edges, "fixture should contain planted near-dup pairs"
+    for a, b in edges:
+        assert clusters[a] == clusters[b], (a, b)
+    by_canon: dict = {}
+    for doc, canon in clusters.items():
+        by_canon.setdefault(canon, []).append(doc)
+    for canon, members in by_canon.items():
+        assert canon == min(members), (canon, members)
+    assert len(clusters) == sum(len(m) for m in by_canon.values())
