@@ -1,0 +1,83 @@
+"""Spark 4 extension surfaces a platform team would build on: the Python
+Data Source API (pure-Python connectors that still partition and run inside
+the executor plan) and Observation metrics (data-quality counters collected
+during a query's own pass — no second scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_python_data_source_partitioned_read(spark):
+    """Register a pure-Python batch connector and read through the normal
+    spark.read path: the source declares its own partitions, each read
+    runs executor-side, and the result is a first-class DataFrame. This is
+    the extension story for feeds with no JVM connector (internal APIs,
+    bespoke formats): write the reader in Python, keep Spark's planning,
+    partitioning, and downstream codegen."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class DocFeedReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("partitions", "4"))
+            self.per_part = int(options.get("rowsperpartition", "10"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.per_part
+            for i in range(self.per_part):
+                doc_id = base + i
+                yield (doc_id, f"synthetic doc {doc_id}", len(f"synthetic doc {doc_id}"))
+
+    class DocFeed(DataSource):
+        @classmethod
+        def name(cls):
+            return "docfeed"
+
+        def schema(self):
+            return "doc_id bigint, text string, n_chars int"
+
+        def reader(self, schema):
+            return DocFeedReader(self.options)
+
+    spark.dataSource.register(DocFeed)
+    df = (
+        spark.read.format("docfeed")
+        .option("partitions", "3")
+        .option("rowsPerPartition", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted((r.doc_id, r.text, r.n_chars) for r in df.collect())
+    assert len(rows) == 15
+    assert rows[0] == (0, "synthetic doc 0", len("synthetic doc 0"))
+    assert rows[-1][0] == 14
+    # the python source composes with ordinary JVM-side transformations
+    agg = df.agg(F.sum("doc_id").alias("s")).collect()[0]
+    assert agg["s"] == sum(range(15))
+
+
+def test_observation_metrics_ride_the_query_pass(spark, sf_dir):
+    """Data-quality counters (nulls, out-of-range, row volume) attached via
+    observe() are computed DURING the main query's single scan -- the
+    monitoring pattern for a 100 TB pipeline where a second
+    validation scan would double the bill."""
+    from pyspark.sql import Observation
+
+    from hive_ddl_extract_tool_spark.tables import load
+
+    obs = Observation("quality")
+    docs = load(spark, sf_dir, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("text").isNull() | (F.length("text") == 0)).alias("n_empty"),
+        F.count_if(F.length("text") > 100_000).alias("n_oversize"),
+    )
+    result = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    metrics = obs.get
+    assert metrics["n_rows"] == sum(r["n"] for r in result)
+    assert metrics["n_empty"] == 0
+    assert metrics["n_oversize"] == 0
