@@ -66,6 +66,7 @@ _PRIORITY = [
     "q77_variant_json",
     "q78_udtf_chunk",
     "q79_resample_ffill",
+    "q80_rolling_anomaly",
 ]
 
 

@@ -497,6 +497,90 @@ FROM grid g LEFT JOIN per_bucket p USING (user_id, bucket)
 """
 
 
+# --------------------------------------------------------------------------
+# q80: rolling z-score anomaly detection (integer-exact moving statistics)
+# --------------------------------------------------------------------------
+
+ROLL_N = 20  # trailing window size (events)
+MIN_N = 5    # minimum observations before scoring
+
+
+def q80_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-monitor shape in batch: z-score each event's value against
+    its user's trailing 20 observations, flag |z| > 3. The moving mean/std
+    come from integer moments (values are 2dp-quantized -> exact cents):
+    integer window sums stay EXACT even under the subtract-on-slide
+    optimization both engines use for moving frames, where double
+    accumulators would drift. One shuffle on user_id; per-row state is two
+    running integers. z is emitted floor-quantized (x1e6) because round()
+    at decimal ties is the one op the engines disagree on."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id").rowsBetween(-(ROLL_N - 1), 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("cents").over(w)
+    sxx = F.sum(F.col("cents") * F.col("cents")).over(w)
+    num = n * sxx - sx * sx          # exact bigint arithmetic
+    den = n * (n - 1)
+    z = (
+        (F.col("cents").cast("double") - sx.cast("double") / n.cast("double"))
+        / F.sqrt(num.cast("double") / den.cast("double"))
+    )
+    scored = base.select(
+        "user_id",
+        "event_id",
+        "cents",
+        n.alias("n_window"),
+        F.when((n >= MIN_N) & (num > 0), z).alias("z"),
+    )
+    return scored.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.col("n_window").cast("int").alias("n_window"),
+        F.floor(F.col("z") * 1e6).cast("bigint").alias("z_e6"),
+        F.when(F.col("z").isNotNull(), F.abs("z") > 3.0).alias("is_anomaly"),
+    )
+
+
+ORACLE_Q80 = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, cents,
+         count(*)            OVER w AS n,
+         sum(cents)          OVER w AS sx,
+         sum(cents * cents)  OVER w AS sxx
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT user_id, event_id, cents, n,
+         CASE WHEN n >= {MIN_N} AND (n * sxx - sx * sx) > 0 THEN
+           (CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+         END AS z
+  FROM m
+)
+SELECT user_id, event_id, cents,
+       CAST(n AS INT)                                    AS n_window,
+       CAST(floor(z * 1e6) AS BIGINT)                    AS z_e6,
+       CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END     AS is_anomaly
+FROM scored
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -505,6 +589,7 @@ QUERIES = {
     "q74_funnel": q74_funnel,
     "q75_cohort_retention": q75_cohort_retention,
     "q79_resample_ffill": q79_resample_ffill,
+    "q80_rolling_anomaly": q80_rolling_anomaly,
 }
 
 ORACLES = {
@@ -515,4 +600,5 @@ ORACLES = {
     "q74_funnel": ORACLE_Q74,
     "q75_cohort_retention": ORACLE_Q75,
     "q79_resample_ffill": ORACLE_Q79,
+    "q80_rolling_anomaly": ORACLE_Q80,
 }

@@ -96,3 +96,29 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     data_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(data_files) == 1
     assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet batches -- the normal life of a
+    long-lived 100 TB dataset: a column added later must not break readers,
+    and mergeSchema reconciles old and new footers (nulls for the column's
+    pre-history). Spark reads one footer by default for speed; evolution
+    needs the explicit merge."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("source")
+    ).write.parquet(p + "/batch=1")
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v2").alias("source"),
+        (F.col("id") * 10).alias("quality"),  # column added in v2
+    ).write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "source", "quality", "batch"}
+    rows = {r["doc_id"]: (r["source"], r["quality"]) for r in merged.collect()}
+    assert rows[0] == ("v1", None)   # old rows: evolved column is null
+    assert rows[7] == ("v2", 70)
+    assert len(rows) == 8
