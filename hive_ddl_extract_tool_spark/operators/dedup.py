@@ -22,7 +22,7 @@ statistical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._cache import cached_df
@@ -402,6 +402,89 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 CC_MAX_ITERS = 15
 
 
+def _star(cur: DataFrame, large: bool) -> DataFrame:
+    """One star operation over a symmetric edge list ``(u, v)``.
+
+    For every node u let m = min(neighbors(u) + {u}). Large-star links each
+    strictly-larger neighbor to m; small-star links each smaller neighbor
+    AND u itself to m. Returns directed (a, b) pairs with b < a."""
+    mins = cur.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("u", "mn").alias("m")
+    )
+    j = cur.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = j.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def _sym(pairs: DataFrame) -> DataFrame:
+    """Directed (a, b) pairs -> symmetric (u, v) edge list."""
+    return pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (the
+    MapReduce-era algorithm published by Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): converges in O(log n)
+    rounds on ANY graph shape, unlike naive min-label propagation whose
+    round count equals the component diameter (a 100-node chain would need
+    ~100 propagation rounds but only ~log2 star rounds -- pinned by a
+    property test in tests/test_properties.py).
+
+    ``edges``: symmetric (src, dst) pairs. Returns ``(labels, rounds)``
+    where labels is (doc_id, lbl) for every node appearing in an edge, lbl
+    being the component minimum. Raises RuntimeError if the round cap is
+    hit without reaching the fixpoint -- a non-converged labeling must fail
+    loudly, never be returned as a result."""
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # localCheckpoint (not persist) each round: an iterative DataFrame loop
+    # grows its logical plan exponentially -- persist caches data but keeps
+    # the full lineage, and by round ~8 even *printing* the tree overflows.
+    # Checkpointing materializes AND truncates lineage, the standard move
+    # for iterative graph algorithms (GraphX does the same internally). On a
+    # real cluster swap localCheckpoint for a reliable checkpoint dir.
+    cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).distinct().localCheckpoint()
+
+    rounds = 0
+    prev: DataFrame | None = None
+    prev_cnt = -1
+    stars: DataFrame | None = None
+    converged = False
+    while rounds < CC_MAX_ITERS:
+        rounds += 1
+        mid = _sym(_star(cur, large=True)).distinct()
+        stars_new = _star(mid, large=False).localCheckpoint()
+        cnt = stars_new.count()
+        # Fixpoint: the directed child->parent set is unchanged -- the graph
+        # is now a forest of stars centered at each component's minimum.
+        if prev is not None and cnt == prev_cnt and stars_new.subtract(prev).isEmpty():
+            stars = stars_new
+            converged = True
+            break
+        prev, prev_cnt = stars_new, cnt
+        cur = _sym(stars_new).distinct().localCheckpoint()
+        stars = stars_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {CC_MAX_ITERS} rounds; "
+            "refusing to return a possibly-wrong labeling"
+        )
+
+    lab = stars.groupBy(F.col("a").alias("doc_id")).agg(F.min("b").alias("lbl"))
+    labels = nodes.join(lab, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("lbl")
+    )
+    return labels, rounds
+
+
 def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn the pairwise near-dup edges (q42) into actionable dedup clusters:
     every document mapped to a canonical representative (the minimum doc_id
@@ -409,16 +492,14 @@ def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id == canonical_id`` is the "keep one per cluster" purge step a
     training pipeline actually executes.
 
-    Scale design: min-label propagation runs ONLY over the near-dup
-    subgraph (nodes that appear in an edge), which at corpus scale is
-    orders of magnitude smaller than the corpus itself; the full document
+    Scale design: the large-star/small-star rounds run ONLY over the
+    near-dup subgraph (nodes that appear in an edge), which at corpus scale
+    is orders of magnitude smaller than the corpus itself; the full document
     set joins in exactly once at the end (left join + coalesce for
-    singletons). Each iteration is one join + one min-aggregate over the
-    edge set; the loop stops when a fixpoint is reached (per-iteration
-    convergence check, the standard Pregel/GraphX shape). Iteration count
-    equals the component diameter -- near-dup clusters are tight (pairs and
-    small cliques), so 2-3 rounds in practice; a degenerate long-chain graph
-    would call for the large-star/small-star O(log n) variant instead."""
+    singletons). cluster_size is a window count over the canonical_id
+    partitioning -- NOT a broadcast of the per-cluster size table, which has
+    ~one row per document (mostly singletons) and would OOM at corpus
+    scale."""
     pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
     # Symmetrize by exploding each pair into both directions in ONE pass --
     # union(pairs, pairs.swapped) would evaluate the whole q42 pipeline
@@ -436,36 +517,16 @@ def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .persist()
     )
-
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .persist()
-    )
-    for _ in range(CC_MAX_ITERS):
-        prop = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "lbl"
-        )
-        new = labels.union(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl")).persist()
-        improved = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(F.col("lbl") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if improved == 0:
-            break
+    labels, _rounds = connected_components(edges)
     edges.unpersist()
 
     docs = load(spark, sf_dir, "documents")
     mapped = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
     )
-    sizes = mapped.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return mapped.join(F.broadcast(sizes), "canonical_id").select(
-        "doc_id", "canonical_id", "cluster_size"
+    w = Window.partitionBy("canonical_id")
+    return mapped.select(
+        "doc_id", "canonical_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
 
 

@@ -66,6 +66,39 @@ def test_q69_sufficient_stats_match_builtin_aggregates(spark, sf_dir):
             assert abs(mine - theirs) < 1e-5, (r["flag"], mine, theirs)
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Large-star/small-star must converge in O(log n) rounds on the
+    worst-case shape for naive propagation: a 100-node chain (diameter 99,
+    which min-label propagation would need ~99 rounds for). Bound is
+    ceil(log2(100)) + 3 slack = 10."""
+    from hive_ddl_extract_tool_spark.operators.dedup import connected_components
+
+    n = 100
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    labels, rounds = connected_components(edges)
+    assert rounds <= 10, f"chain took {rounds} rounds (diameter-bound algo?)"
+    got = {r["doc_id"]: r["lbl"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_if_not_converged(spark, monkeypatch):
+    """A labeling that hit the round cap must fail loudly, not return."""
+    import hive_ddl_extract_tool_spark.operators.dedup as d
+
+    monkeypatch.setattr(d, "CC_MAX_ITERS", 1)
+    pairs = [(i, i + 1) for i in range(20)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        d.connected_components(edges)
+
+
 def test_q68_clusters_are_valid_components(spark, sf_dir):
     """Structural invariants of the dup-cluster output, independent of the
     oracle: every near-dup edge joins two docs of the SAME cluster, every

@@ -150,6 +150,20 @@ def test_dup_clusters_no_cartesian(spark, sf_dir):
     assert_no_cartesian(QUERIES["q68_dup_clusters"](spark, sf_dir))
 
 
+def test_dup_clusters_size_is_window_not_broadcast(spark, sf_dir):
+    """cluster_size must come from a window count over canonical_id, never
+    from joining a per-cluster size table: that table has ~one row per
+    document (mostly singletons), so broadcasting it -- or joining it at
+    all -- re-shuffles the corpus against an O(N) aggregate. Round-2
+    verdict item #1."""
+    df = QUERIES["q68_dup_clusters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "canonical_id" not in line, f"sizes join is back:\n{line}"
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - PYTHON_OK - SKIP_PLAN_AUDIT)
 )
