@@ -29,44 +29,51 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Queries that must reach the driver's correctness sweep first this round.
+# Queries that must reach the driver's correctness sweep first this round
+# (round 3): the 27 queries whose only green row is from ROUND 1 (the r02
+# sweep budget cut before them -- the dedup/similarity core q40-q47 among
+# them), then this round's new/changed queries. Everything verified fresh
+# in r02 rotates to the back.
 _PRIORITY = [
-    # q15b first: round-1 VERDICT item ("driver-safe q15b") -- its evidence
-    # is a clean rows-only row, which it can only earn if the budgeted sweep
-    # reaches it. The other rows-only entries ride along (cheap, and they
-    # lose everything if truncated, unlike re-verified oracle queries).
-    "q15b_approx_percentiles",
-    "q06_approx_distinct_users",
-    "q48_cosine_topk_pandas",
-    "q51_decode_features",
-    "q52_zscore_groups",
-    "q61_sliding_window",
-    "q62_session_window",
-    "q63_stream_tumbling",
-    "q49b_cosine_neardup_lsh",
+    # dedup + similarity core first (verdict: "the hard signal is stale
+    # for the operators that matter most")
+    "q40_exact_dedup",
+    "q41_minhash_signatures",
+    "q42_minhash_lsh_dedup",
+    "q43_ngram_jaccard",
+    "q44_simhash",
+    "q45_simhash_neardup",
+    "q46_cosine_topk",
+    "q47_ann_lsh",
+    "q49_cosine_neardup",
+    # round-3 new/changed operators
+    "q49c_lsh_recall",
+    "q66b_ivf_trained",
+    "q66_ivf_ann",
+    "q68_dup_clusters",
     "q56_salted_join",
     "q58_bucketed_join",
-    "q64_stream_dedup",
-    "q59_asof_join",
-    "q65_frame_sample",
-    "q66_ivf_ann",
-    "q35_tfidf_topterms",
-    "q27_range_frame_window",
-    "q36_hash_split",
-    "q67_pandas_udf_scalar",
-    "q68_dup_clusters",
-    "q69_regression_stats",
-    "q70_stream_static_join",
-    "q71_repetition_metrics",
-    "q72_embed_quantize",
-    "q73_stratified_sample",
-    "q74_funnel",
-    "q75_cohort_retention",
-    "q76_heavy_hitters",
-    "q77_variant_json",
-    "q78_udtf_chunk",
-    "q79_resample_ffill",
-    "q80_rolling_anomaly",
+    # remaining round-1-stale oracle rows
+    "q15_percentiles",
+    "q16_window_extras",
+    "q17_conditional_aggs",
+    "q18_null_handling",
+    "q19_string_extras",
+    "q24_map_functions",
+    "q25_date_extras",
+    "q28_unpivot",
+    "q30_text_stats",
+    "q31_token_count",
+    "q32_langid",
+    "q33_fingerprint",
+    "q34_quality_score",
+    "q50_binary_metadata",
+    "q53_sql_ml_inference",
+    "q55_range_join",
+    # round-1-stale rows-only entries (weaker signal, but their evidence
+    # ages out entirely if the sweep never reaches them)
+    "q54_skyline",
+    "q60_tumbling_window",
 ]
 
 

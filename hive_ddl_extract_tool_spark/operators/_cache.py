@@ -24,12 +24,23 @@ so long-lived sessions do not accumulate state.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[str, str], DataFrame] = {}
+# key -> (DataFrame, staged parquet dir). The dir is rmtree'd on eviction --
+# /tmp on a long-lived host is NOT self-cleaning, so "the OS reclaims it"
+# would really mean unbounded staged-corpus accumulation.
+_CACHE: dict[tuple[str, str], tuple[DataFrame, str]] = {}
+
+
+def _evict(full_key: tuple[str, str]) -> None:
+    entry = _CACHE.pop(full_key, None)
+    if entry is not None:
+        shutil.rmtree(entry[1], ignore_errors=True)
 
 
 def cached_df(spark: SparkSession, key: str, builder: Callable[[], DataFrame]) -> DataFrame:
@@ -39,17 +50,21 @@ def cached_df(spark: SparkSession, key: str, builder: Callable[[], DataFrame]) -
     full_key = (app_id, key)
     hit = _CACHE.get(full_key)
     if hit is not None:
-        return hit
+        return hit[0]
     for k in [k for k in _CACHE if k[0] != app_id]:
-        _CACHE.pop(k, None)
+        _evict(k)
     stage_dir = tempfile.mkdtemp(prefix="stage_" + "".join(c if c.isalnum() else "_" for c in key) + "_")
     builder().write.mode("overwrite").parquet(stage_dir)
     df = spark.read.parquet(stage_dir)
-    _CACHE[full_key] = df
+    _CACHE[full_key] = (df, stage_dir)
     return df
 
 
 def clear_cache() -> None:
-    """Forget every staged entry (test isolation hook); staged files live in
-    the temp dir and are reclaimed by the OS."""
-    _CACHE.clear()
+    """Drop every staged entry AND its on-disk parquet (test isolation hook
+    + atexit janitor)."""
+    for k in list(_CACHE):
+        _evict(k)
+
+
+atexit.register(clear_cache)

@@ -191,7 +191,16 @@ ORACLE_Q41 = f"SELECT doc_id, CAST(seed_id AS INT) AS seed_id, minh FROM ({_minh
 def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: band signatures (8 bands x 2 rows), bucket
     self-join on (band, band_key), exact Jaccard on the candidates only,
-    threshold 0.8. At scale only band-collisions shuffle into the join."""
+    threshold 0.8. At scale only band-collisions shuffle into the join.
+
+    The (tiny) verified-pair output is parquet-staged per session: it is THE
+    dedup artifact every downstream step consumes (q68's cluster resolution
+    here; at 100 TB the purge join as well), so one pipeline evaluation
+    serves them all instead of re-running the band join per consumer."""
+    return cached_df(spark, f"q42_pairs:{sf_dir}", lambda: _q42_build(spark, sf_dir))
+
+
+def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _doc_shingles(spark, sf_dir, cache=True)
     sig = _minhash_from_shingles(ds)
     rows_per_band = N_HASHES // N_BANDS
@@ -451,26 +460,38 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     # Checkpointing materializes AND truncates lineage, the standard move
     # for iterative graph algorithms (GraphX does the same internally). On a
     # real cluster swap localCheckpoint for a reliable checkpoint dir.
-    cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).distinct().localCheckpoint()
+    # eager=False everywhere: the round's single signature job materializes
+    # the pending checkpoint, instead of paying one blocking job per
+    # checkpoint call.
+    cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).distinct().localCheckpoint(eager=False)
 
     rounds = 0
     prev: DataFrame | None = None
-    prev_cnt = -1
+    prev_sig: tuple | None = None
     stars: DataFrame | None = None
     converged = False
     while rounds < CC_MAX_ITERS:
         rounds += 1
         mid = _sym(_star(cur, large=True)).distinct()
-        stars_new = _star(mid, large=False).localCheckpoint()
-        cnt = stars_new.count()
+        stars_new = _star(mid, large=False).localCheckpoint(eager=False)
+        # ONE job per round: (count, order-free hash-sum) fingerprints the
+        # directed child->parent set; equal fingerprints gate an exact
+        # subtract confirm, so a hash collision can't fake convergence and
+        # the set-difference job runs only once, at the fixpoint.
+        sig_row = stars_new.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal accumulator: summing raw int64 hashes overflows ANSI
+            F.sum(F.xxhash64("a", "b").cast("decimal(20,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["c"], sig_row["h"])
         # Fixpoint: the directed child->parent set is unchanged -- the graph
         # is now a forest of stars centered at each component's minimum.
-        if prev is not None and cnt == prev_cnt and stars_new.subtract(prev).isEmpty():
+        if prev is not None and sig == prev_sig and stars_new.subtract(prev).isEmpty():
             stars = stars_new
             converged = True
             break
-        prev, prev_cnt = stars_new, cnt
-        cur = _sym(stars_new).distinct().localCheckpoint()
+        prev, prev_sig = stars_new, sig
+        cur = _sym(stars_new).distinct().localCheckpoint(eager=False)
         stars = stars_new
     if not converged:
         raise RuntimeError(

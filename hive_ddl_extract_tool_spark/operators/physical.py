@@ -17,6 +17,7 @@ driver exercises them too:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,15 +38,27 @@ def q56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. The dim side (one row per event_type) is joined to the full
     events fact via salted_join: the 16-way salt turns each hot key's
     single monster partition into 16 splittable ones. Row-level semantics
-    are identical to the unsalted join -- the oracle is the plain SQL."""
-    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    dim = events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    are identical to the unsalted join -- the oracle is the plain SQL.
+
+    The above-average predicate is boundary-exact: a raw double avg() sums
+    in partition order, so a value within an ulp of the mean could flip
+    membership across engines/partitionings. values are 2dp-quantized, so
+    the test runs entirely in integers: cents * cnt > sum_cents is the
+    same inequality as value > avg with zero float arithmetic (the q69/q80
+    integer-moment discipline)."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = events.groupBy("event_type").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
     joined = salted_join(
         events, dim.withColumnRenamed("event_type", "et"),
         big_key="event_type", small_key="et", n_salts=16,
     )
     return (
-        joined.filter(F.col("value") > F.col("type_avg"))
+        joined.filter(F.col("cents") * F.col("cnt") > F.col("sum_cents"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_above_avg"),
@@ -55,12 +68,17 @@ def q56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q56 = """
-WITH dim AS (SELECT event_type AS et, avg(value) AS type_avg FROM events GROUP BY 1)
+WITH e AS (
+  SELECT event_type, value, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+dim AS (
+  SELECT event_type AS et, sum(cents) AS sum_cents, count(*) AS cnt FROM e GROUP BY 1
+)
 SELECT event_type,
        count(*)                        AS n_above_avg,
        round(1.37e-6 + sum(value), 2)  AS sum_above
-FROM events JOIN dim ON event_type = et
-WHERE value > type_avg
+FROM e JOIN dim ON event_type = et
+WHERE cents * cnt > sum_cents
 GROUP BY event_type
 """
 
@@ -72,11 +90,13 @@ GROUP BY event_type
 def q58_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders joined to per-order lineitem revenue where BOTH sides are
     bucketed tables on o_orderkey/l_orderkey: the shuffle happened once at
-    write time, so the join plan has no Exchange. The tables are written
-    under a temp warehouse path each run (idempotent overwrite); at real
-    scale the write is the one-time layout cost a 100 TB fact pays so that
-    every later join against it is exchange-free."""
-    base = tempfile.mkdtemp(prefix="q58_bucketed_")
+    write time, so the join plan has no Exchange. The tables live at a
+    DETERMINISTIC per-sf path and are overwritten in place -- a fresh
+    mkdtemp per invocation would leak one staged copy per sweep on a
+    long-lived host. At real scale the write is the one-time layout cost a
+    100 TB fact pays so that every later join against it is exchange-free."""
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q58_bucketed_{sf_tag}")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     li_rev = (
         load(spark, sf_dir, "lineitem")

@@ -374,6 +374,42 @@ SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
+# q49c: recall/precision audit of the LSH scale path against the exact
+# baseline -- turns "q49 audits q49b" into a driver-checked number
+# --------------------------------------------------------------------------
+
+def q49c_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joins q49b's (LSH candidate + verify) pairs against q49's exact
+    all-pairs ground truth and emits the counts + recall as one row. Every
+    q49b pair passes the same exact-cosine verify, so precision is 1 by
+    construction (lsh_pairs == matched pins that); recall measures what the
+    radius-2 multi-probe misses. Inherits q49's deliberate quadratic cost:
+    an AUDIT query you run on a sample, not a production operator."""
+    ex = q49_cosine_neardup(spark, sf_dir).select("vec_a", "vec_b").withColumn("e", F.lit(1))
+    ls = q49b_cosine_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b").withColumn("h", F.lit(1))
+    j = ex.join(ls, ["vec_a", "vec_b"], "full")
+    matched = F.count(F.when(F.col("e").isNotNull() & F.col("h").isNotNull(), 1))
+    return j.agg(
+        F.count("e").alias("exact_pairs"),
+        F.count("h").alias("lsh_pairs"),
+        matched.alias("matched"),
+        F.round(matched.cast("double") / F.count("e"), 6).alias("recall"),
+    )
+
+
+ORACLE_Q49C = f"""
+WITH ex AS (SELECT vec_a, vec_b, 1 AS e FROM ({ORACLE_Q49})),
+ls AS (SELECT vec_a, vec_b, 1 AS h FROM ({ORACLE_Q49B})),
+j AS (SELECT e, h FROM ex FULL JOIN ls USING (vec_a, vec_b))
+SELECT count(e) AS exact_pairs, count(h) AS lsh_pairs,
+       count(CASE WHEN e IS NOT NULL AND h IS NOT NULL THEN 1 END) AS matched,
+       round(CAST(count(CASE WHEN e IS NOT NULL AND h IS NOT NULL THEN 1 END) AS DOUBLE)
+             / count(e), 6) AS recall
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # q66: IVF-flat ANN (centroid cells + nprobe=2), the other classic ANN index
 # --------------------------------------------------------------------------
 
@@ -392,36 +428,70 @@ def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar arithmetic -- corpus vectors shuffle once, keyed by cell.
     Squared-distance accumulates left-to-right in doubles and ties break on
     cell index via a 1e-9 nudge, keeping the DuckDB oracle bit-exact."""
+    cent_vecs = _init_centroids(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir, cent_vecs, f"ivf_ranked:{sf_dir}")
+    return _ivf_search(ranked)
+
+
+def _dist_to(c_vec) -> Column:
+    lits = F.array(*[F.lit(float(v)) for v in c_vec])
+    return F.aggregate(
+        F.zip_with("embedding", lits, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_slots(cent_vecs) -> Column:
+    """Per-row array of (nudged squared distance, cell index) structs. Field
+    order (d, ci) makes array_sort order by distance -- the whole argmin /
+    top-N_PROBE is pure projection arithmetic, NO explode, NO window, NO
+    shuffle (the round-2 plan showed the explode+row_number formulation
+    exchanging the full corpus just to rank 8 per-row candidates)."""
+    return F.array(*[
+        F.struct((_dist_to(v) + F.lit(i * 1e-9)).alias("d"), F.lit(i).alias("ci"))
+        for i, v in enumerate(cent_vecs)
+    ])
+
+
+def _init_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic init: the first N_CELLS corpus vectors (bounded
+    N_CELLS-row collect shipped as plan literals)."""
     emb = load(spark, sf_dir, "embeddings")
-    cent_rows = sorted(
+    rows = sorted(
         emb.filter(F.col("vec_id") < N_CELLS).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
+    return [list(r["embedding"]) for r in rows]
 
-    def dist_to(c_vec) -> Column:
-        lits = F.array(*[F.lit(float(v)) for v in c_vec])
-        return F.aggregate(
-            F.zip_with("embedding", lits, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+def _ivf_ranked(spark: SparkSession, sf_dir: str, cent_vecs, key: str) -> DataFrame:
+    """(vec_id, embedding, t2 = two nearest cells) -- staged to parquet once
+    so BOTH the corpus side (cell = t2[0].ci) and the probe side (explode of
+    both cells) derive from a single embeddings scan instead of two."""
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id", "embedding",
+            F.slice(F.array_sort(_cell_slots(cent_vecs)), 1, N_PROBE).alias("t2"),
         )
 
-    cells = F.array(*[
-        F.struct(F.lit(i).alias("ci"), (dist_to(r["embedding"]) + F.lit(i * 1e-9)).alias("d"))
-        for i, r in enumerate(cent_rows)
-    ])
-    exploded = emb.select("vec_id", "embedding", F.explode(cells).alias("c"))
-    ranked = exploded.select(
-        "vec_id", "embedding", F.col("c.ci").alias("ci"), F.col("c.d").alias("d")
-    )
-    w_cell = W.partitionBy("vec_id").orderBy("d")
-    with_rank = ranked.withColumn("rk", F.row_number().over(w_cell))
-    corpus = with_rank.filter(F.col("rk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("ci").alias("cell")
+    return cached_df(spark, key, build)
+
+
+def _ivf_search(ranked: DataFrame) -> DataFrame:
+    corpus = ranked.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("t2")[0]["ci"].alias("cell"),
     )
     probes = (
-        with_rank.filter((F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("ci").alias("cell"))
+        ranked.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.transform("t2", lambda s: s["ci"])).alias("cell"),
+        )
     )
     scored = (
         probes.join(corpus, "cell")
@@ -436,9 +506,14 @@ def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_cells_sql() -> str:
-    """DuckDB twin of the cell ranking: same centroid literals, same
-    left-to-right double accumulation, same 1e-9 index nudge."""
+_CENT0_SQL = f"""(SELECT vec_id AS ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+   FROM embeddings WHERE vec_id < {N_CELLS})"""
+
+
+def _ivf_cells_sql(cent_rel: str = _CENT0_SQL) -> str:
+    """DuckDB twin of the cell ranking against any (ci, cv) centroid
+    relation: same centroid values, same left-to-right double accumulation,
+    same 1e-9 index nudge."""
     return f"""
   SELECT vec_id, embedding, ci,
          row_number() OVER (PARTITION BY vec_id ORDER BY d) AS rk
@@ -447,9 +522,7 @@ def _ivf_cells_sql() -> str:
            list_sum(list_transform(range(1, {DIM} + 1),
                     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
                        * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) + c.ci * 1e-9 AS d
-    FROM embeddings e,
-         (SELECT ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-          FROM (SELECT vec_id AS ci, embedding FROM embeddings WHERE vec_id < {N_CELLS})) c
+    FROM embeddings e, {cent_rel} c
   )
 """
 
@@ -471,6 +544,135 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# q66b: IVF-flat ANN with DISTRIBUTED k-means-trained centroids
+# --------------------------------------------------------------------------
+
+KMEANS_ITERS = 2   # Lloyd update rounds (init = first N_CELLS vectors)
+Q20 = 1 << 20      # fixed-point scale for exact cross-engine centroid means
+
+
+_CENTROID_MEMO: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def train_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Distributed Lloyd k-means feeding q66's literal-centroid mechanism.
+
+    Each round is one corpus pass: assign every vector to its nearest
+    centroid (the same per-row array-math argmin the search uses -- no
+    shuffle), then one partial-aggregated groupBy((cell, dim)) whose output
+    is a bounded N_CELLS x DIM rows collected to the driver. At 100 TB
+    you'd train on a deterministic hash-sample; the mechanism is unchanged.
+
+    Determinism across engines: centroid means use the integer-moment
+    discipline -- each element is floor-quantized to 2^-20 fixed point,
+    summed exactly as int64 (order-free), and divided back in doubles once.
+    DuckDB replays the identical rounds in unrolled CTEs, so the trained
+    centroids (and therefore every assignment) are bit-identical."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CENTROID_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    cent = _init_centroids(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    for _ in range(KMEANS_ITERS):
+        cell = F.element_at(F.array_sort(_cell_slots(cent)), 1)["ci"]
+        # DIM sum columns in ONE groupBy instead of a posexplode fan-out:
+        # the shuffle carries N_CELLS map-combined partial rows per
+        # partition, never DIM x corpus exploded rows.
+        aggs = [
+            F.sum(
+                F.floor(F.element_at("embedding", j + 1).cast("double") * F.lit(float(Q20))).cast("bigint")
+            ).alias(f"s{j}")
+            for j in range(DIM)
+        ] + [F.count(F.lit(1)).alias("cnt")]
+        stats = (
+            emb.select(cell.alias("cell"), "embedding")
+            .groupBy("cell")
+            .agg(*aggs)
+            .collect()
+        )
+        new = [list(c) for c in cent]
+        for r in stats:
+            # int/int true division == double division here (both operands
+            # well under 2^53, so each cast is exact)
+            new[r["cell"]] = [r[f"s{j}"] / r["cnt"] / float(Q20) for j in range(DIM)]
+        cent = new
+    _CENTROID_MEMO[memo_key] = cent
+    return cent
+
+
+def q66b_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66 with k-means-trained centroids instead of the first-8-vectors
+    stand-in: same Voronoi search (nprobe=2), better-shaped cells. Recall
+    against the exact q46 baseline is pinned in tests/test_oracle_parity.py."""
+    cent = train_centroids(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
+    return _ivf_search(ranked)
+
+
+def _kmeans_round_sql(prev: str, n: int) -> str:
+    """One unrolled Lloyd round: assignment by nudged arg_min against the
+    `prev` centroid CTE, then exact fixed-point means (empty cells keep the
+    previous centroid via the left join + coalesce)."""
+    return f"""
+a{n} AS (
+  SELECT e.vec_id,
+         arg_min(c.ci,
+                 list_sum(list_transform(range(1, {DIM} + 1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                             * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) + c.ci * 1e-9) AS cell
+  FROM embeddings e, {prev} c GROUP BY e.vec_id
+),
+s{n} AS (
+  SELECT a.cell AS ci, p.i AS pos,
+         sum(CAST(floor(CAST(e.embedding[p.i] AS DOUBLE) * {Q20}.0) AS BIGINT)) AS s,
+         count(*) AS cnt
+  FROM embeddings e JOIN a{n} a USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+  GROUP BY 1, 2
+),
+cent{n} AS (
+  SELECT c0.ci,
+         list(coalesce(CAST(s.s AS DOUBLE) / CAST(s.cnt AS DOUBLE) / {Q20}.0,
+                       c0.cv[p.i]) ORDER BY p.i) AS cv
+  FROM {prev} c0
+  CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+  LEFT JOIN s{n} s ON s.ci = c0.ci AND s.pos = p.i
+  GROUP BY c0.ci
+)"""
+
+
+def _oracle_q66b() -> str:
+    rounds = []
+    prev = "cent0"
+    for n in range(1, KMEANS_ITERS + 1):
+        rounds.append(_kmeans_round_sql(prev, n))
+        prev = f"cent{n}"
+    return f"""
+WITH cent0 AS (SELECT ci, cv FROM {_CENT0_SQL} c),
+{",".join(rounds)},
+ranked AS ({_ivf_cells_sql(prev)}),
+corpus AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, ci AS cell FROM ranked WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, ci AS cell
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+),
+s AS (
+  SELECT query_id, neighbor_id, round({COSINE_SQL}, 6) AS cos_sim
+  FROM probes JOIN corpus USING (cell) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
+ORACLE_Q66B = _oracle_q66b()
 
 
 # --------------------------------------------------------------------------
@@ -561,8 +763,10 @@ QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
     "q49b_cosine_neardup_lsh": q49b_cosine_neardup_lsh,
+    "q49c_lsh_recall": q49c_lsh_recall,
     "q47_ann_lsh": q47_ann_lsh,
     "q66_ivf_ann": q66_ivf_ann,
+    "q66b_ivf_trained": q66b_ivf_trained,
     "q72_embed_quantize": q72_embed_quantize,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
 }
@@ -572,7 +776,9 @@ ORACLES = {
     "q47_ann_lsh": ORACLE_Q47,
     "q49_cosine_neardup": ORACLE_Q49,
     "q49b_cosine_neardup_lsh": ORACLE_Q49B,
+    "q49c_lsh_recall": ORACLE_Q49C,
     "q66_ivf_ann": ORACLE_Q66,
+    "q66b_ivf_trained": ORACLE_Q66B,
     "q72_embed_quantize": ORACLE_Q72,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }

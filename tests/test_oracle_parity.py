@@ -66,6 +66,43 @@ def test_q69_sufficient_stats_match_builtin_aggregates(spark, sf_dir):
             assert abs(mine - theirs) < 1e-5, (r["flag"], mine, theirs)
 
 
+def test_q49c_recall_meets_design_target(spark, sf_dir):
+    """The radius-2 multi-probe design target. Context for the bound: the
+    synthetic embeddings have NO planted near-dups (max pairwise cos ~0.6),
+    so the 0.45 threshold deliberately catches *moderately similar* pairs
+    whose expected signature distance (~2.8 of 8 bits at cos 0.45) sits at
+    the edge of radius 2 -- measured recall is 0.43 on the 7-pair sf0.001
+    fixture and 0.57 at sf0.01. True near-dups (cos >= 0.9, <1 expected
+    differing bit) are caught with near-certainty. The assert pins the
+    moderate-pair floor plus exactness: every reported pair must be
+    exact-verified (precision 1, lsh_pairs == matched)."""
+    r = QUERIES["q49c_lsh_recall"](spark, sf_dir).collect()[0]
+    assert r["exact_pairs"] > 0, "fixture should contain near-dup embeddings"
+    assert r["lsh_pairs"] == r["matched"], "q49b emitted a non-exact pair"
+    assert r["recall"] >= 0.4, f"recall {r['recall']} below design floor"
+
+
+def test_q66b_trained_centroids_beat_or_match_init(spark, sf_dir):
+    """k-means-trained cells must not lose recall@3 against the exact q46
+    ground truth compared to the first-8-vectors stand-in (at sf0.01 the
+    measured values are 0.90 trained vs 0.83 init)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q46_cosine_topk"](spark, sf_dir).collect()
+        if r["rn"] <= 3
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q66b_ivf_trained"](spark, sf_dir).collect()
+    }
+    init = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q66_ivf_ann"](spark, sf_dir).collect()
+    }
+    assert len(exact & trained) >= len(exact & init)
+    assert len(exact & trained) / len(exact) >= 0.5
+
+
 def test_connected_components_chain_converges_logarithmically(spark):
     """Large-star/small-star must converge in O(log n) rounds on the
     worst-case shape for naive propagation: a 100-node chain (diameter 99,

@@ -109,9 +109,12 @@ def test_q42_scans_documents_once(spark, sf_dir):
     at most one reference to the raw documents file (and the staging job
     itself is the single real scan)."""
     from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+    from hive_ddl_extract_tool_spark.operators.dedup import _q42_build
 
     clear_cache()
-    plan = formatted_plan(QUERIES["q42_minhash_lsh_dedup"](spark, sf_dir))
+    # assert on the BUILD pipeline: the registered q42 stages its result,
+    # so its own plan is just the staged read
+    plan = formatted_plan(_q42_build(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, (
         f"documents scanned more than once:\n{plan}"
     )
@@ -144,6 +147,21 @@ def test_funnel_is_window_scan_not_self_join(spark, sf_dir):
 
 def test_heavy_hitters_uses_topk_heap(spark, sf_dir):
     assert_top_k_plan(QUERIES["q76_heavy_hitters"](spark, sf_dir))
+
+
+@pytest.mark.parametrize("name", ["q66_ivf_ann", "q66b_ivf_trained"])
+def test_ivf_cell_assignment_is_projection_not_window(name, spark, sf_dir):
+    """The per-vector cell argmin/top-2 is pure array math over ONE staged
+    ranked intermediate: no explode+row_number (which exchanged the full
+    corpus by vec_id in round 2), and the raw embeddings file appears at
+    most once in the final plan (the staging job performs the single real
+    scan)."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    plan = formatted_plan(QUERIES[name](spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan, f"corpus exchanged by vec_id:\n{plan}"
+    assert plan.count("embeddings.parquet") <= 1, plan
 
 
 def test_dup_clusters_no_cartesian(spark, sf_dir):
