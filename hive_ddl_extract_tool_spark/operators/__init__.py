@@ -51,6 +51,11 @@ _PRIORITY = [
     "q66b_ivf_trained",
     "q66_ivf_ann",
     "q68_dup_clusters",
+    "q83_dedup_purge",
+    "q86_decontamination",
+    "q81_bm25_topk",
+    "q82_collocations",
+    "q85_inverted_index",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows
@@ -78,10 +83,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, physical, relational, similarity, text
+    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, physical, relational, retrieval, similarity, text
     from ..streaming import windows
 
-    return (relational, functions_suite, functions_suite2, dedup, similarity, text, multimodal, advanced, physical, windows)
+    return (relational, functions_suite, functions_suite2, dedup, similarity, text, retrieval, multimodal, advanced, physical, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

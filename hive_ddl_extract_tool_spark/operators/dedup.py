@@ -506,6 +506,34 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     return labels, rounds
 
 
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lbl) canonical labels for every doc in a q42 near-dup pair,
+    parquet-staged per session: the star rounds run once and every
+    consumer (q68's cluster table, q83's purge report, a real purge join)
+    reads the converged labels back."""
+
+    def build() -> DataFrame:
+        pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+        # Symmetrize by exploding each pair into both directions in ONE
+        # pass -- union(pairs, pairs.swapped) would read the pair set
+        # twice.
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                        F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+        labels, _rounds = connected_components(edges)
+        return labels
+
+    return cached_df(spark, f"cc_labels:{sf_dir}", build)
+
+
 def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn the pairwise near-dup edges (q42) into actionable dedup clusters:
     every document mapped to a canonical representative (the minimum doc_id
@@ -521,26 +549,7 @@ def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning -- NOT a broadcast of the per-cluster size table, which has
     ~one row per document (mostly singletons) and would OOM at corpus
     scale."""
-    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    # Symmetrize by exploding each pair into both directions in ONE pass --
-    # union(pairs, pairs.swapped) would evaluate the whole q42 pipeline
-    # twice (Catalyst does not CSE across union branches; measured 6.7s ->
-    # ~3s at sf0.1).
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .persist()
-    )
-    labels, _rounds = connected_components(edges)
-    edges.unpersist()
-
+    labels = _neardup_labels(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     mapped = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
@@ -551,10 +560,10 @@ def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The oracle computes the same components by recursive transitive closure --
-# feasible for DuckDB at oracle SF because the edge set is tiny.
-ORACLE_Q68 = f"""
-WITH RECURSIVE
+# Shared oracle fragment: canonical label per document by recursive
+# transitive closure -- feasible for DuckDB at oracle SF because the edge
+# set is tiny.
+_CC_MAPPED_SQL = f"""
 pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -568,12 +577,113 @@ reach(node, lbl) AS (
 ),
 lab AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),
 mapped AS (
-  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS canonical_id
+  SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN lab l USING (doc_id)
-),
+)"""
+
+ORACLE_Q68 = f"""
+WITH RECURSIVE
+{_CC_MAPPED_SQL},
 sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM mapped GROUP BY 1)
 SELECT m.doc_id, m.canonical_id, s.cluster_size
 FROM mapped m JOIN sizes s USING (canonical_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q83: dedup purge report -- the "keep one per cluster" step as per-source
+# accounting (what a curation pipeline reports after running q68)
+# --------------------------------------------------------------------------
+
+def q83_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document counts before/after near-dup purging: a doc
+    survives iff it is its cluster's canonical (minimum) id; singletons are
+    their own canonical. This is the actual corpus-reduction artifact --
+    the number every dedup run is judged by. Reuses the session-staged
+    star-round labels; the corpus-side work is one left join + one
+    per-source count."""
+    labels = _neardup_labels(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    mapped = docs.select("doc_id", "source").join(labels, "doc_id", "left").select(
+        "doc_id", "source", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
+    )
+    kept = F.when(F.col("doc_id") == F.col("canonical_id"), 1).otherwise(0)
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept)).alias("n_purged"),
+    )
+
+
+ORACLE_Q83 = f"""
+WITH RECURSIVE
+{_CC_MAPPED_SQL}
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS n_kept,
+       count(*) - sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS n_purged
+FROM mapped
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q86: train/test decontamination -- near-dup pairs that cross the q36
+# hash-split boundary (test docs leaking from the training split)
+# --------------------------------------------------------------------------
+
+def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: q42's verified near-dup pairs where one side
+    lands in the test split and the other in train (q36's deterministic
+    hash-split rule). This is the decontamination check every training
+    pipeline runs before evaluation; because it reads the STAGED pair set,
+    it costs two broadcast-able membership joins, not a new similarity
+    pass. Output: (test_doc, train_doc, jaccard)."""
+    from .text import SPLIT_SEED
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    s = docs.select("doc_id", split.alias("split"))
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir)
+    j = (
+        pairs.join(s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")), "doc_b")
+        .filter(
+            ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+            | ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+        )
+    )
+    test_doc = F.when(F.col("split_a") == "test", F.col("doc_a")).otherwise(F.col("doc_b"))
+    train_doc = F.when(F.col("split_a") == "test", F.col("doc_b")).otherwise(F.col("doc_a"))
+    return j.select(
+        test_doc.alias("test_doc"), train_doc.alias("train_doc"), "jaccard"
+    )
+
+
+def _split_sql() -> str:
+    from .text import SPLIT_SEED
+
+    return f"""
+  SELECT doc_id,
+         CASE WHEN {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+              WHEN {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+
+ORACLE_Q86 = f"""
+WITH pairs AS ({ORACLE_Q42}),
+s AS ({_split_sql()})
+SELECT CASE WHEN sa.split = 'test' THEN p.doc_a ELSE p.doc_b END AS test_doc,
+       CASE WHEN sa.split = 'test' THEN p.doc_b ELSE p.doc_a END AS train_doc,
+       p.jaccard
+FROM pairs p
+JOIN s sa ON p.doc_a = sa.doc_id
+JOIN s sb ON p.doc_b = sb.doc_id
+WHERE (sa.split = 'test' AND sb.split = 'train')
+   OR (sa.split = 'train' AND sb.split = 'test')
 """
 
 
@@ -585,6 +695,8 @@ QUERIES = {
     "q44_simhash": q44_simhash,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q68_dup_clusters": q68_dup_clusters,
+    "q83_dedup_purge": q83_dedup_purge,
+    "q86_decontamination": q86_decontamination,
 }
 
 ORACLES = {
@@ -595,4 +707,6 @@ ORACLES = {
     "q44_simhash": ORACLE_Q44,
     "q45_simhash_neardup": ORACLE_Q45,
     "q68_dup_clusters": ORACLE_Q68,
+    "q83_dedup_purge": ORACLE_Q83,
+    "q86_decontamination": ORACLE_Q86,
 }

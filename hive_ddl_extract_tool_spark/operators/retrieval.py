@@ -1,0 +1,260 @@
+"""Retrieval-side operators over the documents corpus: BM25 relevance
+scoring, collocation mining (PMI-style lift), and inverted-index
+construction. These extend the text-analysis surface (SURVEY.md §2B X12)
+toward what a retrieval / data-curation pipeline runs next to dedup:
+score-and-rank, phrase discovery, index build.
+
+Exactness discipline (cross-engine hash compare):
+- all counts (tf, df, dl, bigram counts) are integers -- order-free;
+- BM25's float term scores are floor-quantized to 1e-9 fixed point and
+  integer-summed (the q72/q69 discipline), so the per-document sum does not
+  depend on Spark's vs DuckDB's accumulation order;
+- the collocation lift is a single division of two exact integers -- both
+  engines produce the identical correctly-rounded double;
+- posting lists are deterministic strings (sorted by doc_id).
+
+Scale shape: everything is explode -> map-side-combined groupBy; the only
+broadcast is the 1-row corpus-stats aggregate and the |query| -row df table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import _words
+from ..tables import load
+
+# DuckDB twin of the shared tokenizer (lower + whitespace split, drop empties)
+_TOK_SQL = """
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q81: BM25 top-k retrieval for a fixed keyword query
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ["hash", "join", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+Q9 = 10**9  # fixed-point scale for the order-free score sum
+
+
+def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the 3-term query by BM25 (Lucene idf form).
+
+    Plan shape: one token explode feeds BOTH per-doc length and the
+    tf filter (Catalyst prunes the tf branch to the 3 query terms before
+    its shuffle); df (3 rows) and the corpus stats (1 row) broadcast into
+    the scoring join; the final top-10 is TakeOrderedAndProject on the
+    integer score. Per-term scores are floor-quantized and integer-summed
+    so the cross-engine hash compare is exact despite float scoring."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("tot_dl")))
+    )
+    q9 = F.floor(term_score * F.lit(float(Q9))).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", q9.alias("s9"))
+        .groupBy("doc_id")
+        .agg(F.sum("s9").alias("score9"))
+    )
+    return (
+        scored.orderBy(F.col("score9").desc(), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", F.round(F.col("score9") / F.lit(float(Q9)), 6).alias("bm25"))
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLE_Q81 = f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_TERMS_SQL})
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         sum(CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl * n_docs / tot_dl))
+           * {Q9}.0) AS BIGINT)) AS score9
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score9 / {Q9}.0, 6) AS bm25
+FROM scored
+ORDER BY score9 DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q82: collocation mining -- top bigrams by PMI-style lift
+# --------------------------------------------------------------------------
+
+MIN_BIGRAM_COUNT = 5
+TOP_BIGRAMS = 20
+
+
+def q82_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word bigrams by lift = P(ab) / (P(a)P(b)) =
+    c_ab * N / (c_a * c_b) -- phrase/collocation discovery for tokenizer
+    and n-gram analyses. No log: the lift is one division of exact integer
+    products, so both engines produce the identical double (a PMI is just
+    ln(lift), monotone -- same ranking). The word array is materialized
+    once per doc before slicing (the HOF-recompute trap), bigram and
+    unigram counts are map-side combined, and the unigram join is a plain
+    equi-join on the token -- the 100 TB shape."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.lower("text")).alias("w"))
+    # bigram array is materialized in its own select BEFORE the explode: a
+    # generator in the same projection as the struct construction drops the
+    # struct field names (same analyzer trap as q66b's training argmin)
+    bigrams = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+            ).alias("bgs")
+        )
+        .select(F.explode("bgs").alias("bg"))
+        .select("bg.wa", "bg.wb")
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_BIGRAM_COUNT)
+    )
+    uni = (
+        w.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = w.select(F.sum(F.size("w")).alias("n_tok"))
+    lift = F.round(
+        (F.col("c_ab") * F.col("n_tok")) / (F.col("ca") * F.col("cb")), 6
+    )
+    return (
+        bigrams.join(uni.select(F.col("tok").alias("wa"), F.col("c").alias("ca")), "wa")
+        .join(uni.select(F.col("tok").alias("wb"), F.col("c").alias("cb")), "wb")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            F.concat("wa", F.lit(" "), "wb").alias("bigram"),
+            "c_ab",
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(TOP_BIGRAMS)
+    )
+
+
+ORACLE_Q82 = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT w[i] AS wa, w[i+1] AS wb, count(*) AS c_ab
+  FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_BIGRAM_COUNT}
+),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM base)
+  GROUP BY 1
+),
+n AS (SELECT sum(len(w)) AS n_tok FROM base)
+SELECT wa || ' ' || wb AS bigram, c_ab,
+       round((c_ab * n_tok) / (ua.c * ub.c), 6) AS lift
+FROM bg JOIN uni ua ON bg.wa = ua.tok JOIN uni ub ON bg.wb = ub.tok, n
+ORDER BY lift DESC, bigram
+LIMIT {TOP_BIGRAMS}
+"""
+
+
+# --------------------------------------------------------------------------
+# q85: inverted-index construction (posting lists per term)
+# --------------------------------------------------------------------------
+
+def q85_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full inverted index: term -> df, total tf, and the postings as a
+    deterministic "doc:tf" string sorted by doc_id. One groupBy builds the
+    per-(doc, term) tf, a second groups by term -- both map-side combined.
+    The synthetic corpus has a closed ~31-term vocabulary so the whole
+    index is emitted; at 100 TB the posting payload would be a bucketed
+    table keyed by term (hot terms split across buckets) rather than a
+    string column -- the two-groupBy plan shape is identical."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat(s.doc_id.cast("string"), F.lit(":"), s.tf.cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+ORACLE_Q85 = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ({_TOK_SQL}) GROUP BY 1, 2
+)
+SELECT term, count(*) AS df, sum(tf) AS total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY term
+"""
+
+
+QUERIES = {
+    "q81_bm25_topk": q81_bm25_topk,
+    "q82_collocations": q82_collocations,
+    "q85_inverted_index": q85_inverted_index,
+}
+
+ORACLES = {
+    "q81_bm25_topk": ORACLE_Q81,
+    "q82_collocations": ORACLE_Q82,
+    "q85_inverted_index": ORACLE_Q85,
+}
