@@ -56,6 +56,7 @@ _PRIORITY = [
     "q81_bm25_topk",
     "q82_collocations",
     "q85_inverted_index",
+    "q87_embed_dim_stats",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

@@ -676,6 +676,65 @@ ORACLE_Q66B = _oracle_q66b()
 
 
 # --------------------------------------------------------------------------
+# q87: per-dimension embedding statistics (variance screening)
+# --------------------------------------------------------------------------
+
+def q87_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and variance per embedding dimension -- the screening pass a
+    vector pipeline runs to find dead/collapsed dimensions before indexing
+    or compressing. One global aggregate with 2*DIM exact fixed-point
+    moment columns (no posexplode fan-out: the shuffle carries one partial
+    row per partition), then a stack() to long format. Base moments are
+    decimal(18,0) fixed-point so sums widen into decimal -- at corpus scale
+    the squared sums overflow int64 -- and the mean/variance derivation
+    happens in doubles ONCE, with formula text identical to the oracle
+    (q69's sufficient-statistics discipline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qcols = [
+        F.floor(F.element_at("embedding", j + 1).cast("double") * F.lit(float(Q20)))
+        .cast("decimal(18,0)")
+        for j in range(DIM)
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j, q in enumerate(qcols):
+        aggs.append(F.sum(q).alias(f"s{j}"))
+        aggs.append(F.sum(q * q).alias(f"q{j}"))
+    wide = emb.agg(*aggs)
+    stack_args = ", ".join(f"{j}, s{j}, q{j}" for j in range(DIM))
+    long = wide.select(
+        "n", F.expr(f"stack({DIM}, {stack_args}) AS (dim, s, sq)")
+    )
+    mean_q = F.col("s").cast("double") / F.col("n")
+    return long.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(mean_q / F.lit(float(Q20)), 6).alias("mean"),
+        F.round(
+            (F.col("sq").cast("double") / F.col("n") - mean_q * mean_q)
+            / F.lit(float(Q20) * float(Q20)),
+            6,
+        ).alias("variance"),
+    )
+
+
+ORACLE_Q87 = f"""
+WITH m AS (
+  SELECT p.i - 1 AS dim, count(*) AS n,
+         sum(CAST(floor(CAST(embedding[p.i] AS DOUBLE) * {Q20}.0) AS DECIMAL(18,0))) AS s,
+         sum(CAST(floor(CAST(embedding[p.i] AS DOUBLE) * {Q20}.0) AS DECIMAL(18,0))
+           * CAST(floor(CAST(embedding[p.i] AS DOUBLE) * {Q20}.0) AS DECIMAL(18,0))) AS sq
+  FROM embeddings, (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+  GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       round(CAST(s AS DOUBLE) / n / {Q20}.0, 6) AS mean,
+       round((CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / ({Q20}.0 * {Q20}.0), 6) AS variance
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # q72: int8 embedding quantization (storage compression for vector corpora)
 # --------------------------------------------------------------------------
 
@@ -768,6 +827,7 @@ QUERIES = {
     "q66_ivf_ann": q66_ivf_ann,
     "q66b_ivf_trained": q66b_ivf_trained,
     "q72_embed_quantize": q72_embed_quantize,
+    "q87_embed_dim_stats": q87_embed_dim_stats,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
 }
 
@@ -780,5 +840,6 @@ ORACLES = {
     "q66_ivf_ann": ORACLE_Q66,
     "q66b_ivf_trained": ORACLE_Q66B,
     "q72_embed_quantize": ORACLE_Q72,
+    "q87_embed_dim_stats": ORACLE_Q87,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }
