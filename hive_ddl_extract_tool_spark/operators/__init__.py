@@ -57,6 +57,8 @@ _PRIORITY = [
     "q82_collocations",
     "q85_inverted_index",
     "q87_embed_dim_stats",
+    "q88_sessionize",
+    "q89_value_histogram",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

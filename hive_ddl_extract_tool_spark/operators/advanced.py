@@ -581,6 +581,96 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q88: batch sessionization -- per-event session assignment by 30-min gap
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q88_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every event its (user-local) session ordinal: a new session
+    starts when the gap to the previous event exceeds 30 minutes. The
+    batch twin of the streaming session window (q62) that emits PER-EVENT
+    ids -- what downstream behavioral features join against. One user_id
+    exchange carries both window passes (lag, then running sum of session
+    starts); ordering ties break on event_id so the assignment is
+    deterministic cross-engine. All integers -- hash-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w)
+    is_new = F.when(prev.isNull() | (F.col("tus") - prev > SESSION_GAP_US), 1).otherwise(0)
+    marked = ev.select("event_id", "user_id", "tus", is_new.alias("is_new"))
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return marked.select(
+        "event_id", "user_id", F.sum("is_new").over(w2).alias("session_seq")
+    )
+
+
+ORACLE_Q88 = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+m AS (
+  SELECT *,
+         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+)
+SELECT event_id, user_id,
+       sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# q89: exact equi-width histogram of event value per type
+# --------------------------------------------------------------------------
+
+HIST_BUCKETS = 10
+
+
+def q89_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of event value per event_type. The
+    global (min, max) is a 1-row aggregate broadcast into the bucketing
+    projection -- never a driver collect baked into the plan -- and the
+    bucket index is pure integer arithmetic over exact cents (floor
+    division), so boundary values cannot flip buckets across engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    rng = ev.agg(F.min("cents").alias("min_c"), F.max("cents").alias("max_c"))
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1).cast("bigint"),
+        F.expr(f"(cents - min_c) * {HIST_BUCKETS} DIV (max_c - min_c + 1)"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_Q89 = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (SELECT min(cents) AS min_c, max(cents) AS max_c FROM e)
+SELECT event_type,
+       CAST(least({HIST_BUCKETS - 1}, (cents - min_c) * {HIST_BUCKETS} // (max_c - min_c + 1)) AS INT) AS bucket,
+       count(*) AS n_events
+FROM e, r
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -590,6 +680,8 @@ QUERIES = {
     "q75_cohort_retention": q75_cohort_retention,
     "q79_resample_ffill": q79_resample_ffill,
     "q80_rolling_anomaly": q80_rolling_anomaly,
+    "q88_sessionize": q88_sessionize,
+    "q89_value_histogram": q89_value_histogram,
 }
 
 ORACLES = {
@@ -601,4 +693,6 @@ ORACLES = {
     "q75_cohort_retention": ORACLE_Q75,
     "q79_resample_ffill": ORACLE_Q79,
     "q80_rolling_anomaly": ORACLE_Q80,
+    "q88_sessionize": ORACLE_Q88,
+    "q89_value_histogram": ORACLE_Q89,
 }
