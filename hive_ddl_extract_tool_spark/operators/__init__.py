@@ -59,6 +59,10 @@ _PRIORITY = [
     "q87_embed_dim_stats",
     "q88_sessionize",
     "q89_value_histogram",
+    "q90_sequence_packing",
+    "q91_vocab_coverage",
+    "q92_bigram_lm_score",
+    "q93_dim_correlations",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

@@ -247,14 +247,110 @@ GROUP BY term
 """
 
 
+# --------------------------------------------------------------------------
+# q92: bigram language-model scoring (add-one smoothed avg log-prob)
+# --------------------------------------------------------------------------
+
+def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score from a corpus-trained bigram LM:
+    avg over the doc's bigrams of ln P(w2|w1), with add-one smoothing
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). The cheap statistical twin of
+    perplexity filtering in pretraining pipelines (KenLM-style gating).
+
+    The model IS an aggregation of the corpus: bigram counts (map-side
+    combined), unigram counts, and the 1-row (V) vocab size -- the doc's
+    per-(doc, bigram) counts then equi-join the model on the bigram key,
+    which is the 100 TB shape (model table scales with vocab^2, corpus with
+    docs). Per-bigram log-probs are floor-quantized to 1e-9 fixed point and
+    weighted by the integer per-doc count before an integer sum (q81's
+    order-free discipline); the single final division happens once, with
+    identical expression text in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.lower("text")).alias("w"))
+    doc_bg = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+            ).alias("bgs"),
+        )
+        .select("doc_id", F.explode("bgs").alias("bg"))
+        .select("doc_id", "bg.wa", "bg.wb")
+        .groupBy("doc_id", "wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    c_ab = doc_bg.groupBy("wa", "wb").agg(F.sum("c_doc").alias("c_ab"))
+    uni = (
+        w.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    logp9 = F.floor(
+        F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.col("v"))) * F.lit(float(Q9))
+    ).cast("bigint")
+    return (
+        doc_bg.join(c_ab, ["wa", "wb"])
+        .join(uni.select(F.col("tok").alias("wa"), "c_a"), "wa")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", "c_doc", logp9.alias("lp9"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_bigrams"),
+            F.sum(F.col("c_doc") * F.col("lp9")).alias("s9"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("s9") / F.col("n_bigrams") / F.lit(float(Q9)), 6).alias("avg_logp"),
+        )
+    )
+
+
+ORACLE_Q92 = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+doc_bg AS (
+  SELECT doc_id, w[i] AS wa, w[i+1] AS wb, count(*) AS c_doc
+  FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  GROUP BY 1, 2, 3
+),
+c_ab AS (SELECT wa, wb, sum(c_doc) AS c_ab FROM doc_bg GROUP BY 1, 2),
+uni AS (
+  SELECT tok, count(*) AS c_a
+  FROM (SELECT unnest(w) AS tok FROM base)
+  GROUP BY 1
+),
+vsize AS (SELECT count(*) AS v FROM uni),
+scored AS (
+  SELECT doc_id,
+         sum(c_doc) AS n_bigrams,
+         sum(c_doc * CAST(floor(ln((c_ab + 1.0) / (c_a + v)) * {Q9}.0) AS BIGINT)) AS s9
+  FROM doc_bg
+  JOIN c_ab USING (wa, wb)
+  JOIN uni ON doc_bg.wa = uni.tok, vsize
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(s9 / n_bigrams / {Q9}.0, 6) AS avg_logp
+FROM scored
+"""
+
+
 QUERIES = {
     "q81_bm25_topk": q81_bm25_topk,
     "q82_collocations": q82_collocations,
     "q85_inverted_index": q85_inverted_index,
+    "q92_bigram_lm_score": q92_bigram_lm_score,
 }
 
 ORACLES = {
     "q81_bm25_topk": ORACLE_Q81,
     "q82_collocations": ORACLE_Q82,
     "q85_inverted_index": ORACLE_Q85,
+    "q92_bigram_lm_score": ORACLE_Q92,
 }

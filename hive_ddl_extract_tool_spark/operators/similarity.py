@@ -818,6 +818,145 @@ FROM wc
 """
 
 
+# --------------------------------------------------------------------------
+# q93: dimension-pair correlation screening on the stored int8 codes
+# --------------------------------------------------------------------------
+
+def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (vec_id, q) int8 quantization codes (q72's format), shared by
+    any operator that screens the stored codes."""
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        xd = _dbl("embedding")
+        maxabs = F.array_max(F.transform(xd, F.abs))
+        base = emb.select(
+            "vec_id",
+            xd.alias("xd"),
+            F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("scale"),
+        )
+        codes = F.transform("xd", lambda v: F.floor(v * F.col("scale")).cast("int"))
+        return base.select("vec_id", codes.alias("q"))
+
+    return cached_df(spark, f"int8_codes:{sf_dir}", build)
+
+
+def q93_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every dimension pair (i < j) of the
+    int8-quantized embedding codes (q72's storage format) -- the redundancy
+    screen that follows q87's per-dimension variance screen: highly
+    correlated dimension pairs are what PCA/OPQ would rotate away before an
+    ANN index is built.
+
+    Exactness: the codes are floor-quantized ints (bit-identical
+    cross-engine, q72), so every sufficient statistic (n, sx, sxx per dim;
+    sxy per pair) is an exact integer sum; corr is then derived with
+    identical expression text in both engines -- sqrt and division are
+    correctly-rounded IEEE ops over exactly-representable integer inputs,
+    so even the doubles hash-match.
+
+    Scale shape: the pair explode amplifies each row by DIM*(DIM-1)/2 =
+    2016 structs, but the hash aggregate map-side-combines them to at most
+    2016 partial rows per partition before the one shuffle -- this IS the
+    outer-product partial aggregation (the BLAS twin would batch it in
+    mapInPandas like q48), and the final join of the 2016-row pair table
+    against the 64-row dim table is a broadcast. Nothing scales with the
+    corpus except the first linear pass.
+
+    The codes are parquet-staged (cached_df) before the pair expansion:
+    projection collapse would otherwise inline the whole quantization
+    expression -- scale and all, itself O(DIM) -- into every element_at of
+    every pair struct, turning a linear pass into O(DIM^3) per row (the
+    HOF-recompute trap; observed as a hang, not a slowdown). Staging is
+    also the realistic shape: int8 codes ARE the stored index format a
+    100 TB pipeline writes once and screens many times."""
+    staged = _int8_codes(spark, sf_dir).select("q")
+
+    dims = (
+        staged.select(F.posexplode("q").alias("i0", "qi"))
+        .select((F.col("i0") + 1).alias("i"), "qi")
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qi").cast("bigint")).alias("sx"),
+            F.sum((F.col("qi") * F.col("qi")).cast("bigint")).alias("sxx"),
+        )
+    )
+    # pair array materialized in its own select before the explode (the
+    # HOF-recompute / struct-name analyzer traps, q82's lesson)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM - 1)),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.lit(DIM)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at("q", i) * F.element_at("q", j)).alias("xy"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        staged.select(pair_arr.alias("ps"))
+        .select(F.explode("ps").alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xy").cast("bigint")).alias("sxy"))
+    )
+    di = dims.select(F.col("i"), F.col("n"), F.col("sx").alias("sxi"), F.col("sxx").alias("sxxi"))
+    dj = dims.select(F.col("i").alias("j"), F.col("sx").alias("sxj"), F.col("sxx").alias("sxxj"))
+    return (
+        pairs.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj")).alias("cov_num"),
+            F.round(
+                F.expr(
+                    "(n * sxy - sxi * sxj)"
+                    " / (sqrt(n * sxxi - sxi * sxi) * sqrt(n * sxxj - sxj * sxj))"
+                ),
+                6,
+            ).alias("corr"),
+        )
+    )
+
+
+ORACLE_Q93 = f"""
+WITH base AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              ELSE 0.0 END AS scale
+  FROM embeddings
+),
+wc AS (SELECT list_transform(xd, v -> CAST(floor(v * scale) AS INT)) AS q FROM base),
+dims AS (
+  SELECT i, count(*) AS n,
+         CAST(sum(q[i]) AS BIGINT) AS sx,
+         CAST(sum(q[i] * q[i]) AS BIGINT) AS sxx
+  FROM wc, LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) ix
+  GROUP BY i
+),
+pairs AS (
+  SELECT i, j, CAST(sum(q[i] * q[j]) AS BIGINT) AS sxy
+  FROM wc,
+       LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) ix,
+       LATERAL (SELECT unnest(range(i + 1, {DIM} + 1)) AS j) jx
+  GROUP BY i, j
+)
+SELECT i, j, di.n AS n,
+       di.n * sxy - di.sx * dj.sx AS cov_num,
+       round((di.n * sxy - di.sx * dj.sx)
+             / (sqrt(di.n * di.sxx - di.sx * di.sx) * sqrt(di.n * dj.sxx - dj.sx * dj.sx)), 6) AS corr
+FROM pairs
+JOIN dims di USING (i)
+JOIN dims dj ON pairs.j = dj.i
+"""
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
@@ -829,6 +968,7 @@ QUERIES = {
     "q72_embed_quantize": q72_embed_quantize,
     "q87_embed_dim_stats": q87_embed_dim_stats,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
+    "q93_dim_correlations": q93_dim_correlations,
 }
 
 ORACLES = {
@@ -840,6 +980,7 @@ ORACLES = {
     "q66_ivf_ann": ORACLE_Q66,
     "q66b_ivf_trained": ORACLE_Q66B,
     "q72_embed_quantize": ORACLE_Q72,
+    "q93_dim_correlations": ORACLE_Q93,
     "q87_embed_dim_stats": ORACLE_Q87,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }

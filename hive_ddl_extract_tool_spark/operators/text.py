@@ -460,6 +460,147 @@ LIMIT {TOP_TOKENS}
 """
 
 
+# --------------------------------------------------------------------------
+# q90: sequence packing -- concat-then-chunk context-window assignment
+# --------------------------------------------------------------------------
+
+PACK_BLOCK = 128  # tokens per context window
+
+
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style sequence packing: within each source shard,
+    documents are concatenated in doc_id order and the token stream is cut
+    every PACK_BLOCK tokens; a doc whose span straddles a cut lands in
+    every block it touches. Output is the per-(source, block) packing
+    manifest: docs present, tokens contributed, and how many docs carry
+    over into the next block -- what a loader needs to materialize shard
+    files.
+
+    Scale shape: packing is per-shard by construction (matching how a
+    100 TB corpus is physically sharded), so the running token offset is a
+    window over partitionBy(source) -- no global single-partition sort.
+    The span explode emits (len/BLOCK + 1) integer rows per doc and
+    everything downstream is integer arithmetic -- hash-exact."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.greatest(F.size(_words()), F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    spans = toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+    ).select(
+        "*",
+        (F.col("start") + F.col("n_tok") - 1).alias("end"),
+    )
+    b = F.lit(PACK_BLOCK)
+    exploded = spans.select(
+        "source",
+        "n_tok",
+        "start",
+        "end",
+        F.explode(F.sequence(F.expr(f"start DIV {PACK_BLOCK}"), F.expr(f"end DIV {PACK_BLOCK}"))).alias("block"),
+    )
+    tok_in_block = F.least(F.col("end") + 1, (F.col("block") + 1) * b) - F.greatest(
+        F.col("start"), F.col("block") * b
+    )
+    return (
+        exploded.groupBy("source", "block")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_in_block).alias("n_tokens"),
+            F.sum((F.col("end") >= (F.col("block") + 1) * b).cast("int")).alias("n_carry"),
+        )
+    )
+
+
+ORACLE_Q90 = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1)::BIGINT AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start
+  FROM t
+),
+e AS (SELECT *, start + n_tok - 1 AS fin FROM s),
+x AS (
+  SELECT source, n_tok, start, fin, unnest(generate_series(start // {PACK_BLOCK}, fin // {PACK_BLOCK})) AS block
+  FROM e
+)
+SELECT source, block,
+       count(*) AS n_docs,
+       sum(least(fin + 1, (block + 1) * {PACK_BLOCK}) - greatest(start, block * {PACK_BLOCK})) AS n_tokens,
+       sum(CASE WHEN fin >= (block + 1) * {PACK_BLOCK} THEN 1 ELSE 0 END) AS n_carry
+FROM x
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q91: vocabulary coverage -- OOV rate against a frequency-built vocab
+# --------------------------------------------------------------------------
+
+VOCAB_K = 16
+
+
+def q91_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a top-K corpus
+    vocabulary (count DESC, token ASC tiebreak -- deterministic
+    cross-engine). The vocab is K rows by construction, so its join side
+    is a legitimate broadcast no matter the corpus size; the OOV ratio is
+    emitted in integer parts-per-million ((n_oov * 1e6) DIV n_tokens) so
+    the check is exact without any float rounding discipline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("in_vocab").isNull()).cast("bigint")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+ORACLE_Q91 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT {VOCAB_K}
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS n_oov,
+       sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) * 1000000
+         // count(*) AS oov_ppm
+FROM tok
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
@@ -471,6 +612,8 @@ QUERIES = {
     "q71_repetition_metrics": q71_repetition_metrics,
     "q73_stratified_sample": q73_stratified_sample,
     "q76_heavy_hitters": q76_heavy_hitters,
+    "q90_sequence_packing": q90_sequence_packing,
+    "q91_vocab_coverage": q91_vocab_coverage,
 }
 
 ORACLES = {
@@ -484,4 +627,6 @@ ORACLES = {
     "q71_repetition_metrics": ORACLE_Q71,
     "q73_stratified_sample": ORACLE_Q73,
     "q76_heavy_hitters": ORACLE_Q76,
+    "q90_sequence_packing": ORACLE_Q90,
+    "q91_vocab_coverage": ORACLE_Q91,
 }
