@@ -63,6 +63,8 @@ _PRIORITY = [
     "q91_vocab_coverage",
     "q92_bigram_lm_score",
     "q93_dim_correlations",
+    "q94_source_overlap",
+    "q95_curation_report",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows
@@ -90,10 +92,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, dedup, functions_suite, functions_suite2, multimodal, physical, relational, retrieval, similarity, text
+    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, relational, retrieval, similarity, text
     from ..streaming import windows
 
-    return (relational, functions_suite, functions_suite2, dedup, similarity, text, retrieval, multimodal, advanced, physical, windows)
+    return (relational, functions_suite, functions_suite2, dedup, similarity, text, retrieval, curation, multimodal, advanced, physical, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

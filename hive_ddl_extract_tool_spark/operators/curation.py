@@ -1,0 +1,189 @@
+"""Corpus-curation composites: the cross-shard contamination matrix and
+the end-to-end quality-gate funnel report. These compose the text-analysis
+primitives (q33/q34/q71, operators/text.py) into the two reports a
+training-data curation run actually publishes: "which shards leak into each
+other" and "how many documents survive each gate, per shard".
+
+Exactness discipline: every published number is an integer count (or an
+integer ppm ratio); the one float in the pipeline -- the q34 quality score
+feeding the >= 0.5 gate -- is built from the identical expression tree in
+both engines, and IEEE arithmetic over identical doubles is deterministic,
+so even the threshold comparison is cross-engine exact (q34's own `keep`
+column is driver-green under the same argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._hashing import h60, h60_sql
+from .text import WS, _marker_regex, _words
+from ..tables import load
+
+# --------------------------------------------------------------------------
+# q94: cross-source contamination matrix (shared prefix fingerprints)
+# --------------------------------------------------------------------------
+
+PREFIX_WORDS = 8
+
+
+def q94_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct document fingerprints each pair of source shards
+    shares -- the train/eval leakage matrix. The fingerprint is the first
+    PREFIX_WORDS tokens (prefix shingle), not the whole text: near-dup
+    copies differ in their tails, and a full-text hash would report zero
+    leakage on a corpus that plants near-duplicates across shards (the
+    standard contamination probe is n-gram overlap for the same reason).
+
+    Shape: distinct (source, fp) -- one map-side-combined aggregate -- then
+    a self-equi-join on fp. The join key is the fingerprint, so each
+    fingerprint's bucket meets only its own duplicates; the output is
+    |sources|^2-bounded. No broadcast needed at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("source", _words(F.lower("text")).alias("w"))
+    fp = h60(F.concat_ws(" ", F.slice("w", 1, PREFIX_WORDS)))
+    fps = w.select("source", fp.alias("fp")).distinct()
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+
+
+_PREFIX_FP_SQL = h60_sql(
+    "array_to_string(list_slice(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), 1, "
+    f"{PREFIX_WORDS}), ' ')"
+)
+
+ORACLE_Q94 = f"""
+WITH fps AS (
+  SELECT DISTINCT source, {_PREFIX_FP_SQL} AS fp
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q95: curation funnel -- per-source survival through the quality gates
+# --------------------------------------------------------------------------
+
+MIN_WORDS = 20          # gate 1: length floor
+QUALITY_MIN = 0.5       # gate 2: q34 composite score threshold
+# gate 3: distinct-word ratio >= 0.3, compared as 10*nd >= 3*nw (integers)
+DWR_NUM, DWR_DEN = 3, 10
+
+
+def q95_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel: per source shard, how many documents survive
+    each successive gate -- length floor, q34 quality score, repetition
+    (distinct-word ratio, the Gopher-rule shape), and exact dedup (keep the
+    min doc_id per normalized-text fingerprint among gate-3 survivors).
+    This is the report a data-curation run publishes per ingest.
+
+    One linear pass computes every per-doc signal from a word array
+    materialized once (HOF-recompute trap); dedup canonicalization is a
+    window min over the fingerprint partition restricted to gate-3
+    survivors (min(CASE WHEN ...) OVER fp -- no second join); the final
+    rollup is one low-cardinality aggregate. Gates 1/3/4 are pure integer
+    predicates; gate 2 reuses q34's exact expression tree."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
+    norm = F.trim(F.regexp_replace(F.lower("text"), WS, " "))
+    per = w.select(
+        "doc_id",
+        "source",
+        F.size("w").cast("bigint").alias("nw"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("nd"),
+        F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double").alias("n_punct"),
+        F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double").alias("n_stop"),
+        F.length("text").cast("double").alias("n_chars"),
+        h60(norm).alias("fp"),
+    )
+    nwd = F.col("nw").cast("double")
+    score = (
+        F.least(nwd / 50.0, F.lit(1.0)) * 0.4
+        + F.least((F.col("n_stop") / nwd) * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least((F.col("n_punct") / F.col("n_chars")) * 10.0, F.lit(1.0))) * 0.3
+    )
+    g1 = F.col("nw") >= MIN_WORDS
+    g2 = g1 & (score >= QUALITY_MIN)
+    g3 = g2 & (F.col("nd") * DWR_DEN >= F.col("nw") * DWR_NUM)
+    g = per.select("doc_id", "source", "fp", g1.alias("g1"), g2.alias("g2"), g3.alias("g3"))
+    canon = F.min(F.when(F.col("g3"), F.col("doc_id"))).over(W.partitionBy("fp"))
+    g = g.withColumn("g4", F.col("g3") & (F.col("doc_id") == canon))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("g1").cast("bigint")).alias("n_len_ok"),
+            F.sum(F.col("g2").cast("bigint")).alias("n_quality_ok"),
+            F.sum(F.col("g3").cast("bigint")).alias("n_rep_ok"),
+            F.sum(F.col("g4").cast("bigint")).alias("n_unique"),
+        )
+        .select(
+            "*",
+            F.expr("n_unique * 1000000 DIV n_raw").alias("retained_ppm"),
+        )
+    )
+
+
+_NORM_FP_SQL = h60_sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+
+ORACLE_Q95 = f"""
+WITH per AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS nw,
+         CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS nd,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         {_NORM_FP_SQL} AS fp
+  FROM documents
+),
+s AS (
+  SELECT *,
+         least(CAST(nw AS DOUBLE) / 50.0, 1.0) * 0.4
+           + least((n_stop / CAST(nw AS DOUBLE)) * 5.0, 1.0) * 0.3
+           + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.3 AS score
+  FROM per
+),
+gated AS (
+  SELECT *,
+         nw >= {MIN_WORDS} AS g1,
+         nw >= {MIN_WORDS} AND score >= {QUALITY_MIN} AS g2,
+         nw >= {MIN_WORDS} AND score >= {QUALITY_MIN} AND nd * 10 >= nw * 3 AS g3
+  FROM s
+),
+canon AS (
+  SELECT *,
+         g3 AND doc_id = min(CASE WHEN g3 THEN doc_id END) OVER (PARTITION BY fp) AS g4
+  FROM gated
+)
+SELECT source,
+       count(*) AS n_raw,
+       sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n_len_ok,
+       sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS n_quality_ok,
+       sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS n_rep_ok,
+       sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS n_unique,
+       sum(CASE WHEN g4 THEN 1 ELSE 0 END) * 1000000 // count(*) AS retained_ppm
+FROM canon
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "q94_source_overlap": q94_source_overlap,
+    "q95_curation_report": q95_curation_report,
+}
+
+ORACLES = {
+    "q94_source_overlap": ORACLE_Q94,
+    "q95_curation_report": ORACLE_Q95,
+}
