@@ -187,3 +187,50 @@ def test_dup_clusters_size_is_window_not_broadcast(spark, sf_dir):
 )
 def test_no_accidental_python_stages(name, spark, sf_dir):
     assert_no_python_udf(QUERIES[name](spark, sf_dir))
+
+
+def test_sequence_packing_window_is_per_shard(spark, sf_dir):
+    """q90's running token offset must be partitioned by source: a global
+    (unpartitioned) window would pull the whole corpus into ONE task at
+    100 TB. SinglePartition may appear only for trivially small plans --
+    here we require the window exchange to hash on source."""
+    plan = formatted_plan(QUERIES["q90_sequence_packing"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, f"global window crept in:\n{plan}"
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    """q91's vocab side is K rows by construction; the token->vocab join
+    must be a broadcast, never a shuffle of the exploded token stream
+    against a 16-row table."""
+    assert_broadcast_join(QUERIES["q91_vocab_coverage"](spark, sf_dir))
+
+
+def test_bigram_lm_no_cartesian(spark, sf_dir):
+    """q92's only nested-loop is the 1-row vocab-size broadcast; the model
+    joins are equi-joins on the bigram/unigram keys."""
+    plan = formatted_plan(QUERIES["q92_bigram_lm_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dim_correlations_reads_staged_codes(spark, sf_dir):
+    """q93 must screen the STAGED int8 codes: the raw embeddings file is
+    scanned only by the one-time staging job (projection collapse would
+    otherwise inline the whole quantization -- scale and all -- into every
+    pair element_at: the HOF-recompute trap, observed as a hang), and the
+    2016-row pair table joins the 64-row dim table by broadcast."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q93_dim_correlations"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "embeddings.parquet" not in plan, f"raw scan leaked past staging:\n{plan}"
+    assert_broadcast_join(df)
+
+
+def test_curation_report_is_join_free(spark, sf_dir):
+    """q95 derives all four gates and the dedup canonical in ONE linear
+    pass (fingerprint window), so the plan must contain no Join at all."""
+    plan = formatted_plan(QUERIES["q95_curation_report"](spark, sf_dir))
+    assert "Join" not in plan, f"funnel should be join-free:\n{plan}"
+    assert "Window" in plan
