@@ -158,3 +158,41 @@ def test_q68_clusters_are_valid_components(spark, sf_dir):
     for canon, members in by_canon.items():
         assert canon == min(members), (canon, members)
     assert len(clusters) == sum(len(m) for m in by_canon.values())
+
+
+def test_q90_packing_invariants(spark, sf_dir):
+    """Conservation laws of the packing manifest: per source, the block
+    token counts sum to exactly the corpus token count (nothing lost or
+    double-counted at block boundaries), no block exceeds the block size,
+    and block ids are contiguous from 0."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.text import PACK_BLOCK, _words
+    from hive_ddl_extract_tool_spark.tables import load
+
+    packs = QUERIES["q90_sequence_packing"](spark, sf_dir).collect()
+    docs = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.greatest(F.size(_words()), F.lit(1))).alias("tot"))
+        .collect()
+    )
+    tot = {r["source"]: r["tot"] for r in docs}
+    by_src: dict[str, list] = {}
+    for r in packs:
+        assert 0 < r["n_tokens"] <= PACK_BLOCK, r
+        assert r["n_carry"] <= r["n_docs"], r
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(tot)
+    for src, rows in by_src.items():
+        assert sum(r["n_tokens"] for r in rows) == tot[src], src
+        blocks = sorted(r["block"] for r in rows)
+        assert blocks == list(range(len(blocks))), f"{src}: holes in {blocks}"
+
+
+def test_q95_funnel_is_monotone(spark, sf_dir):
+    """Each gate can only shrink the survivor set, and retained_ppm is
+    consistent with the integer counts."""
+    for r in QUERIES["q95_curation_report"](spark, sf_dir).collect():
+        assert r["n_raw"] >= r["n_len_ok"] >= r["n_quality_ok"] >= r["n_rep_ok"] >= r["n_unique"]
+        assert r["retained_ppm"] == r["n_unique"] * 1_000_000 // r["n_raw"]
