@@ -65,6 +65,7 @@ _PRIORITY = [
     "q93_dim_correlations",
     "q94_source_overlap",
     "q95_curation_report",
+    "q96_custdist",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

@@ -372,6 +372,52 @@ SELECT 'supp_only' AS tag, nationkey FROM
 """
 
 
+# --------------------------------------------------------------------------
+# q96: customer order-count distribution (TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+
+def q96_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape on this schema: LEFT OUTER join customer->orders
+    with a predicate on the preserved side's join input (non-urgent orders
+    only -- standing in for Q13's comment NOT LIKE), then a two-level
+    aggregate: orders per customer, customers per order-count. Exercises
+    the outer-join-feeds-reaggregation plan: customers with zero matching
+    orders must survive to the c_count=0 bucket, so the filter must stay
+    INSIDE the join's right input (pushing it below the outer join is the
+    classic wrong-plan; expressing it as a join-input subquery keeps both
+    engines honest). Both aggregates are map-side combined; the first
+    shuffles on c_custkey, the second on the tiny c_count domain."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    ord_ok = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(ord_ok, cust.c_custkey == ord_ok.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_Q96 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -386,6 +432,7 @@ QUERIES = {
     "q11_running_revenue": q11_running_revenue,
     "q12_part_topk": q12_part_topk,
     "q13_nation_set_ops": q13_nation_set_ops,
+    "q96_custdist": q96_custdist,
 }
 
 ORACLES = {
@@ -401,5 +448,6 @@ ORACLES = {
     "q11_running_revenue": ORACLE_Q11,
     "q12_part_topk": ORACLE_Q12,
     "q13_nation_set_ops": ORACLE_Q13,
+    "q96_custdist": ORACLE_Q96,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }
