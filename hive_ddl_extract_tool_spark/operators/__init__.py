@@ -66,6 +66,7 @@ _PRIORITY = [
     "q94_source_overlap",
     "q95_curation_report",
     "q96_custdist",
+    "q97_idle_rich_customers",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

@@ -418,6 +418,66 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# --------------------------------------------------------------------------
+# q97: above-average idle customers (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+
+def q97_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: customers whose balance beats the global average
+    positive balance (uncorrelated scalar-aggregate subquery) AND who have
+    no urgent order (anti join against a filtered build side; unfiltered,
+    every above-average customer has SOME order and the result is vacuous),
+    rolled up by market segment.
+
+    The above-average predicate is boundary-exact: both sides work in
+    integer cents and compare cents * n_pos > sum_cents (cross-multiplied,
+    no division) -- a raw double avg() comparison can flip membership for a
+    balance within an ulp of the mean because summation order differs
+    across partitionings and engines (the q56 lesson). The 1-row stats
+    aggregate broadcasts into the scan; the anti join is the only shuffle
+    that grows with data."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            mround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_Q97 = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+stats AS (
+  SELECT sum(cents) AS sum_cents, count(*) AS n_pos FROM cust WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_cust, round(1.37e-6 + sum(c_acctbal), 2) AS total_bal
+FROM cust, stats
+WHERE cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -433,6 +493,7 @@ QUERIES = {
     "q12_part_topk": q12_part_topk,
     "q13_nation_set_ops": q13_nation_set_ops,
     "q96_custdist": q96_custdist,
+    "q97_idle_rich_customers": q97_idle_rich_customers,
 }
 
 ORACLES = {
@@ -449,5 +510,6 @@ ORACLES = {
     "q12_part_topk": ORACLE_Q12,
     "q13_nation_set_ops": ORACLE_Q13,
     "q96_custdist": ORACLE_Q96,
+    "q97_idle_rich_customers": ORACLE_Q97,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }
