@@ -67,6 +67,7 @@ _PRIORITY = [
     "q95_curation_report",
     "q96_custdist",
     "q97_idle_rich_customers",
+    "q98_stream_sessionize",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

@@ -62,3 +62,61 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming sessionizer: per-EVENT session ids (batch twin: q88)
+# --------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("session_seq", LongType()),
+])
+
+# (last event time in micros, running session ordinal)
+SESSION_STATE_SCHEMA = StructType([
+    StructField("last_tus", LongType()),
+    StructField("seq", LongType()),
+])
+
+
+def _make_sessionizer(gap_us: int):
+    def assign(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Assign each event its session ordinal: state carries (time of the
+        user's last event, current session number) across micro-batches;
+        within a batch rows are sorted by (tus, event_id) -- Arrow batch
+        order is not guaranteed -- so the assignment is deterministic and
+        identical to the batch window scan (q88) whenever event time is
+        non-decreasing across batches (true for a replayed log source)."""
+        last_tus, seq = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(batches)).sort_values(["tus", "event_id"])
+        out = []
+        for t in pdf.itertuples():
+            if last_tus is None or t.tus - last_tus > gap_us:
+                seq += 1
+            out.append(seq)
+            last_tus = int(t.tus)
+        state.update((last_tus, seq))
+        yield pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": key[0], "session_seq": out}
+        )
+
+    return assign
+
+
+def sessionize_stream(events_stream: DataFrame, gap_us: int) -> DataFrame:
+    """Streaming DataFrame of (event_id, user_id, session_seq): the custom
+    stateful operator Structured Streaming's session_window cannot express
+    (it emits per-SESSION aggregates; training-data pipelines need the
+    per-event ids to join features against). Expects columns
+    (event_id, user_id, tus) with tus in epoch micros."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators._rounding import mround
+from ..operators.advanced import ORACLE_Q88, SESSION_GAP_US
 from ..tables import load
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -311,6 +312,39 @@ GROUP BY 1, 2
 """
 
 
+def q98_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session ids via the custom stateful operator
+    (applyInPandasWithState, streaming/stateful.py) -- the capability
+    session_window lacks: it emits per-session AGGREGATES, while feature
+    pipelines need each event's session id to join against. The state store
+    carries (last event time, session ordinal) per user; draining the
+    replayed log with availableNow semantics makes the result equal the
+    batch window scan, so q88's SQL is an EXACT oracle for a stateful
+    streaming query."""
+    from ..tables import _ensure_session_defaults
+    from .stateful import sessionize_stream
+
+    _ensure_session_defaults(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = "q98_stream_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", F.expr("ts div 1000").alias("tus"))
+    )
+    sess = sessionize_stream(stream, SESSION_GAP_US)
+    q = sess.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -318,6 +352,7 @@ QUERIES = {
     "q63_stream_tumbling": q63_stream_tumbling,
     "q64_stream_dedup": q64_stream_dedup,
     "q70_stream_static_join": q70_stream_static_join,
+    "q98_stream_sessionize": q98_stream_sessionize,
 }
 
 ORACLES = {
@@ -327,4 +362,5 @@ ORACLES = {
     "q63_stream_tumbling": ORACLE_Q63,
     "q64_stream_dedup": ORACLE_Q64,
     "q70_stream_static_join": ORACLE_Q70,
+    "q98_stream_sessionize": ORACLE_Q88,
 }
