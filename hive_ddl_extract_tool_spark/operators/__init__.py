@@ -68,6 +68,7 @@ _PRIORITY = [
     "q96_custdist",
     "q97_idle_rich_customers",
     "q98_stream_sessionize",
+    "q99_label_purity",
     "q56_salted_join",
     "q58_bucketed_join",
     # remaining round-1-stale oracle rows

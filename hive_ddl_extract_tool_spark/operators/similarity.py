@@ -957,6 +957,91 @@ JOIN dims dj ON pairs.j = dj.i
 """
 
 
+# --------------------------------------------------------------------------
+# q99: label coherence -- nearest-centroid confusion matrix
+# --------------------------------------------------------------------------
+
+def q99_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: per-label centroids, every vector
+    assigned to its nearest centroid (squared L2, label-asc tiebreak), and
+    the (true label x assigned label) confusion counts -- the cluster-purity
+    audit a curation pipeline runs to decide whether a labeling (or an
+    embedding model) is usable before training on it.
+
+    Centroids use q66b's exact fixed-point discipline: per-dim sums of
+    floor(x * 2^20) as int64 (order-free), one double division chain at the
+    end -- so both engines derive bit-identical centroids. Distances are
+    sequentially accumulated doubles (the zip_with/aggregate <->
+    list_transform/list_sum pairing that is bit-exact cross-engine, q46),
+    and the assignment is PURE PROJECTION arithmetic against literal
+    centroids (the q66 shape: no explode, no per-vector window exchange) --
+    the only shuffles are the two bounded-output label aggregates. The
+    centroid collect is n_labels rows, a bounded broadcast-side fetch."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", _dbl("embedding").alias("v"))
+    q20 = float(1 << 20)
+    aggs = [
+        F.sum(F.floor(F.element_at("v", j + 1) * F.lit(q20)).cast("bigint")).alias(f"s{j}")
+        for j in range(DIM)
+    ] + [F.count(F.lit(1)).alias("cnt")]
+    stats = base.groupBy("label").agg(*aggs).collect()
+    cents = {
+        r["label"]: [r[f"s{j}"] / r["cnt"] / q20 for j in range(DIM)] for r in stats
+    }
+    slots = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(c) for c in cv]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(int(lbl)).alias("lb"),
+            )
+            for lbl, cv in sorted(cents.items())
+        ]
+    )
+    assigned = F.element_at(F.array_sort(slots), 1)["lb"]
+    return (
+        base.select("label", assigned.alias("assigned"))
+        .groupBy("label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_Q99 = f"""
+WITH xd AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+st AS (
+  SELECT label, i,
+         CAST(sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM xd, LATERAL (SELECT unnest(range(1, {DIM} + 1)) AS i) ix
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(s / cnt / 1048576.0 ORDER BY i) AS cv FROM st GROUP BY label),
+dist AS (
+  SELECT x.vec_id, x.label, c.label AS cand,
+         list_sum(list_transform(range(1, {DIM} + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+  FROM xd x, cent c
+),
+best AS (
+  SELECT vec_id, label, cand AS assigned,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cand) AS rn
+  FROM dist
+)
+SELECT label, assigned, count(*) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
@@ -969,6 +1054,7 @@ QUERIES = {
     "q87_embed_dim_stats": q87_embed_dim_stats,
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
     "q93_dim_correlations": q93_dim_correlations,
+    "q99_label_purity": q99_label_purity,
 }
 
 ORACLES = {
@@ -981,6 +1067,7 @@ ORACLES = {
     "q66b_ivf_trained": ORACLE_Q66B,
     "q72_embed_quantize": ORACLE_Q72,
     "q93_dim_correlations": ORACLE_Q93,
+    "q99_label_purity": ORACLE_Q99,
     "q87_embed_dim_stats": ORACLE_Q87,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }
