@@ -36,14 +36,22 @@ def q94_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage on a corpus that plants near-duplicates across shards (the
     standard contamination probe is n-gram overlap for the same reason).
 
-    Shape: distinct (source, fp) -- one map-side-combined aggregate -- then
-    a self-equi-join on fp. The join key is the fingerprint, so each
-    fingerprint's bucket meets only its own duplicates; the output is
-    |sources|^2-bounded. No broadcast needed at any corpus size."""
-    docs = load(spark, sf_dir, "documents")
-    w = docs.select("source", _words(F.lower("text")).alias("w"))
-    fp = h60(F.concat_ws(" ", F.slice("w", 1, PREFIX_WORDS)))
-    fps = w.select("source", fp.alias("fp")).distinct()
+    Shape: distinct (source, fp) -- one map-side-combined aggregate,
+    parquet-staged so BOTH self-join sides read the compact fingerprint
+    set instead of re-scanning and re-hashing the corpus (no CSE across
+    Spark subtrees) -- then a self-equi-join on fp. The join key is the
+    fingerprint, so each fingerprint's bucket meets only its own
+    duplicates; the output is |sources|^2-bounded. No broadcast needed at
+    any corpus size."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        w = docs.select("source", _words(F.lower("text")).alias("w"))
+        fp = h60(F.concat_ws(" ", F.slice("w", 1, PREFIX_WORDS)))
+        return w.select("source", fp.alias("fp")).distinct()
+
+    fps = cached_df(spark, f"source_prefix_fps:{sf_dir}", build)
     a = fps.select(F.col("source").alias("source_a"), "fp")
     b = fps.select(F.col("source").alias("source_b"), "fp")
     return (

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._cache import cached_df
 from .text import _words
 from ..tables import load
 
@@ -264,30 +265,46 @@ def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs). Per-bigram log-probs are floor-quantized to 1e-9 fixed point and
     weighted by the integer per-doc count before an integer sum (q81's
     order-free discipline); the single final division happens once, with
-    identical expression text in both engines."""
-    docs = load(spark, sf_dir, "documents")
-    w = docs.select("doc_id", _words(F.lower("text")).alias("w"))
-    doc_bg = (
-        w.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.zip_with(
-                F.slice("w", 1, F.size("w") - 1),
-                F.slice("w", 2, F.size("w") - 1),
-                lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
-            ).alias("bgs"),
+    identical expression text in both engines.
+
+    Both model inputs are parquet-staged (cached_df): doc_bg feeds the
+    corpus bigram counts AND the scoring join, uni feeds the context
+    counts AND the vocab size -- without staging each consumer re-reads
+    and re-tokenizes the corpus (no CSE across Spark subtrees: observed 4
+    documents scans in the unstaged plan; the q42 double-shingle-scan
+    lesson). Staged, the corpus is tokenized exactly twice -- the minimum
+    for a model that needs both bigram and unigram passes."""
+
+    def build_doc_bg() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        w = docs.select("doc_id", _words(F.lower("text")).alias("w"))
+        return (
+            w.filter(F.size("w") >= 2)
+            .select(
+                "doc_id",
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+                ).alias("bgs"),
+            )
+            .select("doc_id", F.explode("bgs").alias("bg"))
+            .select("doc_id", "bg.wa", "bg.wb")
+            .groupBy("doc_id", "wa", "wb")
+            .agg(F.count(F.lit(1)).alias("c_doc"))
         )
-        .select("doc_id", F.explode("bgs").alias("bg"))
-        .select("doc_id", "bg.wa", "bg.wb")
-        .groupBy("doc_id", "wa", "wb")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
-    )
+
+    def build_uni() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return (
+            docs.select(F.explode(_words(F.lower("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c_a"))
+        )
+
+    doc_bg = cached_df(spark, f"doc_bigrams:{sf_dir}", build_doc_bg)
+    uni = cached_df(spark, f"unigram_counts:{sf_dir}", build_uni)
     c_ab = doc_bg.groupBy("wa", "wb").agg(F.sum("c_doc").alias("c_ab"))
-    uni = (
-        w.select(F.explode("w").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c_a"))
-    )
     vsize = uni.agg(F.count(F.lit(1)).alias("v"))
     logp9 = F.floor(
         F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.col("v"))) * F.lit(float(Q9))

@@ -234,3 +234,23 @@ def test_curation_report_is_join_free(spark, sf_dir):
     plan = formatted_plan(QUERIES["q95_curation_report"](spark, sf_dir))
     assert "Join" not in plan, f"funnel should be join-free:\n{plan}"
     assert "Window" in plan
+
+
+def test_bigram_lm_scores_from_staged_model(spark, sf_dir):
+    """q92's final plan must read the staged bigram/unigram parquet, not
+    re-tokenize documents per consumer (4 scans observed unstaged)."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    plan = formatted_plan(QUERIES["q92_bigram_lm_score"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+
+
+def test_source_overlap_joins_staged_fingerprints(spark, sf_dir):
+    """q94's self-join must read the staged distinct (source, fp) set on
+    both sides -- zero raw documents scans in the final plan."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    plan = formatted_plan(QUERIES["q94_source_overlap"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
