@@ -139,14 +139,37 @@ GROUP BY user_id, sess
 # q63: true Structured Streaming -- readStream + watermark + tumbling agg
 # --------------------------------------------------------------------------
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of events.parquet robust to both ts encodings the data
+    generator has shipped: TIMESTAMP(NANOS) (surfaces as long under the
+    legacy nanosAsLong conf; convert in-plan) and TIMESTAMP(MICROS)
+    (surfaces as timestamp_ntz; cast to session-tz timestamp). The file
+    source requires an explicit schema, so probe the batch reader's resolved
+    schema once -- a driver-side footer read, no data scan -- and declare
+    the matching stream schema. Declaring the wrong type would NOT error:
+    the vectorized reader hands back the raw INT64 micros, silently
+    compressing every timestamp 1000x downstream."""
+    from ..tables import _ensure_session_defaults
+
+    _ensure_session_defaults(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    if isinstance(ts_type, T.LongType):  # nanos surfaced as long
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def q63_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,20 +177,11 @@ def q63_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling window per event_type, memory sink. Complete output mode emits
     every window once the source drains, so the result equals the batch
     aggregation and the DuckDB oracle stays exact."""
-    from ..tables import _ensure_session_defaults
-
-    _ensure_session_defaults(spark)  # q63 bypasses tables.load (readStream)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     name = "q63_stream_result"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -215,20 +229,11 @@ def q64_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT -- which is what the DuckDB oracle computes. At scale the
     watermark bounds the dedup state to the late-data horizon instead of
     the whole corpus (the reason this operator exists)."""
-    from ..tables import _ensure_session_defaults
-
-    _ensure_session_defaults(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     name = "q64_dedup_result"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withColumn("minute", F.date_trunc("minute", "ts"))
         .withWatermark("ts", "10 minutes")
@@ -265,10 +270,8 @@ def q70_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, unlike stream-stream), then a 15-minute tumbling rollup per
     market segment. Complete output mode over the drained source equals the
     batch join+agg, so the DuckDB oracle is exact."""
-    from ..tables import _ensure_session_defaults, load as load_table
+    from ..tables import load as load_table
 
-    _ensure_session_defaults(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     name = "q70_enrich_result"
     for q in spark.streams.active:
         if q.name == name:
@@ -276,12 +279,7 @@ def q70_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.join(F.broadcast(cust), "user_id")
         .withWatermark("ts", "10 minutes")
@@ -321,20 +319,14 @@ def q98_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed log with availableNow semantics makes the result equal the
     batch window scan, so q88's SQL is an EXACT oracle for a stateful
     streaming query."""
-    from ..tables import _ensure_session_defaults
     from .stateful import sessionize_stream
 
-    _ensure_session_defaults(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     name = "q98_stream_result"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id", "user_id", F.expr("ts div 1000").alias("tus"))
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
     )
     sess = sessionize_stream(stream, SESSION_GAP_US)
     q = sess.writeStream.outputMode("update").format("memory").queryName(name).start()

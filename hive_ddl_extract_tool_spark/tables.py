@@ -47,15 +47,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and
-    convert in the plan -- fully distributed, no driver-side materialization,
-    lossless (the generator emits microsecond-aligned values)."""
+    """events.ts has shipped as either parquet TIMESTAMP(NANOS) (older data
+    drops; Spark's vectorized reader rejects it, so read nanos as long via the
+    legacy conf and convert in the plan) or TIMESTAMP(MICROS) (current drops;
+    reads natively as timestamp_ntz). Handle both by inspecting the resolved
+    schema -- the conversion is plan-side, fully distributed, and lossless
+    (the generator emits microsecond-aligned values). Normalize to session-tz
+    TimestampType so window/streaming semantics match the UTC-pinned session."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):  # nanos surfaced as long
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
