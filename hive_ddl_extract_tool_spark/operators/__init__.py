@@ -30,76 +30,82 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # Queries that must reach the driver's correctness sweep first this round
-# (round 3): the 27 queries whose only green row is from ROUND 1 (the r02
-# sweep budget cut before them -- the dedup/similarity core q40-q47 among
-# them), then this round's new/changed queries. Everything verified fresh
-# in r02 rotates to the back.
+# (round 4): (1) the 8 queries whose r03 row was a hash MISMATCH against the
+# since-replaced data drop (all pass locally on the current drop -- they need
+# a fresh green row), (2) the 4 streaming queries whose events-stream reader
+# was rewritten for the micros ts encoding, (3) this round's new operators,
+# (4) queries whose newest green row is r02 and is aging out. Everything
+# verified green in r03 rotates to the back.
 _PRIORITY = [
-    # dedup + similarity core first (verdict: "the hard signal is stale
-    # for the operators that matter most")
-    "q40_exact_dedup",
-    "q41_minhash_signatures",
-    "q42_minhash_lsh_dedup",
-    "q43_ngram_jaccard",
-    "q44_simhash",
-    "q45_simhash_neardup",
-    "q46_cosine_topk",
-    "q47_ann_lsh",
-    "q49_cosine_neardup",
-    # round-3 new/changed operators
-    "q49c_lsh_recall",
-    "q66b_ivf_trained",
-    "q66_ivf_ann",
-    "q68_dup_clusters",
-    "q83_dedup_purge",
-    "q86_decontamination",
-    "q81_bm25_topk",
-    "q82_collocations",
-    "q85_inverted_index",
-    "q87_embed_dim_stats",
+    # (1) r03 hash-mismatch rows to re-green
     "q88_sessionize",
-    "q89_value_histogram",
+    "q98_stream_sessionize",
+    "q83_dedup_purge",
+    "q85_inverted_index",
     "q90_sequence_packing",
     "q91_vocab_coverage",
     "q92_bigram_lm_score",
-    "q93_dim_correlations",
-    "q94_source_overlap",
     "q95_curation_report",
-    "q96_custdist",
-    "q97_idle_rich_customers",
-    "q98_stream_sessionize",
-    "q99_label_purity",
+    # (2) streaming reader rewritten this round
+    "q63_stream_tumbling",
+    "q64_stream_dedup",
+    "q70_stream_static_join",
+    "q60_tumbling_window",
+    "q61_sliding_window",
+    "q62_session_window",
+    # (3) round-4 new operators
+    "q100_gopher_rules",
+    "q101_source_mixing",
+    "q102_token_budget_select",
+    "q103_semdedup",
+    "q104_ngram_decontam",
+    "q105_length_buckets",
+    "q106_minhash_estimator_error",
+    # (4) r02-era rows aging out (newest green is two rounds old)
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_order_priority_semi",
+    "q04_customers_without_orders",
+    "q05_distinct_users",
+    "q07_rollup_orders",
+    "q08_cube_lineitem",
+    "q09_grouping_sets",
+    "q10_top_orders_per_customer",
+    "q11_running_revenue",
+    "q12_part_topk",
+    "q13_nation_set_ops",
+    "q14_pivot_status_year",
+    "q20_scalar_gauntlet",
+    "q21_json_extract",
+    "q22_array_functions",
+    "q23_explode_tokens",
+    "q26_correlated_subquery",
+    "q27_range_frame_window",
+    "q35_tfidf_topterms",
+    "q36_hash_split",
+    "q59_asof_join",
+    "q65_frame_sample",
+    "q67_pandas_udf_scalar",
+    "q71_repetition_metrics",
+    "q73_stratified_sample",
+    "q74_funnel",
+    "q75_cohort_retention",
+    "q76_heavy_hitters",
+    "q77_variant_json",
+    "q78_udtf_chunk",
+    "q79_resample_ffill",
+    "q80_rolling_anomaly",
     "q56_salted_join",
     "q58_bucketed_join",
-    # remaining round-1-stale oracle rows
-    "q15_percentiles",
-    "q16_window_extras",
-    "q17_conditional_aggs",
-    "q18_null_handling",
-    "q19_string_extras",
-    "q24_map_functions",
-    "q25_date_extras",
-    "q28_unpivot",
-    "q30_text_stats",
-    "q31_token_count",
-    "q32_langid",
-    "q33_fingerprint",
-    "q34_quality_score",
-    "q50_binary_metadata",
-    "q53_sql_ml_inference",
-    "q55_range_join",
-    # round-1-stale rows-only entries (weaker signal, but their evidence
-    # ages out entirely if the sweep never reaches them)
-    "q54_skyline",
-    "q60_tumbling_window",
+    "q86_decontamination",
 ]
 
 
 def _modules():
-    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, relational, retrieval, similarity, text
+    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, relational, retrieval, selection, similarity, text
     from ..streaming import windows
 
-    return (relational, functions_suite, functions_suite2, dedup, similarity, text, retrieval, curation, multimodal, advanced, physical, windows)
+    return (relational, functions_suite, functions_suite2, dedup, similarity, text, retrieval, curation, selection, multimodal, advanced, physical, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

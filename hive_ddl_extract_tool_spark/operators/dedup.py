@@ -157,13 +157,18 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_from_shingles(_doc_shingles_raw(spark, sf_dir))
 
 
-def _minhash_from_shingles(ds: DataFrame) -> DataFrame:
+def _minhash_wide(ds: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) -- the columnar signature (one min-agg per seed)."""
     hm = F.col("sh") % F.lit(P31)
     mins = [
         F.min((F.lit(a) * hm + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     ]
-    wide = ds.groupBy("doc_id").agg(*mins)
+    return ds.groupBy("doc_id").agg(*mins)
+
+
+def _minhash_from_shingles(ds: DataFrame) -> DataFrame:
+    wide = _minhash_wide(ds)
     stack_args = ", ".join(f"{i}, m{i}" for i in range(len(MINHASH_SEEDS)))
     return wide.select(
         "doc_id",
@@ -687,6 +692,63 @@ WHERE (sa.split = 'test' AND sb.split = 'train')
 """
 
 
+# --------------------------------------------------------------------------
+# q106: MinHash estimator-quality audit -- estimated vs exact Jaccard
+# --------------------------------------------------------------------------
+
+def q106_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the audit loop on the MinHash ESTIMATE itself (q49c's
+    pattern, applied to q41/q42): for every q42-verified near-dup pair,
+    compare the signature-estimated Jaccard (fraction of the 16 minima that
+    agree) against the exact shingle-set Jaccard the verify step computed,
+    and publish the estimator's mean error as one driver-checked row.
+
+    Cost shape: rides the STAGED q42 pair set (tiny) and the columnar
+    signatures -- two equi-joins by doc id, bounded by |pairs|. Every
+    number is integer ppm: the estimate is (n_eq * 1e6) DIV 16 by
+    construction, and the exact side re-rounds q42's 6dp jaccard, which is
+    bit-identical cross-engine (identical doubles through an identical
+    expression tree)."""
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir)
+    sig = _minhash_wide(_doc_shingles_raw(spark, sf_dir))
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    per = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.expr(f"({'+'.join(f'CAST(a{i} = b{i} AS BIGINT)' for i in range(N_HASHES))}) * 1000000 DIV {N_HASHES}").alias("est_ppm"),
+            F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("bigint").alias("ex_ppm"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(est_ppm) DIV count(*)").alias("mean_est_ppm"),
+        F.expr("sum(ex_ppm) DIV count(*)").alias("mean_exact_ppm"),
+        F.expr("sum(abs(est_ppm - ex_ppm)) DIV count(*)").alias("mean_abs_err_ppm"),
+    )
+
+
+ORACLE_Q106 = f"""
+WITH pairs AS ({ORACLE_Q42}),
+sig AS ({_minhash_long_sql()}),
+per AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) * 1000000 // {N_HASHES} AS est_ppm,
+         CAST(floor(p.jaccard * 1e6 + 0.5) AS BIGINT) AS ex_ppm
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed_id = sa.seed_id
+  GROUP BY p.doc_a, p.doc_b, p.jaccard
+)
+SELECT count(*) AS n_pairs,
+       sum(est_ppm) // count(*) AS mean_est_ppm,
+       sum(ex_ppm) // count(*) AS mean_exact_ppm,
+       sum(abs(est_ppm - ex_ppm)) // count(*) AS mean_abs_err_ppm
+FROM per
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -697,6 +759,7 @@ QUERIES = {
     "q68_dup_clusters": q68_dup_clusters,
     "q83_dedup_purge": q83_dedup_purge,
     "q86_decontamination": q86_decontamination,
+    "q106_minhash_estimator_error": q106_minhash_estimator_error,
 }
 
 ORACLES = {
@@ -709,4 +772,5 @@ ORACLES = {
     "q68_dup_clusters": ORACLE_Q68,
     "q83_dedup_purge": ORACLE_Q83,
     "q86_decontamination": ORACLE_Q86,
+    "q106_minhash_estimator_error": ORACLE_Q106,
 }

@@ -1,0 +1,430 @@
+"""Corpus-selection operators: the decisions a pretraining-data pipeline
+makes AFTER scoring -- which documents clear the published rule set
+(Gopher-style gates), how much of each source shard to sample (temperature
+mixing), which documents fit a token budget (histogram-threshold
+selection), which test documents leak n-grams from train (decontamination),
+and how documents pack into fixed-shape training batches (length
+bucketing).
+
+Exactness discipline (house rules from operators/curation.py): every
+published number is an integer count or integer-ppm ratio; threshold
+comparisons on floats only ever compare doubles built from the identical
+expression tree in both engines (IEEE arithmetic over identical inputs is
+deterministic); cross-row float sums are floor-quantized to fixed point
+and summed as int64 (order-free) before any division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._hashing import h60, h60_sql
+from .text import LANG_MARKERS, SPLIT_SEED, _marker_regex, _words
+from ..tables import load
+
+_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# q100: Gopher-style rule gates -- per-source pass counts
+# --------------------------------------------------------------------------
+
+# The four classic document-level rules (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", §A1.1):
+# word-count band, mean-word-length band, alphabetic-word fraction,
+# required-stopword hits. Thresholds are the paper's, except the stopword
+# list which reuses this repo's EN marker set (text.py) so the rule is
+# exercised rather than vacuous on the synthetic corpus.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10          # mean word length band
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5         # >= 80% alphabetic words
+GOPHER_MIN_STOPWORDS = 2                          # distinct stopword hits
+
+
+def q100_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass counts for the four Gopher document gates. Every
+    gate is an integer predicate: the mean-word-length band compares
+    cross-multiplied integers (lo*nw <= sum_wlen <= hi*nw), the alphabetic
+    fraction compares 5*n_alpha >= 4*nw -- no float ever divides, so the
+    check is hash-exact by construction. One linear pass over a word array
+    materialized once per doc; the only shuffle is the final
+    low-cardinality per-source rollup."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("source", _words(F.lower("text")).alias("w"))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    per = w.select(
+        "source",
+        F.size("w").cast("bigint").alias("nw"),
+        F.aggregate("w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)).alias("sum_wlen"),
+        F.size(F.filter("w", lambda x: x.rlike("^[a-z]+$"))).cast("bigint").alias("n_alpha"),
+        F.size(F.array_intersect(F.array_distinct("w"), markers)).cast("bigint").alias("n_stop_distinct"),
+    )
+    g_len = (F.col("nw") >= GOPHER_MIN_WORDS) & (F.col("nw") <= GOPHER_MAX_WORDS)
+    g_wlen = (F.col("sum_wlen") >= GOPHER_MIN_WLEN * F.col("nw")) & (
+        F.col("sum_wlen") <= GOPHER_MAX_WLEN * F.col("nw")
+    )
+    g_alpha = GOPHER_ALPHA_DEN * F.col("n_alpha") >= GOPHER_ALPHA_NUM * F.col("nw")
+    g_stop = F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(g_len.cast("bigint")).alias("n_len_ok"),
+        F.sum(g_wlen.cast("bigint")).alias("n_wlen_ok"),
+        F.sum(g_alpha.cast("bigint")).alias("n_alpha_ok"),
+        F.sum(g_stop.cast("bigint")).alias("n_stop_ok"),
+        F.sum((g_len & g_wlen & g_alpha & g_stop).cast("bigint")).alias("n_pass_all"),
+    )
+
+
+_EN_MARKER_LIST = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS["en"]) + "]"
+
+ORACLE_Q100 = f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(w) AS BIGINT)                                            AS nw,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)       AS sum_wlen,
+         CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(w), {_EN_MARKER_LIST})) AS BIGINT) AS n_stop_distinct
+  FROM (SELECT source, {_WORDS_SQL} AS w FROM documents)
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END) AS n_len_ok,
+       sum(CASE WHEN sum_wlen >= {GOPHER_MIN_WLEN} * nw AND sum_wlen <= {GOPHER_MAX_WLEN} * nw THEN 1 ELSE 0 END) AS n_wlen_ok,
+       sum(CASE WHEN {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * nw THEN 1 ELSE 0 END) AS n_alpha_ok,
+       sum(CASE WHEN n_stop_distinct >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop_ok,
+       sum(CASE WHEN nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS}
+                 AND sum_wlen >= {GOPHER_MIN_WLEN} * nw AND sum_wlen <= {GOPHER_MAX_WLEN} * nw
+                 AND {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * nw
+                 AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS n_pass_all
+FROM per
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q101: temperature-weighted source mixing (alpha = 0.5)
+# --------------------------------------------------------------------------
+
+Q9 = 10**9          # fixed-point scale shared with retrieval.py's discipline
+EPOCH_DOC_BUDGET = 100_000  # documents drawn per training epoch
+
+
+def q101_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights under temperature alpha=0.5
+    (w_s = n_s^0.5 / sum n^0.5) -- the standard rebalancing that keeps huge
+    shards from drowning small ones. alpha=0.5 makes the power a sqrt,
+    which IEEE specifies correctly rounded, so both engines compute the
+    identical double; it is then floor-quantized to 1e-9 fixed point and
+    the cross-source total is an int64 sum (order-free), so the ppm weights
+    and per-epoch draw counts are exact integers. The per-source token
+    aggregate is the only corpus-sized shuffle; the weight normalization
+    runs over |sources| rows (a bounded unpartitioned window, like every
+    report footer)."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(_words()).cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    s9 = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(float(Q9))).cast("bigint")
+    tot = W.partitionBy()  # |sources| rows -- bounded
+    return (
+        per.select("source", "n_docs", "n_tokens", s9.alias("s9"))
+        .withColumn("total9", F.sum("s9").over(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("s9 * 1000000 DIV total9").alias("weight_ppm"),
+            F.expr(f"{EPOCH_DOC_BUDGET} * s9 DIV total9").alias("docs_per_epoch"),
+        )
+    )
+
+
+ORACLE_Q101 = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(len({_WORDS_SQL}) AS BIGINT)) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+q AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {Q9}.0) AS BIGINT) AS s9
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       s9 * 1000000 // (SELECT sum(s9) FROM q)          AS weight_ppm,
+       {EPOCH_DOC_BUDGET} * s9 // (SELECT sum(s9) FROM q) AS docs_per_epoch
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# q102: token-budget selection via quality-histogram threshold
+# --------------------------------------------------------------------------
+
+QB_SCALE = 1000  # quality-score buckets: floor(score * 1000)
+
+
+def q102_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents that fit a token budget (1/3 of
+    the corpus), reported per source. NOT a global sort: the scalable shape
+    is a quality HISTOGRAM threshold -- bucket every doc by quantized
+    score, aggregate token mass per bucket (bounded <= {QB_SCALE}+1 rows),
+    find the boundary bucket by a cumulative scan over that tiny table,
+    take all docs strictly above it, and break ties inside the boundary
+    bucket only, by doc_id order (a window keyed by the bucket, so even
+    the tie-break is distributed). This is how a 100 TB curation run picks
+    'the best N tokens' without ever totally ordering the corpus.
+
+    The quality score is q34's expression tree verbatim (driver-green under
+    the same argument); bucketing floors identical doubles, so bucket
+    membership is cross-engine exact, and everything after is integers.
+
+    The compact per-doc (doc_id, source, n_tok, qb) table feeds BOTH the
+    histogram and the selection join, so it is parquet-staged once
+    (cached_df) -- unstaged, each consumer re-scans and re-scores the raw
+    corpus (no CSE across Spark subtrees; the q42 lesson). The histogram
+    side of the selection join is <= QB_SCALE+1 rows by construction at any
+    corpus size, so it broadcasts explicitly."""
+    from ._cache import cached_df
+
+    def build_per() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
+        nwd = F.size("w").cast("double")
+        n_punct = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+        n_stop = F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double")
+        score = (
+            F.least(nwd / 50.0, F.lit(1.0)) * 0.4
+            + F.least((n_stop / nwd) * 5.0, F.lit(1.0)) * 0.3
+            + (1.0 - F.least((n_punct / F.length("text").cast("double")) * 10.0, F.lit(1.0))) * 0.3
+        )
+        return w.select(
+            "doc_id",
+            "source",
+            F.size("w").cast("bigint").alias("n_tok"),
+            F.floor(score * QB_SCALE).cast("bigint").alias("qb"),
+        )
+
+    per = cached_df(spark, f"quality_buckets:{sf_dir}", build_per)
+    hist = per.groupBy("qb").agg(F.sum("n_tok").alias("tok_s"))
+    # tokens in strictly-better buckets + the budget, as 1-row-per-bucket
+    # scalars (window over the bounded histogram)
+    wd = W.partitionBy().orderBy(F.col("qb").desc())
+    cum = hist.select(
+        "qb",
+        (F.sum("tok_s").over(wd) - F.col("tok_s")).alias("above"),
+        F.sum("tok_s").over(W.partitionBy()).alias("total"),
+    ).withColumn("budget", F.expr("total DIV 3"))
+    wi = W.partitionBy("qb").orderBy("doc_id")
+    sel = (
+        per.join(F.broadcast(cum.select("qb", "above", "budget")), "qb")
+        .withColumn("cum_in", F.sum("n_tok").over(wi))
+        .filter(F.col("above") < F.col("budget"))
+        .filter(F.col("above") + F.col("cum_in") <= F.col("budget"))
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tok").alias("tokens_selected"),
+    )
+
+
+ORACLE_Q102 = f"""
+WITH w AS (
+  SELECT doc_id, source, text, {_WORDS_SQL} AS w FROM documents
+),
+per AS (
+  SELECT doc_id, source,
+         CAST(len(w) AS BIGINT) AS n_tok,
+         CAST(floor((
+             least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.4
+           + least((CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE)) * 5.0, 1.0) * 0.3
+           + (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.3
+         ) * {QB_SCALE}) AS BIGINT) AS qb
+  FROM w
+),
+hist AS (SELECT qb, sum(n_tok) AS tok_s FROM per GROUP BY qb),
+cum AS (
+  SELECT qb,
+         sum(tok_s) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) - tok_s AS above,
+         (SELECT sum(tok_s) FROM hist) // 3 AS budget
+  FROM hist
+),
+sel AS (
+  SELECT source, n_tok
+  FROM (
+    SELECT p.source, p.n_tok, c.above, c.budget,
+           sum(p.n_tok) OVER (PARTITION BY p.qb ORDER BY p.doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_in
+    FROM per p JOIN cum c USING (qb)
+  )
+  WHERE above < budget AND above + cum_in <= budget
+)
+SELECT source, count(*) AS n_selected, sum(n_tok) AS tokens_selected
+FROM sel
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q104: n-gram decontamination -- test-split docs leaking train n-grams
+# --------------------------------------------------------------------------
+
+DECONTAM_N = 8  # word n-gram size (13 in the PaLM/GPT-3 protocol; 8 fits the fixture doc lengths)
+
+
+def q104_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard eval-decontamination probe: for every TEST-split
+    document (q36's deterministic hash split), how many of its distinct
+    word 8-grams also occur anywhere in the TRAIN split. Complements q86,
+    which reports near-dup PAIRS; this is the n-gram-membership flavor
+    actually run before publishing eval numbers.
+
+    Shape: explode n-grams hashed to 60-bit ints, distinct per side
+    (map-side combined -- gram hashes are the shuffle key), then one
+    equi-join of the test gram set against the train gram membership set.
+    Only integer ids and hashes move; contamination is an integer ppm.
+    The distinct (doc_id, split, gh) set feeds BOTH join sides, so it is
+    parquet-staged once -- unstaged, each side re-tokenizes and re-hashes
+    the corpus (no CSE across Spark subtrees; the q42 lesson)."""
+    from ._cache import cached_df
+
+    def build_grams() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        bucket = F.pmod(
+            h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100)
+        )
+        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        w = docs.select("doc_id", split.alias("split"), _words(F.lower("text")).alias("w")).filter(
+            F.size("w") >= DECONTAM_N
+        )
+        return w.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (DECONTAM_N - 1)),
+                    lambda i: h60(F.concat_ws(" ", F.slice("w", i, F.lit(DECONTAM_N)))),
+                )
+            ).alias("gh"),
+        ).distinct()
+
+    grams = cached_df(spark, f"split_ngrams:{sf_dir}", build_grams)
+    test = grams.filter(F.col("split") == "test").select("doc_id", "gh")
+    train = grams.filter(F.col("split") == "train").select("gh").distinct().withColumn("hit", F.lit(1))
+    return (
+        test.join(train, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0)).cast("bigint")).alias("n_hit"),
+        )
+        .select("doc_id", "n_grams", "n_hit", F.expr("n_hit * 1000000 DIV n_grams").alias("contam_ppm"))
+    )
+
+
+_GRAM_SQL = h60_sql(f"array_to_string(list_slice(w, i, i + {DECONTAM_N - 1}), ' ')")
+
+ORACLE_Q104 = f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+              WHEN {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         {_WORDS_SQL} AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, split, {_GRAM_SQL} AS gh
+  FROM (SELECT * FROM w WHERE len(w) >= {DECONTAM_N}),
+       LATERAL (SELECT unnest(range(1, len(w) - {DECONTAM_N - 1} + 1)) AS i)
+),
+train AS (SELECT DISTINCT gh FROM grams WHERE split = 'train')
+SELECT doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN gh IN (SELECT gh FROM train) THEN 1 ELSE 0 END) AS n_hit,
+       sum(CASE WHEN gh IN (SELECT gh FROM train) THEN 1 ELSE 0 END) * 1000000 // count(*) AS contam_ppm
+FROM grams
+WHERE split = 'test'
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q105: length-bucketed batching -- padded-batch manifest per (source, bucket)
+# --------------------------------------------------------------------------
+
+LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]  # padded sequence lengths
+BATCH_TOKENS = 2048                               # padded tokens per batch
+
+
+def q105_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning: each document pads up to the
+    smallest power-of-two bucket holding its token count, and batches are
+    cut at BATCH_TOKENS padded tokens. Emits the per-(source, bucket)
+    manifest -- doc count, real vs padded tokens, batch count, padding
+    waste in ppm -- the numbers that decide whether a bucketing config
+    wastes compute. The bucket is a closed CASE chain (no float log2,
+    whose ULP at exact powers of two could flip buckets between engines);
+    all outputs are integer arithmetic on two integer inputs."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.greatest(F.size(_words()), F.lit(1)).cast("bigint")
+    bucket = F.when(n <= LEN_BUCKETS[0], LEN_BUCKETS[0])
+    for b in LEN_BUCKETS[1:]:
+        bucket = bucket.when(n <= b, b)
+    bucket = bucket.otherwise(2 * LEN_BUCKETS[-1])
+    per = docs.select("source", n.alias("n_tok"), bucket.cast("bigint").alias("bucket"))
+    return (
+        per.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") * F.col("bucket")).alias("padded_tokens"),
+            F.expr(f"(n_docs * bucket + {BATCH_TOKENS - 1}) DIV {BATCH_TOKENS}").alias("n_batches"),
+            F.expr("(n_docs * bucket - n_tokens) * 1000000 DIV (n_docs * bucket)").alias("waste_ppm"),
+        )
+    )
+
+
+def _bucket_case_sql() -> str:
+    whens = " ".join(f"WHEN n <= {b} THEN {b}" for b in LEN_BUCKETS)
+    return f"CASE {whens} ELSE {2 * LEN_BUCKETS[-1]} END"
+
+
+ORACLE_Q105 = f"""
+WITH per AS (
+  SELECT source, n, CAST({_bucket_case_sql()} AS BIGINT) AS bucket
+  FROM (SELECT source, CAST(greatest(len({_WORDS_SQL}), 1) AS BIGINT) AS n FROM documents)
+)
+SELECT source, bucket,
+       count(*)                                                        AS n_docs,
+       sum(n)                                                          AS n_tokens,
+       count(*) * bucket                                               AS padded_tokens,
+       (count(*) * bucket + {BATCH_TOKENS - 1}) // {BATCH_TOKENS}      AS n_batches,
+       (count(*) * bucket - sum(n)) * 1000000 // (count(*) * bucket)   AS waste_ppm
+FROM per
+GROUP BY source, bucket
+"""
+
+
+QUERIES = {
+    "q100_gopher_rules": q100_gopher_rules,
+    "q101_source_mixing": q101_source_mixing,
+    "q102_token_budget_select": q102_token_budget_select,
+    "q104_ngram_decontam": q104_ngram_decontam,
+    "q105_length_buckets": q105_length_buckets,
+}
+
+ORACLES = {
+    "q100_gopher_rules": ORACLE_Q100,
+    "q101_source_mixing": ORACLE_Q101,
+    "q102_token_budget_select": ORACLE_Q102,
+    "q104_ngram_decontam": ORACLE_Q104,
+    "q105_length_buckets": ORACLE_Q105,
+}

@@ -1042,6 +1042,89 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q103: SemDeDup -- semantic dedup inside trained k-means cells
+# --------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.45  # rounded-cosine drop threshold (corpus max pairwise ~0.6)
+
+
+def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus with k-means, then
+    deduplicate only WITHIN each cluster -- a vector is dropped when a
+    LOWER-id vector in the same cell has rounded cosine >= the threshold.
+    The whole point is the cost shape: candidate pairs are confined to a
+    cell, so the pairwise step is quadratic in cell size but linear in
+    corpus size, and the pair join is a cell-keyed equi-join (no cartesian,
+    no cross-cell traffic). Reuses q66b's trained centroids AND its staged
+    (vec_id, embedding, cell) parquet, so the corpus is scanned once for
+    both queries in a session. Emits the per-cell dedup report (vectors,
+    candidate pairs, dropped, kept) -- N_CELLS rows.
+
+    Exactness: cell assignment inherits q66b's bit-identical fixed-point
+    centroids; the drop rule compares the ROUNDED cosine (identical
+    expression tree both engines), and every output is an integer count."""
+    cent = train_centroids(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
+    assigned = ranked.select("vec_id", "embedding", F.col("t2")[0]["ci"].alias("cell"))
+    a = assigned.select("cell", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = assigned.select("cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cell", "vec_a", "vec_b", F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_T)
+    )
+    dropped = pairs.select("cell", F.col("vec_b").alias("vec_id")).distinct()
+    pair_counts = pairs.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    drop_counts = dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(pair_counts, "cell", "left")
+        .join(drop_counts, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
+def _oracle_q103() -> str:
+    rounds = []
+    prev = "cent0"
+    for n in range(1, KMEANS_ITERS + 1):
+        rounds.append(_kmeans_round_sql(prev, n))
+        prev = f"cent{n}"
+    cos = COSINE_SQL.replace("qe", "a.embedding").replace("ce", "b.embedding")
+    return f"""
+WITH cent0 AS (SELECT ci, cv FROM {_CENT0_SQL} c),
+{",".join(rounds)},
+ranked AS ({_ivf_cells_sql(prev)}),
+assigned AS (SELECT vec_id, embedding, ci AS cell FROM ranked WHERE rk = 1),
+pairs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dup AS (SELECT * FROM pairs WHERE cos_sim >= {SEMDEDUP_T}),
+pc AS (SELECT cell, count(*) AS n_dup_pairs FROM dup GROUP BY cell),
+dc AS (SELECT cell, count(*) AS n_dropped FROM (SELECT DISTINCT cell, vec_b FROM dup) GROUP BY cell)
+SELECT v.cell, v.n_vecs,
+       coalesce(pc.n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(dc.n_dropped, 0)   AS n_dropped,
+       v.n_vecs - coalesce(dc.n_dropped, 0) AS n_kept
+FROM (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell) v
+LEFT JOIN pc USING (cell)
+LEFT JOIN dc USING (cell)
+"""
+
+
+ORACLE_Q103 = _oracle_q103()
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
@@ -1055,6 +1138,7 @@ QUERIES = {
     "q48_cosine_topk_pandas": q48_cosine_topk_pandas,
     "q93_dim_correlations": q93_dim_correlations,
     "q99_label_purity": q99_label_purity,
+    "q103_semdedup": q103_semdedup,
 }
 
 ORACLES = {
@@ -1069,5 +1153,6 @@ ORACLES = {
     "q93_dim_correlations": ORACLE_Q93,
     "q99_label_purity": ORACLE_Q99,
     "q87_embed_dim_stats": ORACLE_Q87,
+    "q103_semdedup": ORACLE_Q103,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }

@@ -254,3 +254,52 @@ def test_source_overlap_joins_staged_fingerprints(spark, sf_dir):
     clear_cache()
     plan = formatted_plan(QUERIES["q94_source_overlap"](spark, sf_dir))
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["q100_gopher_rules", "q101_source_mixing", "q105_length_buckets"])
+def test_selection_linear_passes_are_join_free(name, spark, sf_dir):
+    """q100/q101/q105 are one linear pass + a low-cardinality rollup: any
+    Join in the plan means a signal got recomputed through a self-join."""
+    plan = formatted_plan(QUERIES[name](spark, sf_dir))
+    assert "Join" not in plan, f"{name} should be join-free:\n{plan}"
+
+
+def test_budget_select_reads_staged_buckets_and_broadcasts_histogram(spark, sf_dir):
+    """q102's selection join must (a) read the staged compact per-doc bucket
+    table, never re-score the raw corpus per consumer, and (b) broadcast the
+    <= QB_SCALE+1-row histogram side; the tie-break window must be keyed by
+    the bucket, not a global sort."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q102_token_budget_select"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+    assert_broadcast_join(df)
+    assert "hashpartitioning(qb" in plan, f"tie-break window not bucket-keyed:\n{plan}"
+
+
+def test_semdedup_pairs_stay_inside_cells(spark, sf_dir):
+    """q103's pairwise step must be a cell-keyed equi-join (quadratic in
+    cell size, linear in corpus size) over the staged assignment -- no
+    cartesian anywhere, and the raw embeddings file appears at most once
+    (the staging job performs the single real scan)."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q103_semdedup"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("embeddings.parquet") <= 1, plan
+
+
+def test_decontam_joins_staged_grams(spark, sf_dir):
+    """q104's test-vs-train membership join must read the staged distinct
+    gram set on both sides (zero raw documents scans) and stay equi-join."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q104_ngram_decontam"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"

@@ -103,6 +103,23 @@ SHOW = {
         "TakeOrderedAndProject keeps 20 rows per partition -- the vocabulary "
         "is never globally sorted."
     ),
+    "q102_token_budget_select": (
+        "Token-budget selection WITHOUT a global sort: staged compact "
+        "per-doc bucket table (corpus scored once), <=1001-row histogram "
+        "BroadcastHashJoined into the selection, tie-break Window keyed by "
+        "the bucket (hashpartitioning(qb)) -- never SinglePartition."
+    ),
+    "q103_semdedup": (
+        "SemDeDup: pairwise cosine confined to trained k-means cells -- the "
+        "pair join is a cell-keyed equi-join over the staged assignment "
+        "(one embeddings scan, no CartesianProduct); quadratic only within "
+        "a cell, linear in the corpus."
+    ),
+    "q104_ngram_decontam": (
+        "Decontamination membership probe: the staged distinct (doc, split, "
+        "gram-hash) parquet feeds BOTH join sides (zero raw documents scans "
+        "in the final plan); the join is keyed by the 60-bit gram hash."
+    ),
 }
 
 
