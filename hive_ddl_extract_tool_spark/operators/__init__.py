@@ -61,6 +61,7 @@ _PRIORITY = [
     "q104_ngram_decontam",
     "q105_length_buckets",
     "q106_minhash_estimator_error",
+    "q107_stream_interval_join",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

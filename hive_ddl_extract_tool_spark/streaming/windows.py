@@ -337,6 +337,66 @@ def q98_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q107_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join -- the hardest streaming operator in the
+    survey surface: 'view' events matched to same-user 'click' events in the
+    following 10 minutes, BOTH sides unbounded streams. Each side carries a
+    watermark so the engine evicts join state older than the interval plus
+    the late horizon -- the property that lets this run forever at 100 TB/day
+    (an unwatermarked stream-stream join retains every row forever). Inner
+    matches are emitted in the processing micro-batch, so draining the
+    replayed log equals the batch inequality join and the DuckDB oracle is
+    exact. Batch twin of the same shape: q55's bucketized range join."""
+    name = "q107_ssj_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("value").alias(f"{prefix}_val"),
+            )
+        )
+
+    joined = (
+        side("view", "v")
+        .join(
+            side("click", "c"),
+            F.expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            F.date_format("v_ts", TS_US_SPARK).alias("view_ts"),
+            F.date_format("c_ts", TS_US_SPARK).alias("click_ts"),
+            F.col("c_val").alias("click_value"),
+        )
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_Q107 = f"""
+SELECT v.user_id,
+       strftime(v.ts, '{TS_US_DUCK}') AS view_ts,
+       strftime(c.ts, '{TS_US_DUCK}') AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -345,6 +405,7 @@ QUERIES = {
     "q64_stream_dedup": q64_stream_dedup,
     "q70_stream_static_join": q70_stream_static_join,
     "q98_stream_sessionize": q98_stream_sessionize,
+    "q107_stream_interval_join": q107_stream_interval_join,
 }
 
 ORACLES = {
@@ -355,4 +416,5 @@ ORACLES = {
     "q64_stream_dedup": ORACLE_Q64,
     "q70_stream_static_join": ORACLE_Q70,
     "q98_stream_sessionize": ORACLE_Q88,
+    "q107_stream_interval_join": ORACLE_Q107,
 }
