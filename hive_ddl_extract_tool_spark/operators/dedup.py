@@ -710,7 +710,10 @@ def q106_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine (identical doubles through an identical
     expression tree)."""
     pairs = q42_minhash_lsh_dedup(spark, sf_dir)
-    sig = _minhash_wide(_doc_shingles_raw(spark, sf_dir))
+    # min() is duplicate-insensitive, so the signature is identical whether
+    # built from the raw or distinct shingle stream; use the STAGED distinct
+    # set q42 already materialized -- no second tokenize/hash of the corpus
+    sig = _minhash_wide(_doc_shingles(spark, sf_dir, cache=True))
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)])
     per = (

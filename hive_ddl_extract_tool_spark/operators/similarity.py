@@ -259,18 +259,25 @@ def q49_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     44s -> ~15s at sf0.1). Exact all-pairs baseline: at corpus scale you'd
     gate through the q47 sign-LSH buckets first, identically to MinHash
     banding; this exact pipeline is what verifies those candidates."""
-    vecs = _normalized(spark, sf_dir)
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
-    dot = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-    )
+    def build() -> DataFrame:
+        vecs = _normalized(spark, sf_dir)
+        a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+        b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+        dot = F.aggregate(
+            F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        )
+
+    # The (tiny) verified-pair output is parquet-staged per session: q49c
+    # consumes it again as the recall ground truth, and without the stage
+    # the audit re-runs the entire N^2/2 cross join (measured ~15 s of the
+    # 16 s q49c cost at sf0.1).
+    return cached_df(spark, f"q49_pairs:{sf_dir}", build)
 
 
 ORACLE_Q49 = f"""
@@ -1066,13 +1073,19 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree both engines), and every output is an integer count."""
     cent = train_centroids(spark, sf_dir)
     ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
-    assigned = ranked.select("vec_id", "embedding", F.col("t2")[0]["ci"].alias("cell"))
-    a = assigned.select("cell", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = assigned.select("cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    assigned = ranked.select("vec_id", F.col("t2")[0]["ci"].alias("cell"))
+    # unit-normalize once (q49's optimization): each within-cell pair costs a
+    # single dot product instead of dot + two norms
+    vecs = assigned.join(_normalized(spark, sf_dir), "vec_id")
+    a = vecs.select("cell", F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    b = vecs.select("cell", F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("cell", "vec_a", "vec_b", F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .select("cell", "vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= SEMDEDUP_T)
     )
     dropped = pairs.select("cell", F.col("vec_b").alias("vec_id")).distinct()
@@ -1099,14 +1112,24 @@ def _oracle_q103() -> str:
     for n in range(1, KMEANS_ITERS + 1):
         rounds.append(_kmeans_round_sql(prev, n))
         prev = f"cent{n}"
-    cos = COSINE_SQL.replace("qe", "a.embedding").replace("ce", "b.embedding")
     return f"""
 WITH cent0 AS (SELECT ci, cv FROM {_CENT0_SQL} c),
 {",".join(rounds)},
 ranked AS ({_ivf_cells_sql(prev)}),
-assigned AS (SELECT vec_id, embedding, ci AS cell FROM ranked WHERE rk = 1),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+),
+assigned AS (
+  SELECT r.vec_id, n.u, r.ci AS cell
+  FROM ranked r JOIN n ON r.vec_id = n.vec_id
+  WHERE r.rk = 1
+),
 pairs AS (
-  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), 6) AS cos_sim
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 ),
 dup AS (SELECT * FROM pairs WHERE cos_sim >= {SEMDEDUP_T}),

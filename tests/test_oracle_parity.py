@@ -196,3 +196,73 @@ def test_q95_funnel_is_monotone(spark, sf_dir):
     for r in QUERIES["q95_curation_report"](spark, sf_dir).collect():
         assert r["n_raw"] >= r["n_len_ok"] >= r["n_quality_ok"] >= r["n_rep_ok"] >= r["n_unique"]
         assert r["retained_ppm"] == r["n_unique"] * 1_000_000 // r["n_raw"]
+
+
+def test_q100_gates_bound_pass_all(spark, sf_dir):
+    """Every per-rule count is within [0, n_docs], and the conjunction can
+    pass at most the weakest single rule."""
+    for r in QUERIES["q100_gopher_rules"](spark, sf_dir).collect():
+        singles = [r["n_len_ok"], r["n_wlen_ok"], r["n_alpha_ok"], r["n_stop_ok"]]
+        assert all(0 <= s <= r["n_docs"] for s in singles), r
+        assert 0 <= r["n_pass_all"] <= min(singles), r
+
+
+def test_q101_weights_sum_to_one_epoch(spark, sf_dir):
+    """The ppm weights are a partition of (almost exactly) 1e6 -- integer
+    floor division may undershoot by at most |sources| ppm -- and the
+    per-epoch draws respect the same bound against the document budget."""
+    from hive_ddl_extract_tool_spark.operators.selection import EPOCH_DOC_BUDGET
+
+    rows = QUERIES["q101_source_mixing"](spark, sf_dir).collect()
+    wsum = sum(r["weight_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= wsum <= 1_000_000
+    dsum = sum(r["docs_per_epoch"] for r in rows)
+    assert EPOCH_DOC_BUDGET - len(rows) <= dsum <= EPOCH_DOC_BUDGET
+
+
+def test_q102_selection_respects_budget(spark, sf_dir):
+    """The selected token mass never exceeds the budget (1/3 of the corpus),
+    and comes within one maximum document of filling it (greedy tightness)."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.text import _words
+    from hive_ddl_extract_tool_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(F.size(_words(F.lower("text"))).alias("n"))
+    agg = docs.agg(F.sum("n").alias("tot"), F.max("n").alias("mx")).collect()[0]
+    budget = agg["tot"] // 3
+    sel = sum(r["tokens_selected"] for r in QUERIES["q102_token_budget_select"](spark, sf_dir).collect())
+    assert sel <= budget
+    assert sel > budget - agg["mx"], (sel, budget, agg["mx"])
+
+
+def test_q103_semdedup_conserves_vectors(spark, sf_dir):
+    """Per cell kept + dropped = vectors; totals cover the whole corpus;
+    a cell can only drop vectors if it has duplicate pairs."""
+    from hive_ddl_extract_tool_spark.tables import load
+
+    rows = QUERIES["q103_semdedup"](spark, sf_dir).collect()
+    n_corpus = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_corpus
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vecs"], r
+        assert (r["n_dropped"] > 0) <= (r["n_dup_pairs"] > 0), r
+
+
+def test_q104_contamination_is_a_ratio(spark, sf_dir):
+    """Hits can never exceed the gram count and the ppm field is the exact
+    integer ratio."""
+    for r in QUERIES["q104_ngram_decontam"](spark, sf_dir).collect():
+        assert 0 <= r["n_hit"] <= r["n_grams"], r
+        assert r["contam_ppm"] == r["n_hit"] * 1_000_000 // r["n_grams"], r
+
+
+def test_q106_estimator_error_is_small_on_verified_pairs(spark, sf_dir):
+    """q42's verified pairs all have exact Jaccard >= 0.8, where the 16-hash
+    MinHash estimate concentrates: the mean absolute error must stay well
+    under the band-collision noise floor (1/16 ~ 62500 ppm x a few)."""
+    row = QUERIES["q106_minhash_estimator_error"](spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == QUERIES["q42_minhash_lsh_dedup"](spark, sf_dir).count()
+    if row["n_pairs"]:
+        assert row["mean_exact_ppm"] >= 800_000
+        assert row["mean_abs_err_ppm"] <= 200_000, row
