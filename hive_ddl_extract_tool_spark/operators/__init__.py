@@ -62,6 +62,8 @@ _PRIORITY = [
     "q105_length_buckets",
     "q106_minhash_estimator_error",
     "q107_stream_interval_join",
+    "q108_scd2_merge",
+    "q109_audio_chunks",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -21,6 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._hashing import h60, h60_sql
 from ..tables import load
 
 DIM = 64
@@ -671,6 +672,71 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q108: SCD-2 merge (upsert with history) -- the incremental-ingest operator
+# --------------------------------------------------------------------------
+
+SCD2_UPD_MOD = 5        # deterministic update batch: h60("upd:"+key) % 5 == 0
+SCD2_BAL_BUMP = 1000    # cents added by the simulated update
+
+
+def q108_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply an incoming update
+    batch to the customer dimension, closing out superseded versions and
+    appending new ones with full history -- MERGE INTO semantics expressed
+    as one full-outer-shaped join + union, which is exactly how engines
+    without a native MERGE (plain parquet) implement CDC upserts.
+
+    The update batch is a deterministic hash-selected subset (segment
+    rewrite + balance bump in integer cents), so the merged output --
+    (key, version, attrs, is_current) -- is pure integer/string data and
+    hash-exact. Shape at 100 TB: ONE equi-join on the dimension key (the
+    update batch is usually broadcastable) + a union of three disjoint
+    row sets; no window, no global sort. History compaction is the same
+    bucketed-write story as q58."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    is_upd = F.pmod(h60(F.concat(F.lit("upd:"), F.col("c_custkey").cast("string"))), F.lit(SCD2_UPD_MOD)) == 0
+    updates = cust.filter(is_upd).select(
+        "c_custkey",
+        F.lit("MIGRATED").alias("c_mktsegment"),
+        (F.col("bal_cents") + SCD2_BAL_BUMP).alias("bal_cents"),
+    )
+    joined = cust.join(
+        F.broadcast(updates.select(F.col("c_custkey").alias("u_key"), F.col("c_mktsegment").alias("u_seg"), F.col("bal_cents").alias("u_bal"))),
+        cust.c_custkey == F.col("u_key"),
+        "left",
+    )
+    unchanged = joined.filter(F.col("u_key").isNull()).select(
+        "c_custkey", F.lit(1).alias("version"), "c_mktsegment", "bal_cents", F.lit(True).alias("is_current")
+    )
+    closed = joined.filter(F.col("u_key").isNotNull()).select(
+        "c_custkey", F.lit(1).alias("version"), "c_mktsegment", "bal_cents", F.lit(False).alias("is_current")
+    )
+    appended = joined.filter(F.col("u_key").isNotNull()).select(
+        "c_custkey", F.lit(2).alias("version"), F.col("u_seg").alias("c_mktsegment"), F.col("u_bal").alias("bal_cents"), F.lit(True).alias("is_current")
+    )
+    return unchanged.unionByName(closed).unionByName(appended)
+
+
+ORACLE_Q108 = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         {h60_sql("'upd:' || CAST(c_custkey AS VARCHAR)")} % {SCD2_UPD_MOD} = 0 AS is_upd
+  FROM customer
+)
+SELECT c_custkey, 1 AS version, c_mktsegment, bal_cents, NOT is_upd AS is_current
+FROM cust
+UNION ALL
+SELECT c_custkey, 2 AS version, 'MIGRATED' AS c_mktsegment,
+       bal_cents + {SCD2_BAL_BUMP} AS bal_cents, TRUE AS is_current
+FROM cust WHERE is_upd
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -682,6 +748,7 @@ QUERIES = {
     "q80_rolling_anomaly": q80_rolling_anomaly,
     "q88_sessionize": q88_sessionize,
     "q89_value_histogram": q89_value_histogram,
+    "q108_scd2_merge": q108_scd2_merge,
 }
 
 ORACLES = {
@@ -695,4 +762,5 @@ ORACLES = {
     "q80_rolling_anomaly": ORACLE_Q80,
     "q88_sessionize": ORACLE_Q88,
     "q89_value_histogram": ORACLE_Q89,
+    "q108_scd2_merge": ORACLE_Q108,
 }

@@ -179,14 +179,81 @@ FROM frames
 """
 
 
+# --------------------------------------------------------------------------
+# q109: overlapping audio-style windowing (oracle-checked, all JVM-side)
+# --------------------------------------------------------------------------
+
+CHUNK_BYTES = 48     # bytes per analysis window ("samples" of the fake audio)
+CHUNK_HOP = 32       # hop < window -> adjacent chunks overlap by 16 bytes
+MAX_CHUNKS = 6       # cap windows per document
+
+
+def q109_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-preprocessing windowing: fixed-length OVERLAPPING chunks
+    (hop < window, the STFT/speech-segmentation shape -- distinct from
+    q65's strided disjoint frames). Byte-level slicing on the hex encoding,
+    so the chunk boundaries and content hashes are exactly oracle-checked;
+    a real feature stage (fbank/wav2vec) slots in behind the emitted
+    (doc_id, chunk_idx, start_byte, bytes) rows. Bounded fan-out
+    (<= MAX_CHUNKS rows per doc); the last partial window is kept iff it
+    has at least one byte, exactly as a streaming framer would emit it."""
+    docs = load(spark, sf_dir, "documents")
+    hexed = docs.select(
+        "doc_id", F.lower(F.hex(F.encode(F.col("text"), "UTF-8"))).alias("hx")
+    )
+    n_bytes = F.length("hx") / 2
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.lit(MAX_CHUNKS - 1)),
+        lambda i: i * CHUNK_HOP < n_bytes,
+    )
+    chunks = hexed.select("doc_id", "hx", F.explode(idxs).alias("chunk_idx")).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK_HOP).cast("bigint").alias("start_byte"),
+        F.substring(
+            "hx", F.col("chunk_idx") * (2 * CHUNK_HOP) + 1, F.lit(2 * CHUNK_BYTES)
+        ).alias("chunk_hex"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_byte",
+        (F.length("chunk_hex") / 2).cast("int").alias("chunk_bytes"),
+        h60("chunk_hex").alias("chunk_hash"),
+    )
+
+
+ORACLE_Q109 = f"""
+WITH hexed AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         length(lower(hex(encode(text)))) / 2 AS n_bytes
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS chunk_idx,
+         CAST(i * {CHUNK_HOP} AS BIGINT) AS start_byte,
+         substr(hx, i * {2 * CHUNK_HOP} + 1, {2 * CHUNK_BYTES}) AS chunk_hex
+  FROM hexed, (SELECT unnest(range(0, {MAX_CHUNKS})) AS i)
+  WHERE i * {CHUNK_HOP} < n_bytes
+)
+SELECT doc_id, chunk_idx, start_byte,
+       CAST(length(chunk_hex) / 2 AS INT) AS chunk_bytes,
+       {h60_sql('chunk_hex')}             AS chunk_hash
+FROM chunks
+"""
+
+
 QUERIES = {
     "q50_binary_metadata": q50_binary_metadata,
     "q51_decode_features": q51_decode_features,
     "q65_frame_sample": q65_frame_sample,
+    "q109_audio_chunks": q109_audio_chunks,
 }
 
 ORACLES = {
     "q50_binary_metadata": ORACLE_Q50,
     "q65_frame_sample": ORACLE_Q65,
+    "q109_audio_chunks": ORACLE_Q109,
     # q51: rows-only (decode stub internals not SQL-expressible)
 }

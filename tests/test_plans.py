@@ -293,6 +293,24 @@ def test_semdedup_pairs_stay_inside_cells(spark, sf_dir):
     assert plan.count("embeddings.parquet") <= 1, plan
 
 
+def test_scd2_merge_broadcasts_update_batch(spark, sf_dir):
+    """q108's merge join must broadcast the update-batch side (a daily CDC
+    batch is orders of magnitude smaller than the dimension) and contain no
+    sort or window -- MERGE semantics as one equi-join + union."""
+    df = QUERIES["q108_scd2_merge"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, f"no window expected in a merge:\n{plan}"
+
+
+def test_audio_chunks_is_bounded_projection(spark, sf_dir):
+    """q109 is a linear pass with a bounded explode: no join, no exchange
+    before the explode."""
+    plan = formatted_plan(QUERIES["q109_audio_chunks"](spark, sf_dir))
+    assert "Join" not in plan, f"q109 should be join-free:\n{plan}"
+    assert "Exchange" not in plan, f"q109 should be shuffle-free:\n{plan}"
+
+
 def test_decontam_joins_staged_grams(spark, sf_dir):
     """q104's test-vs-train membership join must read the staged distinct
     gram set on both sides (zero raw documents scans) and stay equi-join."""
