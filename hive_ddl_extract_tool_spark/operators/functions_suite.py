@@ -98,6 +98,61 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# q110: malformed-record quarantine (ingest hygiene)
+# --------------------------------------------------------------------------
+
+def q110_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-or-quarantine over a mixed feed -- the first operator every
+    real ingest runs: records that parse flow on, records that do not are
+    COUNTED (and at scale, routed to a quarantine sink), never silently
+    dropped. The feed is synthesized deterministically from documents:
+    every third doc_id carries a valid JSON envelope, the rest raw prose
+    that cannot parse. `from_json` in PERMISSIVE mode yields a struct of
+    NULL fields for malformed input (not a NULL struct), so validity is
+    the required `id` field being present after the parse; the oracle
+    mirrors it by TRY_CASTing to JSON (NULL on malformed -- a bare ::JSON
+    cast THROWS) and extracting the same field. Per-source accounting plus
+    a checksum over the parsed payloads proves the parse executed."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.format_string('{"id": %d, "len": %d}', F.col("doc_id"), F.col("n_chars")),
+    ).otherwise(F.col("text"))
+    parsed = F.from_json(payload, "id BIGINT, len BIGINT")
+    base = docs.select("source", parsed.alias("p"))
+    valid = F.col("p.id").isNotNull()
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(valid.cast("bigint")).alias("n_valid"),
+        F.sum((~valid).cast("bigint")).alias("n_quarantined"),
+        F.sum(F.when(valid, F.col("p.len")).otherwise(F.lit(0))).alias("sum_parsed_len"),
+    )
+
+
+ORACLE_Q110 = """
+WITH feed AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN format('{{"id": {}, "len": {}}}', doc_id, n_chars)
+              ELSE text END AS payload
+  FROM documents
+),
+v AS (
+  SELECT source, payload,
+         json_extract_string(TRY_CAST(payload AS JSON), '$.id') IS NOT NULL AS ok
+  FROM feed
+)
+SELECT source,
+       count(*)                                                      AS n_rows,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)                           AS n_valid,
+       sum(CASE WHEN ok THEN 0 ELSE 1 END)                           AS n_quarantined,
+       sum(CASE WHEN ok THEN CAST(json_extract_string(payload, '$.len') AS BIGINT) ELSE 0 END) AS sum_parsed_len
+FROM v
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # X13: higher-order array functions on embeddings
 # --------------------------------------------------------------------------
 
@@ -165,6 +220,7 @@ LIMIT 25
 QUERIES = {
     "q20_scalar_gauntlet": q20_scalar_gauntlet,
     "q21_json_extract": q21_json_extract,
+    "q110_malformed_quarantine": q110_malformed_quarantine,
     "q22_array_functions": q22_array_functions,
     "q23_explode_tokens": q23_explode_tokens,
 }
@@ -172,6 +228,7 @@ QUERIES = {
 ORACLES = {
     "q20_scalar_gauntlet": ORACLE_Q20,
     "q21_json_extract": ORACLE_Q21,
+    "q110_malformed_quarantine": ORACLE_Q110,
     "q22_array_functions": ORACLE_Q22,
     "q23_explode_tokens": ORACLE_Q23,
 }
