@@ -478,6 +478,62 @@ GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# q111: TPC-H Q18 shape -- large-volume orders (agg HAVING -> join -> top-k)
+# --------------------------------------------------------------------------
+
+BIG_ORDER_QTY = 250  # HAVING threshold (~99th pct of per-order quantity)
+
+
+def q111_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape: aggregate lineitem per order, keep only orders
+    whose total quantity clears a HAVING threshold (~1% of orders), join
+    the survivors back to orders and customer, and emit the top 10 by
+    quantity. The aggregation runs FIRST so the join sees the ~1%
+    survivor set, not the fact table -- and because that set is tiny by
+    construction, AQE demotes the orders/customer joins to broadcasts at
+    runtime. Quantities are integral doubles, so the sum is exact and
+    emitted as BIGINT; top-k ties break on o_orderkey
+    (TakeOrderedAndProject, never a global sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > BIG_ORDER_QTY)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            mround(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.col("qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q111 = f"""
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')    AS orderdate,
+       round(1.37e-6 + o_totalprice, 2)     AS totalprice,
+       CAST(qty AS BIGINT)                  AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > {BIG_ORDER_QTY}) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -494,6 +550,7 @@ QUERIES = {
     "q13_nation_set_ops": q13_nation_set_ops,
     "q96_custdist": q96_custdist,
     "q97_idle_rich_customers": q97_idle_rich_customers,
+    "q111_big_orders": q111_big_orders,
 }
 
 ORACLES = {
@@ -511,5 +568,6 @@ ORACLES = {
     "q13_nation_set_ops": ORACLE_Q13,
     "q96_custdist": ORACLE_Q96,
     "q97_idle_rich_customers": ORACLE_Q97,
+    "q111_big_orders": ORACLE_Q111,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }
