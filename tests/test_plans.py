@@ -293,6 +293,12 @@ def test_semdedup_pairs_stay_inside_cells(spark, sf_dir):
     assert plan.count("embeddings.parquet") <= 1, plan
 
 
+def test_big_orders_topk_uses_heap(spark, sf_dir):
+    """q111's top-10 must be TakeOrderedAndProject over the joined survivor
+    set -- never a global sort of the join output."""
+    assert_top_k_plan(QUERIES["q111_big_orders"](spark, sf_dir))
+
+
 def test_scd2_merge_broadcasts_update_batch(spark, sf_dir):
     """q108's merge join must broadcast the update-batch side (a daily CDC
     batch is orders of magnitude smaller than the dimension) and contain no

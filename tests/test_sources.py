@@ -122,3 +122,39 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[0] == ("v1", None)   # old rows: evolved column is null
     assert rows[7] == ("v2", 70)
     assert len(rows) == 8
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """The data generator has shipped events.ts as parquet TIMESTAMP(NANOS)
+    (rounds 1-3) and TIMESTAMP(MICROS) (round 4). The loader must normalize
+    BOTH to session-tz timestamps with identical values -- the micros case
+    under a long-typed schema would NOT error, it silently compresses every
+    timestamp 1000x (the round-4 streaming regression)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_ddl_extract_tool_spark.tables import load
+
+    stamps = [
+        dt.datetime(2024, 1, 1, 10, 0, 0),
+        dt.datetime(2024, 1, 1, 10, 0, 0, 123456),
+        dt.datetime(2024, 3, 5, 23, 59, 59, 999999),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 11, 12], pa.int64()),
+        "event_type": pa.array(["view", "click", "view"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 3),
+    }
+    for unit in ("us", "ns"):
+        d = tmp_path / f"enc_{unit}"
+        d.mkdir()
+        table = pa.table({**cols, "ts": pa.array(stamps, pa.timestamp(unit))})
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp", unit
+        got = sorted(r["ts"].replace(tzinfo=None) for r in df.select("ts").collect())
+        assert got == stamps, (unit, got)
