@@ -66,6 +66,7 @@ _PRIORITY = [
     "q109_audio_chunks",
     "q110_malformed_quarantine",
     "q111_big_orders",
+    "q112_training_manifest",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -88,19 +88,14 @@ QUALITY_MIN = 0.5       # gate 2: q34 composite score threshold
 DWR_NUM, DWR_DEN = 3, 10
 
 
-def q95_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation funnel: per source shard, how many documents survive
-    each successive gate -- length floor, q34 quality score, repetition
-    (distinct-word ratio, the Gopher-rule shape), and exact dedup (keep the
-    min doc_id per normalized-text fingerprint among gate-3 survivors).
-    This is the report a data-curation run publishes per ingest.
-
-    One linear pass computes every per-doc signal from a word array
-    materialized once (HOF-recompute trap); dedup canonicalization is a
-    window min over the fingerprint partition restricted to gate-3
-    survivors (min(CASE WHEN ...) OVER fp -- no second join); the final
-    rollup is one low-cardinality aggregate. Gates 1/3/4 are pure integer
-    predicates; gate 2 reuses q34's exact expression tree."""
+def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc gate columns shared by q95 (funnel report) and q112
+    (training manifest): (doc_id, source, nw, fp, g1..g4). One linear pass
+    computes every signal from a word array materialized once
+    (HOF-recompute trap); dedup canonicalization is a window min over the
+    fingerprint partition restricted to gate-3 survivors -- no second
+    join. Gates 1/3/4 are pure integer predicates; gate 2 reuses q34's
+    exact expression tree."""
     docs = load(spark, sf_dir, "documents")
     w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
     norm = F.trim(F.regexp_replace(F.lower("text"), WS, " "))
@@ -123,9 +118,21 @@ def q95_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g1 = F.col("nw") >= MIN_WORDS
     g2 = g1 & (score >= QUALITY_MIN)
     g3 = g2 & (F.col("nd") * DWR_DEN >= F.col("nw") * DWR_NUM)
-    g = per.select("doc_id", "source", "fp", g1.alias("g1"), g2.alias("g2"), g3.alias("g3"))
+    g = per.select(
+        "doc_id", "source", "nw", "fp", g1.alias("g1"), g2.alias("g2"), g3.alias("g3")
+    )
     canon = F.min(F.when(F.col("g3"), F.col("doc_id"))).over(W.partitionBy("fp"))
-    g = g.withColumn("g4", F.col("g3") & (F.col("doc_id") == canon))
+    return g.withColumn("g4", F.col("g3") & (F.col("doc_id") == canon))
+
+
+def q95_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel: per source shard, how many documents survive
+    each successive gate -- length floor, q34 quality score, repetition
+    (distinct-word ratio, the Gopher-rule shape), and exact dedup (keep the
+    min doc_id per normalized-text fingerprint among gate-3 survivors).
+    This is the report a data-curation run publishes per ingest; the final
+    rollup is one low-cardinality aggregate over the shared gate pass."""
+    g = _gated(spark, sf_dir)
     return (
         g.groupBy("source")
         .agg(
@@ -144,8 +151,9 @@ def q95_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_FP_SQL = h60_sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
 
-ORACLE_Q95 = f"""
-WITH per AS (
+# Shared oracle prelude mirroring _gated(): per-doc signals -> q34 score ->
+# gates -> dedup canonical. Ends with the `canon` CTE.
+_GATED_SQL = f"""per AS (
   SELECT doc_id, source,
          CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS nw,
          CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS nd,
@@ -173,7 +181,10 @@ canon AS (
   SELECT *,
          g3 AND doc_id = min(CASE WHEN g3 THEN doc_id END) OVER (PARTITION BY fp) AS g4
   FROM gated
-)
+)"""
+
+ORACLE_Q95 = f"""
+WITH {_GATED_SQL}
 SELECT source,
        count(*) AS n_raw,
        sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n_len_ok,
@@ -186,12 +197,68 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q112: end-to-end training-data manifest (gates -> dedup -> split -> pack)
+# --------------------------------------------------------------------------
+
+def q112_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE query, emitting the artifact a
+    training run actually consumes: per (source shard, split), how many
+    documents survived every gate plus dedup, their token mass, and the
+    number of PACK_BLOCK context windows that mass fills. Composes the
+    shared gate pass (_gated, q95), the deterministic q36 hash split, and
+    q90's packing arithmetic -- each individually driver-verified; this
+    query verifies their composition end to end. All integer outputs."""
+    from .text import PACK_BLOCK, SPLIT_SEED
+
+    g = _gated(spark, sf_dir).filter(F.col("g4"))
+    bucket = F.pmod(
+        h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        g.select("source", "nw", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nw").alias("n_tokens"))
+        .select(
+            "*",
+            F.expr(f"(n_tokens + {PACK_BLOCK - 1}) DIV {PACK_BLOCK}").alias("n_blocks"),
+        )
+    )
+
+
+def _oracle_q112() -> str:
+    from .text import PACK_BLOCK, SPLIT_SEED
+
+    hk = h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")
+    split_case = (
+        f"CASE WHEN {hk} % 100 < 80 THEN 'train' "
+        f"WHEN {hk} % 100 < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+WITH {_GATED_SQL}
+SELECT source, {split_case} AS split,
+       count(*) AS n_docs,
+       sum(nw) AS n_tokens,
+       (sum(nw) + {PACK_BLOCK - 1}) // {PACK_BLOCK} AS n_blocks
+FROM canon
+WHERE g4
+GROUP BY source, {split_case}
+"""
+
+
+ORACLE_Q112 = _oracle_q112()
+
+
 QUERIES = {
     "q94_source_overlap": q94_source_overlap,
     "q95_curation_report": q95_curation_report,
+    "q112_training_manifest": q112_training_manifest,
 }
 
 ORACLES = {
     "q94_source_overlap": ORACLE_Q94,
     "q95_curation_report": ORACLE_Q95,
+    "q112_training_manifest": ORACLE_Q112,
 }

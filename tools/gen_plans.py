@@ -120,6 +120,25 @@ SHOW = {
         "gram-hash) parquet feeds BOTH join sides (zero raw documents scans "
         "in the final plan); the join is keyed by the 60-bit gram hash."
     ),
+    "q108_scd2_merge": (
+        "SCD-2 merge as MERGE INTO semantics on plain parquet: ONE "
+        "BroadcastHashJoin against the (small) update batch + a union of "
+        "three disjoint row sets -- no window, no sort, no second scan per "
+        "branch thanks to ReusedExchange/scan reuse."
+    ),
+    "q111_big_orders": (
+        "TPC-H Q18 shape: lineitem aggregates FIRST (partial + final on "
+        "l_orderkey), the ~1% HAVING survivor set joins orders/customer "
+        "(AQE demotes to broadcast at runtime), and the top-10 is "
+        "TakeOrderedAndProject -- never a global sort."
+    ),
+    "q112_training_manifest": (
+        "The end-to-end curation manifest: one linear gate pass, dedup "
+        "canonical as a window min over the fingerprint partition, hash "
+        "split as pure projection, and a final low-cardinality rollup -- "
+        "the whole pipeline with exactly two exchanges (fp window + "
+        "groupBy)."
+    ),
 }
 
 
