@@ -67,6 +67,8 @@ _PRIORITY = [
     "q110_malformed_quarantine",
     "q111_big_orders",
     "q112_training_manifest",
+    "q113_zipf_fit",
+    "q51b_decode_features_checked",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -116,6 +116,77 @@ def q51_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q51b: the SAME Arrow decode pipeline, reduced to oracle-checkable columns
+# --------------------------------------------------------------------------
+
+def q51b_decode_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51's mapInPandas decode/resize pipeline with its outputs reduced to
+    exactly-checkable columns -- byte_sum and n_bytes are integers,
+    brightness is a ratio of integers (identical doubles cross-engine),
+    and the resized thumbnail is fingerprinted via the shared 60-bit md5
+    over its hex encoding. The DuckDB oracle recomputes every value from
+    the hex of the payload with pure SQL list arithmetic, so the PYTHON
+    batch path itself is value-hash verified (q67's integer-exact pandas
+    discipline, extended to a binary pipeline)."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                feats = _fake_decode(p)
+                thumb = _fake_resize(p)
+                thumb_hex = thumb.hex()
+                th = int(hashlib.md5(thumb_hex.encode()).hexdigest()[:15], 16)
+                rows.append((doc_id, feats["byte_sum"], feats["n_bytes"],
+                             feats["brightness"], th))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "byte_sum", "n_bytes", "brightness", "thumb_hash"]
+            )
+
+    out = with_payload.mapInPandas(
+        extract,
+        schema="doc_id long, byte_sum long, n_bytes long, brightness double, thumb_hash long",
+    )
+    return out.select(
+        "doc_id", "byte_sum", "n_bytes", F.round("brightness", 6).alias("brightness"), "thumb_hash"
+    )
+
+
+ORACLE_Q51B = f"""
+WITH hexed AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         CAST(length(lower(hex(encode(text)))) / 2 AS BIGINT) AS n_bytes
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_bytes,
+         CAST(list_sum(list_transform(range(0, least(n_bytes, 64)),
+              i -> ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT)) AS BIGINT) AS byte_sum,
+         least(n_bytes, 64) AS head_len,
+         greatest(n_bytes // {RESIZE_TARGET}, 1) AS step
+  FROM hexed
+),
+thumb AS (
+  SELECT f.doc_id, f.n_bytes, f.byte_sum, f.head_len,
+         array_to_string(list_transform(
+           list_slice(list_transform(range(0, CAST(ceil(CAST(f.n_bytes AS DOUBLE) / f.step) AS BIGINT)),
+                      k -> k * f.step), 1, {RESIZE_TARGET}),
+           i -> substr(h.hx, 2 * i + 1, 2)), '') AS thumb_hex
+  FROM feat f JOIN hexed h USING (doc_id)
+)
+SELECT doc_id, byte_sum, n_bytes,
+       round(CAST(byte_sum AS DOUBLE) / (head_len * 255.0), 6) AS brightness,
+       {h60_sql('thumb_hex')} AS thumb_hash
+FROM thumb
+"""
+
+
+# --------------------------------------------------------------------------
 # q65: frame sampling over binary payloads (oracle-checked, all JVM-side)
 # --------------------------------------------------------------------------
 
@@ -247,6 +318,7 @@ FROM chunks
 QUERIES = {
     "q50_binary_metadata": q50_binary_metadata,
     "q51_decode_features": q51_decode_features,
+    "q51b_decode_features_checked": q51b_decode_features_checked,
     "q65_frame_sample": q65_frame_sample,
     "q109_audio_chunks": q109_audio_chunks,
 }
@@ -254,6 +326,7 @@ QUERIES = {
 ORACLES = {
     "q50_binary_metadata": ORACLE_Q50,
     "q65_frame_sample": ORACLE_Q65,
+    "q51b_decode_features_checked": ORACLE_Q51B,
     "q109_audio_chunks": ORACLE_Q109,
     # q51: rows-only (decode stub internals not SQL-expressible)
 }

@@ -601,6 +601,96 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q113: Zipf-law fit -- OLS of ln(count) on ln(rank) over the top tokens
+# --------------------------------------------------------------------------
+
+ZIPF_K = 20     # fit over the top-K tokens (bounded window)
+Q6 = 10**6      # fixed-point scale: ln values quantized to 1e-6
+
+
+def q113_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law diagnostic: fit ln(count) = a + b*ln(rank) over the
+    top-ZIPF_K tokens -- the Zipf slope b (~-1 for natural language) that
+    corpus health checks monitor across ingests. Token counts map-side
+    combine before one shuffle; the ranked top-K is bounded (K rows), so
+    the ranking window and the final regression run on constant-size data
+    at any corpus scale.
+
+    Exactness: q69's sufficient-statistics discipline -- ln(rank)/ln(count)
+    are floor-quantized to 1e-6 fixed point per row (identical doubles ->
+    identical floors), the six OLS moments accumulate as exact int64 sums
+    over K rows (no overflow: |x6| ~ 3e6, squares ~ 1e13, K=20), and the
+    slope/intercept/r2 derivation runs ONCE in doubles with formula text
+    identical to the oracle."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(_words(F.lower("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(ZIPF_K)
+    )
+    rnk = F.row_number().over(W.orderBy(F.col("n").desc(), F.col("token").asc()))
+    q = top.select(
+        F.floor(F.log(rnk.cast("double")) * Q6).cast("bigint").alias("x6"),
+        F.floor(F.log(F.col("n").cast("double")) * Q6).cast("bigint").alias("y6"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("y6") * F.col("y6")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    cxy = kd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    cxx = kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cyy = kd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = cxy / cxx
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / kd / Q6
+    return m.select(
+        F.col("k").cast("int").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+        F.round(cxy * cxy / (cxx * cyy), 4).alias("r2"),
+    )
+
+
+ORACLE_Q113 = f"""
+WITH top AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY token
+  ORDER BY n DESC, token ASC
+  LIMIT {ZIPF_K}
+),
+q AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS DOUBLE)) * {Q6}) AS BIGINT) AS x6,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * {Q6}) AS BIGINT) AS y6
+  FROM top
+),
+m AS (
+  SELECT count(*) AS k,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(y6 * y6) AS BIGINT) AS syy
+  FROM q
+)
+SELECT CAST(k AS INT) AS n_points,
+       round((k * sxy - CAST(sx AS DOUBLE) * sy) / (k * sxx - CAST(sx AS DOUBLE) * sx), 4) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - ((k * sxy - CAST(sx AS DOUBLE) * sy) / (k * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / k / {Q6}, 4) AS zipf_intercept,
+       round((k * sxy - CAST(sx AS DOUBLE) * sy) * (k * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((k * sxx - CAST(sx AS DOUBLE) * sx) * (k * syy - CAST(sy AS DOUBLE) * sy)), 4) AS r2
+FROM m
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
@@ -614,6 +704,7 @@ QUERIES = {
     "q76_heavy_hitters": q76_heavy_hitters,
     "q90_sequence_packing": q90_sequence_packing,
     "q91_vocab_coverage": q91_vocab_coverage,
+    "q113_zipf_fit": q113_zipf_fit,
 }
 
 ORACLES = {
@@ -629,4 +720,5 @@ ORACLES = {
     "q76_heavy_hitters": ORACLE_Q76,
     "q90_sequence_packing": ORACLE_Q90,
     "q91_vocab_coverage": ORACLE_Q91,
+    "q113_zipf_fit": ORACLE_Q113,
 }

@@ -26,6 +26,7 @@ QUERIES = all_queries()
 PYTHON_OK = {
     "q48_cosine_topk_pandas",
     "q51_decode_features",
+    "q51b_decode_features_checked",
     "q52_zscore_groups",
     "q54_skyline",
     "q67_pandas_udf_scalar",
