@@ -69,6 +69,7 @@ _PRIORITY = [
     "q112_training_manifest",
     "q113_zipf_fit",
     "q51b_decode_features_checked",
+    "q52b_zscore_groups_checked",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -403,6 +403,75 @@ def q52_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q52b: the SAME grouped-map pandas path, exactly verified
+# --------------------------------------------------------------------------
+
+def q52b_zscore_groups_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52's grouped applyInPandas z-score with the arithmetic restructured
+    for exact cross-engine verification: balances become integer cents, the
+    group moments (n, sum, sum-of-squares) accumulate as exact Python ints
+    inside the UDF, and z = (n*x - sx) / sqrt(D * n / (n-1)) runs its ONE
+    double sequence in the same order as the oracle SQL -- where
+    D = n*sxx - sx^2 is computed exactly (Python bignum / DuckDB HUGEINT:
+    at corpus scale it exceeds int64) and converted to double once,
+    correctly rounded by both runtimes. Pandas' own two-pass .std() differs
+    from SQL stddev at the last ulp BY DESIGN (q52 stays rows-only to
+    document that); this twin shows the grouped-Python surface can still be
+    value-hash exact when the operator is built on sufficient statistics."""
+    import math
+
+    import pandas as pd
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["cents"]
+        n = int(len(cents))
+        sx = int(cents.sum())
+        sxx = int((cents * cents).sum())
+        d = n * sxx - sx * sx  # exact bignum
+        if n < 2 or d == 0:
+            z = pd.Series(0.0, index=pdf.index)
+        else:
+            denom = math.sqrt(float(d) * n / (n - 1))
+            z = (n * cents - sx) / denom
+        return pdf.assign(z=z)
+
+    return (
+        cust.groupBy("c_mktsegment")
+        .applyInPandas(zscore, schema="c_custkey long, c_mktsegment string, cents long, z double")
+        .select("c_custkey", "c_mktsegment", F.round("z", 4).alias("z"))
+    )
+
+
+ORACLE_Q52B = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         sum(cents) AS sx,
+         sum(cents * cents) AS sxx,
+         CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT) * cents)
+           - CAST(sum(cents) AS HUGEINT) * sum(cents) AS d
+  FROM c
+  GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       CASE WHEN n < 2 OR d = 0 THEN 0.0
+            ELSE round((n * cents - sx) / sqrt(CAST(d AS DOUBLE) * n / (n - 1)), 4)
+       END AS z
+FROM c JOIN m USING (c_mktsegment)
+"""
+
+
+# --------------------------------------------------------------------------
 # q67: vectorized scalar pandas UDF (Arrow batches, numpy inside)
 # --------------------------------------------------------------------------
 
@@ -604,6 +673,7 @@ QUERIES = {
     "q26_correlated_subquery": q26_correlated_subquery,
     "q28_unpivot": q28_unpivot,
     "q52_zscore_groups": q52_zscore_groups,
+    "q52b_zscore_groups_checked": q52b_zscore_groups_checked,
     "q15_percentiles": q15_percentiles,
     "q15b_approx_percentiles": q15b_approx_percentiles,
     "q16_window_extras": q16_window_extras,
@@ -620,6 +690,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q52b_zscore_groups_checked": ORACLE_Q52B,
     "q14_pivot_status_year": ORACLE_Q14,
     "q26_correlated_subquery": ORACLE_Q26,
     "q28_unpivot": ORACLE_Q28,

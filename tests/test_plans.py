@@ -28,6 +28,7 @@ PYTHON_OK = {
     "q51_decode_features",
     "q51b_decode_features_checked",
     "q52_zscore_groups",
+    "q52b_zscore_groups_checked",
     "q54_skyline",
     "q67_pandas_udf_scalar",
     "q78_udtf_chunk",
