@@ -472,6 +472,67 @@ FROM c JOIN m USING (c_mktsegment)
 
 
 # --------------------------------------------------------------------------
+# q114: mapInArrow -- the zero-copy RecordBatch interchange surface
+# --------------------------------------------------------------------------
+
+def q114_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` completes the Python-interchange matrix (pandas_udf /
+    mapInPandas / applyInPandas / UDTF / applyInPandasWithState are all
+    exercised elsewhere): batches arrive as pyarrow RecordBatches with NO
+    pandas materialization -- the path a native-Arrow library (polars,
+    DataFusion bindings, tokenizers) plugs into. Token counts come from
+    pyarrow's vectorized split kernel; the fingerprint reuses the shared
+    md5-60 convention computed per row. Integer outputs -> exact oracle."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            texts = batch.column("text")
+            # vectorized kernels: whitespace-run split -> per-row token count
+            # (split of a leading/trailing/multiple-space run yields empty
+            # strings, exactly like Spark's split -- drop them per row)
+            tokens = pc.split_pattern_regex(texts, r"\s+")
+            n_tok = [
+                sum(1 for t in row if t != "") if row is not None else 0
+                for row in tokens.to_pylist()
+            ]
+            norm = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(pc.utf8_lower(texts), r"\s+", " ")
+            )
+            fp = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                for s in norm.to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(n_tok, pa.int64()),
+                    pc.binary_length(texts).cast(pa.int64()),
+                    pa.array(fp, pa.int64()),
+                ],
+                names=["doc_id", "ws_tokens", "n_bytes", "fingerprint"],
+            )
+
+    return docs.mapInArrow(
+        stats, schema="doc_id long, ws_tokens long, n_bytes long, fingerprint long"
+    )
+
+
+ORACLE_Q114 = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {{FP}} AS fingerprint
+FROM documents
+""".replace("{FP}", "(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT)")
+
+
+# --------------------------------------------------------------------------
 # q67: vectorized scalar pandas UDF (Arrow batches, numpy inside)
 # --------------------------------------------------------------------------
 
@@ -674,6 +735,7 @@ QUERIES = {
     "q28_unpivot": q28_unpivot,
     "q52_zscore_groups": q52_zscore_groups,
     "q52b_zscore_groups_checked": q52b_zscore_groups_checked,
+    "q114_arrow_batch_stats": q114_arrow_batch_stats,
     "q15_percentiles": q15_percentiles,
     "q15b_approx_percentiles": q15b_approx_percentiles,
     "q16_window_extras": q16_window_extras,
@@ -691,6 +753,7 @@ QUERIES = {
 
 ORACLES = {
     "q52b_zscore_groups_checked": ORACLE_Q52B,
+    "q114_arrow_batch_stats": ORACLE_Q114,
     "q14_pivot_status_year": ORACLE_Q14,
     "q26_correlated_subquery": ORACLE_Q26,
     "q28_unpivot": ORACLE_Q28,

@@ -81,3 +81,18 @@ def test_observation_metrics_ride_the_query_pass(spark, sf_dir):
     assert metrics["n_rows"] == sum(r["n"] for r in result)
     assert metrics["n_empty"] == 0
     assert metrics["n_oversize"] == 0
+
+
+def test_run_cli_lists_and_rejects(capsys):
+    """The query-runner CLI: no args lists every registered query with its
+    check kind; an unknown name exits 2 with a suggestion."""
+    from hive_ddl_extract_tool_spark.run import main
+
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary  [oracle]" in out
+    assert "q06_approx_distinct_users  [rows-only]" in out
+
+    assert main(["q01_pricing_summry"]) == 2
+    err = capsys.readouterr().err
+    assert "did you mean" in err

@@ -29,6 +29,7 @@ PYTHON_OK = {
     "q51b_decode_features_checked",
     "q52_zscore_groups",
     "q52b_zscore_groups_checked",
+    "q114_arrow_batch_stats",
     "q54_skyline",
     "q67_pandas_udf_scalar",
     "q78_udtf_chunk",
