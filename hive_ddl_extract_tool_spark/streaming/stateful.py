@@ -120,3 +120,68 @@ def sessionize_stream(events_stream: DataFrame, gap_us: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API, successor to
+# applyInPandasWithState): typed state handles instead of a single blob
+# --------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_cents", LongType()),
+])
+
+
+def make_totals_processor():
+    """StatefulProcessor with a typed ValueState holding (n, cents) per
+    user. Versus applyInPandasWithState's single state tuple, the Spark-4
+    API gives named, independently-evolvable state variables (value/list/
+    map), timers, and TTL -- this processor uses the ValueState surface.
+    Integer cents keep the emitted totals exact cross-engine.
+
+    NOT registered as a driver query: transformWithState's Python worker
+    speaks protobuf to the JVM state server, and this container's
+    google.protobuf install is broken (ImportError on import of
+    'descriptor'), so the operator is exercised by a skip-if-unavailable
+    pytest (tests/test_streaming.py) instead -- the wiring is complete and
+    runs wherever protobuf is importable."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals",
+                StructType([StructField("n", LongType()), StructField("cents", LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            for pdf in rows:
+                n += int(len(pdf))
+                cents += int(pdf["cents"].sum())
+            if self._totals.exists():
+                prev = self._totals.get()
+                n += int(prev[0])
+                cents += int(prev[1])
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (count, integer-cent sum) via
+    ``transformWithStateInPandas``. Expects columns (user_id, cents)."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_totals_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

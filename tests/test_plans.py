@@ -35,7 +35,7 @@ PYTHON_OK = {
     "q78_udtf_chunk",
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q115_tws_running_totals"}
 
 
 def test_filter_pushdown_q01(spark, sf_dir):
