@@ -1073,10 +1073,19 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree both engines), and every output is an integer count."""
     cent = train_centroids(spark, sf_dir)
     ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
-    assigned = ranked.select("vec_id", F.col("t2")[0]["ci"].alias("cell"))
-    # unit-normalize once (q49's optimization): each within-cell pair costs a
-    # single dot product instead of dot + two norms
-    vecs = assigned.join(_normalized(spark, sf_dir), "vec_id")
+    # unit-normalize once (q49's optimization) as a pure PROJECTION of the
+    # staged row -- joining the separate unit-vector stage here would
+    # shuffle the corpus by vec_id just to fetch a value derivable in place
+    dbl = _dbl(F.col("embedding"))
+    with_norm = ranked.select(
+        "vec_id",
+        F.col("t2")[0]["ci"].alias("cell"),
+        dbl.alias("e"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    vecs = with_norm.select(
+        "vec_id", "cell", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
+    )
     a = vecs.select("cell", F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
     b = vecs.select("cell", F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     dot = F.aggregate(
@@ -1092,7 +1101,7 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_counts = pairs.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     drop_counts = dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped"))
     return (
-        assigned.groupBy("cell")
+        vecs.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .join(pair_counts, "cell", "left")
         .join(drop_counts, "cell", "left")

@@ -294,6 +294,9 @@ def test_semdedup_pairs_stay_inside_cells(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert plan.count("embeddings.parquet") <= 1, plan
+    # unit vectors are a projection of the staged row -- no corpus shuffle
+    # by vec_id just to fetch them
+    assert "hashpartitioning(vec_id" not in plan, f"vec_id shuffle crept in:\n{plan}"
 
 
 def test_big_orders_topk_uses_heap(spark, sf_dir):
