@@ -71,6 +71,7 @@ _PRIORITY = [
     "q51b_decode_features_checked",
     "q52b_zscore_groups_checked",
     "q114_arrow_batch_stats",
+    "q116_skew_report",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -132,12 +132,59 @@ GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# q116: join-key skew report -- the diagnostic that decides to salt
+# --------------------------------------------------------------------------
+
+def q116_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics for the two candidate join keys on the
+    events fact (user_id: well spread; event_type: pathologically hot) --
+    the numbers an engineer reads before choosing plain AQE vs q56's
+    salting. Per key column: distinct keys, total rows, the hottest key's
+    row count, exact p99 of per-key counts, and the max/avg skew ratio in
+    integer x1000. Shape: one map-side-combined count per key, then a
+    1-row aggregate per column -- the report costs two narrow aggregations
+    at any scale. All outputs integer except the exact-interpolation p99,
+    which q15 already proved cross-engine (round 6)."""
+    events = load(spark, sf_dir, "events")
+
+    def stats(col: str) -> DataFrame:
+        per = events.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.lit(col).alias("key_column"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_key_rows"),
+            F.expr("max(c) * 1000 * count(*) DIV sum(c)").alias("skew_x1000"),
+        )
+
+    return stats("user_id").unionByName(stats("event_type"))
+
+
+ORACLE_Q116 = """
+SELECT 'user_id' AS key_column,
+       count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_key_rows,
+       round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+       max(c) * 1000 * count(*) // sum(c) AS skew_x1000
+FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+UNION ALL
+SELECT 'event_type',
+       count(*), sum(c), max(c),
+       round(quantile_cont(c, 0.99), 6),
+       max(c) * 1000 * count(*) // sum(c)
+FROM (SELECT event_type, count(*) AS c FROM events GROUP BY event_type)
+"""
+
+
 QUERIES = {
     "q56_salted_join": q56_salted_join,
     "q58_bucketed_join": q58_bucketed_join,
+    "q116_skew_report": q116_skew_report,
 }
 
 ORACLES = {
+    "q116_skew_report": ORACLE_Q116,
     "q56_salted_join": ORACLE_Q56,
     "q58_bucketed_join": ORACLE_Q58,
 }
