@@ -72,6 +72,7 @@ _PRIORITY = [
     "q52b_zscore_groups_checked",
     "q114_arrow_batch_stats",
     "q116_skew_report",
+    "q117_pca_power_iteration",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

