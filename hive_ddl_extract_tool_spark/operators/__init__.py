@@ -73,6 +73,7 @@ _PRIORITY = [
     "q114_arrow_batch_stats",
     "q116_skew_report",
     "q117_pca_power_iteration",
+    "q118_decayed_engagement",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

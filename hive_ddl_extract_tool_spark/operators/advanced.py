@@ -737,6 +737,59 @@ FROM cust WHERE is_upd
 """
 
 
+# --------------------------------------------------------------------------
+# q118: recency-decayed engagement score (exponential decay counter)
+# --------------------------------------------------------------------------
+
+DECAY_TAU_S = 3600.0  # e-folding time constant: one hour
+
+
+def q118_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted engagement: sum over the user's events of
+    exp(-(T_u - t_i)/tau) where T_u is the user's LAST event time -- the
+    standard decaying counter behind "active user" features (an event an
+    hour old counts 1/e of a fresh one). Two narrow passes keyed by user:
+    a max-agg for T_u (map-side combined) joined back, then the decayed
+    sum. Exactness: exp of identical doubles is the same double both
+    engines in practice, but exp is only 1-ulp accurate per libm -- so each
+    term floor-quantizes at 1e-6, a quantum ~1e10 ulps wide (a 1-ulp libm
+    disagreement flips a floor with probability ~1e-10 per term, vs ~1e-3
+    per sweep at a 1e-9 quantum); the int64 term sum is order-free and the
+    single final division emits the score at its exact 6dp -- the q92/q81
+    fixed-point discipline applied to a float kernel."""
+    ev = load(spark, sf_dir, "events").select("user_id", F.unix_micros("ts").alias("tus"))
+    last = ev.groupBy("user_id").agg(F.max("tus").alias("last_tus"))
+    term9 = F.floor(
+        F.exp(-((F.col("last_tus") - F.col("tus")).cast("double") / 1e6) / F.lit(DECAY_TAU_S))
+        * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        ev.join(last, "user_id")
+        .select("user_id", term9.alias("t9"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("t9").alias("s9"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("s9") / F.lit(1e6), 6).alias("decayed_score"),
+        )
+    )
+
+
+ORACLE_Q118 = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+last AS (SELECT user_id, max(tus) AS last_tus FROM ev GROUP BY user_id),
+t AS (
+  SELECT ev.user_id,
+         CAST(floor(exp(-(CAST(last_tus - tus AS DOUBLE) / 1e6) / {DECAY_TAU_S}) * 1e6) AS BIGINT) AS t9
+  FROM ev JOIN last USING (user_id)
+)
+SELECT user_id, count(*) AS n_events, round(sum(t9) / 1e6, 6) AS decayed_score
+FROM t
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -749,6 +802,7 @@ QUERIES = {
     "q88_sessionize": q88_sessionize,
     "q89_value_histogram": q89_value_histogram,
     "q108_scd2_merge": q108_scd2_merge,
+    "q118_decayed_engagement": q118_decayed_engagement,
 }
 
 ORACLES = {
@@ -763,4 +817,5 @@ ORACLES = {
     "q88_sessionize": ORACLE_Q88,
     "q89_value_histogram": ORACLE_Q89,
     "q108_scd2_merge": ORACLE_Q108,
+    "q118_decayed_engagement": ORACLE_Q118,
 }
