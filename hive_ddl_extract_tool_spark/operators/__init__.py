@@ -74,6 +74,7 @@ _PRIORITY = [
     "q116_skew_report",
     "q117_pca_power_iteration",
     "q118_decayed_engagement",
+    "q119_edit_distance_verify",
     # (4) r02-era rows aging out (newest green is two rounds old)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

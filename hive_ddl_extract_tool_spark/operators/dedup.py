@@ -752,6 +752,50 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# q119: edit-distance verification of near-dup pairs
+# --------------------------------------------------------------------------
+
+def q119_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the near-dup pairs: levenshtein
+    distance and its length-normalized ppm for every q42-verified pair --
+    the second opinion a curation run takes before destructive purging
+    (shingle Jaccard is word-order-insensitive; edit distance catches
+    reorderings Jaccard forgives). Cost shape: levenshtein is O(len_a *
+    len_b) PER PAIR, so it lives strictly downstream of the LSH gate --
+    never on the cross product; the staged pair set joins texts back by
+    id, two broadcast-able lookups bounded by |pairs|. Both engines
+    implement the standard unit-cost Levenshtein, so the integer distance
+    (and its integer-ppm normalization) is hash-exact."""
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        pairs.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")), "doc_b")
+    )
+    d = F.levenshtein("ta", "tb")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        d.cast("bigint").alias("edit_distance"),
+        F.expr(
+            "CAST(levenshtein(ta, tb) AS BIGINT) * 1000000 DIV greatest(length(ta), length(tb))"
+        ).alias("rel_ppm"),
+    )
+
+
+ORACLE_Q119 = f"""
+WITH pairs AS ({ORACLE_Q42})
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000
+         // greatest(length(a.text), length(b.text)) AS rel_ppm
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -763,6 +807,7 @@ QUERIES = {
     "q83_dedup_purge": q83_dedup_purge,
     "q86_decontamination": q86_decontamination,
     "q106_minhash_estimator_error": q106_minhash_estimator_error,
+    "q119_edit_distance_verify": q119_edit_distance_verify,
 }
 
 ORACLES = {
@@ -776,4 +821,5 @@ ORACLES = {
     "q83_dedup_purge": ORACLE_Q83,
     "q86_decontamination": ORACLE_Q86,
     "q106_minhash_estimator_error": ORACLE_Q106,
+    "q119_edit_distance_verify": ORACLE_Q119,
 }
