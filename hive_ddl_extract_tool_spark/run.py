@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--limit", type=int, default=20, help="rows to show (default 20)")
     parser.add_argument("--explain", action="store_true", help="print the formatted physical plan instead of rows")
+    parser.add_argument(
+        "--check",
+        action="store_true",
+        help="also run the query's DuckDB oracle and compare (exit 1 on mismatch)",
+    )
     args = parser.parse_args(argv)
 
     if not args.query:
@@ -56,6 +61,53 @@ def main(argv: list[str] | None = None) -> int:
 
         print(formatted_plan(df))
         return 0
+    if args.check:
+        oracles = all_oracles()
+        if args.query not in oracles:
+            print(f"{args.query} is rows-only (no oracle); nothing to check", file=sys.stderr)
+            return 2
+        import datetime as dt
+        import math
+
+        import duckdb
+
+        from .tables import TABLES
+
+        def canon(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return str(v)
+            if isinstance(v, float):
+                if math.isnan(v):
+                    return "NaN"
+                if v == int(v) and abs(v) < 1e15:
+                    return str(int(v))
+                return repr(v)
+            if isinstance(v, dt.datetime):
+                return v.replace(tzinfo=None).isoformat()
+            return str(v)
+
+        def canon_rows(cols, rows):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+        scols, srows = df.columns, [tuple(r) for r in df.collect()]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+        rel = con.sql(oracles[args.query])
+        ocols, orows = list(rel.columns), rel.fetchall()
+        ok = (
+            sorted(scols) == sorted(ocols)
+            and len(srows) == len(orows)
+            and canon_rows(scols, srows) == canon_rows(ocols, orows)
+        )
+        print(
+            f"{'OK' if ok else 'MISMATCH'}: {args.query} spark={len(srows)} rows, "
+            f"oracle={len(orows)} rows in {time.perf_counter() - t0:.2f}s"
+        )
+        return 0 if ok else 1
     df.show(args.limit, truncate=False)
     n = df.count()
     print(f"{n} rows in {time.perf_counter() - t0:.2f}s ({args.query} @ {args.sf_dir})")
