@@ -625,8 +625,8 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 )
 SELECT event_id, user_id,
-       sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_seq
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
 FROM m
 """
 

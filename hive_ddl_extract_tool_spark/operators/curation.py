@@ -187,11 +187,11 @@ ORACLE_Q95 = f"""
 WITH {_GATED_SQL}
 SELECT source,
        count(*) AS n_raw,
-       sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n_len_ok,
-       sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS n_quality_ok,
-       sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS n_rep_ok,
-       sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS n_unique,
-       sum(CASE WHEN g4 THEN 1 ELSE 0 END) * 1000000 // count(*) AS retained_ppm
+       CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+       CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS retained_ppm
 FROM canon
 GROUP BY source
 """
@@ -240,8 +240,8 @@ def _oracle_q112() -> str:
 WITH {_GATED_SQL}
 SELECT source, {split_case} AS split,
        count(*) AS n_docs,
-       sum(nw) AS n_tokens,
-       (sum(nw) + {PACK_BLOCK - 1}) // {PACK_BLOCK} AS n_blocks
+       CAST(sum(nw) AS BIGINT) AS n_tokens,
+       CAST((sum(nw) + {PACK_BLOCK - 1}) // {PACK_BLOCK} AS BIGINT) AS n_blocks
 FROM canon
 WHERE g4
 GROUP BY source, {split_case}

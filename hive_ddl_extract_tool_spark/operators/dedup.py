@@ -625,8 +625,8 @@ WITH RECURSIVE
 {_CC_MAPPED_SQL}
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS n_kept,
-       count(*) - sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS n_purged
+       CAST(sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
 FROM mapped
 GROUP BY source
 """
@@ -745,9 +745,9 @@ per AS (
   GROUP BY p.doc_a, p.doc_b, p.jaccard
 )
 SELECT count(*) AS n_pairs,
-       sum(est_ppm) // count(*) AS mean_est_ppm,
-       sum(ex_ppm) // count(*) AS mean_exact_ppm,
-       sum(abs(est_ppm - ex_ppm)) // count(*) AS mean_abs_err_ppm
+       CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+       CAST(sum(ex_ppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+       CAST(sum(abs(est_ppm - ex_ppm)) // count(*) AS BIGINT) AS mean_abs_err_ppm
 FROM per
 """
 

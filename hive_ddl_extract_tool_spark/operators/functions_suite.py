@@ -144,9 +144,9 @@ v AS (
 )
 SELECT source,
        count(*)                                                      AS n_rows,
-       sum(CASE WHEN ok THEN 1 ELSE 0 END)                           AS n_valid,
-       sum(CASE WHEN ok THEN 0 ELSE 1 END)                           AS n_quarantined,
-       sum(CASE WHEN ok THEN CAST(json_extract_string(payload, '$.len') AS BIGINT) ELSE 0 END) AS sum_parsed_len
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)           AS n_valid,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)           AS n_quarantined,
+       CAST(sum(CASE WHEN ok THEN CAST(json_extract_string(payload, '$.len') AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_parsed_len
 FROM v
 GROUP BY source
 """

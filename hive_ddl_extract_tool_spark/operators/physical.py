@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._rounding import mround
@@ -141,40 +141,51 @@ def q116_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events fact (user_id: well spread; event_type: pathologically hot) --
     the numbers an engineer reads before choosing plain AQE vs q56's
     salting. Per key column: distinct keys, total rows, the hottest key's
-    row count, exact p99 of per-key counts, and the max/avg skew ratio in
+    row count, the p99 per-key count, and the max/avg skew ratio in
     integer x1000. Shape: one map-side-combined count per key, then a
     1-row aggregate per column -- the report costs two narrow aggregations
-    at any scale. All outputs integer except the exact-interpolation p99,
-    which q15 already proved cross-engine (round 6)."""
+    at any scale. Every output is an integer: p99 is the exact rank
+    statistic (the per-key count at ascending rank ceil(0.99 * n_keys),
+    computed as (99*n + 99) DIV 100 in pure integer arithmetic on both
+    engines) -- interpolated percentile semantics are NOT pinned across
+    engines/versions, so no float interpolation ever crosses the oracle
+    boundary."""
     events = load(spark, sf_dir, "events")
 
     def stats(col: str) -> DataFrame:
         per = events.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        return per.agg(
+        ranked = per.select(
+            "c",
+            F.row_number().over(W.partitionBy().orderBy("c")).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("nk"),
+        )
+        return ranked.agg(
             F.lit(col).alias("key_column"),
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("c").alias("n_rows"),
             F.max("c").alias("max_key_rows"),
-            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_key_rows"),
+            F.max(F.when(F.expr("rn <= (99 * nk + 99) DIV 100"), F.col("c"))).alias(
+                "p99_key_rows"
+            ),
             F.expr("max(c) * 1000 * count(*) DIV sum(c)").alias("skew_x1000"),
         )
 
     return stats("user_id").unionByName(stats("event_type"))
 
 
-ORACLE_Q116 = """
-SELECT 'user_id' AS key_column,
-       count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_key_rows,
-       round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
-       max(c) * 1000 * count(*) // sum(c) AS skew_x1000
-FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
-UNION ALL
-SELECT 'event_type',
-       count(*), sum(c), max(c),
-       round(quantile_cont(c, 0.99), 6),
-       max(c) * 1000 * count(*) // sum(c)
-FROM (SELECT event_type, count(*) AS c FROM events GROUP BY event_type)
-"""
+def _skew_stats_sql(key: str) -> str:
+    return f"""
+SELECT '{key}' AS key_column,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_key_rows,
+       max(CASE WHEN rn <= (99 * nk + 99) // 100 THEN c END) AS p99_key_rows,
+       CAST(max(c) * 1000 * count(*) // sum(c) AS BIGINT) AS skew_x1000
+FROM (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS nk
+      FROM (SELECT {key}, count(*) AS c FROM events GROUP BY {key}))"""
+
+
+ORACLE_Q116 = _skew_stats_sql("user_id") + "\nUNION ALL" + _skew_stats_sql("event_type")
 
 
 QUERIES = {

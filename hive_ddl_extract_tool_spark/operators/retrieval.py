@@ -241,7 +241,7 @@ ORACLE_Q85 = f"""
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf FROM ({_TOK_SQL}) GROUP BY 1, 2
 )
-SELECT term, count(*) AS df, sum(tf) AS total_tf,
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
        string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
 FROM tf
 GROUP BY term
@@ -353,7 +353,8 @@ scored AS (
   JOIN uni ON doc_bg.wa = uni.tok, vsize
   GROUP BY doc_id
 )
-SELECT doc_id, n_bigrams, round(s9 / n_bigrams / {Q9}.0, 6) AS avg_logp
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(s9 / n_bigrams / {Q9}.0, 6) AS avg_logp
 FROM scored
 """
 

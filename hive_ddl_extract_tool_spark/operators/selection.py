@@ -81,21 +81,21 @@ ORACLE_Q100 = f"""
 WITH per AS (
   SELECT source,
          CAST(len(w) AS BIGINT)                                            AS nw,
-         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)       AS sum_wlen,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_wlen,
          CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha,
          CAST(len(list_intersect(list_distinct(w), {_EN_MARKER_LIST})) AS BIGINT) AS n_stop_distinct
   FROM (SELECT source, {_WORDS_SQL} AS w FROM documents)
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END) AS n_len_ok,
-       sum(CASE WHEN sum_wlen >= {GOPHER_MIN_WLEN} * nw AND sum_wlen <= {GOPHER_MAX_WLEN} * nw THEN 1 ELSE 0 END) AS n_wlen_ok,
-       sum(CASE WHEN {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * nw THEN 1 ELSE 0 END) AS n_alpha_ok,
-       sum(CASE WHEN n_stop_distinct >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop_ok,
-       sum(CASE WHEN nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS}
+       CAST(sum(CASE WHEN nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(CASE WHEN sum_wlen >= {GOPHER_MIN_WLEN} * nw AND sum_wlen <= {GOPHER_MAX_WLEN} * nw THEN 1 ELSE 0 END) AS BIGINT) AS n_wlen_ok,
+       CAST(sum(CASE WHEN {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * nw THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+       CAST(sum(CASE WHEN n_stop_distinct >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+       CAST(sum(CASE WHEN nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS}
                  AND sum_wlen >= {GOPHER_MIN_WLEN} * nw AND sum_wlen <= {GOPHER_MAX_WLEN} * nw
                  AND {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * nw
-                 AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS n_pass_all
+                 AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
 FROM per
 GROUP BY source
 """
@@ -144,7 +144,7 @@ def q101_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q101 = f"""
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-         sum(CAST(len({_WORDS_SQL}) AS BIGINT)) AS n_tokens
+         CAST(sum(CAST(len({_WORDS_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens
   FROM documents
   GROUP BY source
 ),
@@ -153,8 +153,8 @@ q AS (
   FROM per
 )
 SELECT source, n_docs, n_tokens,
-       s9 * 1000000 // (SELECT sum(s9) FROM q)          AS weight_ppm,
-       {EPOCH_DOC_BUDGET} * s9 // (SELECT sum(s9) FROM q) AS docs_per_epoch
+       CAST(s9 * 1000000 // (SELECT sum(s9) FROM q) AS BIGINT)          AS weight_ppm,
+       CAST({EPOCH_DOC_BUDGET} * s9 // (SELECT sum(s9) FROM q) AS BIGINT) AS docs_per_epoch
 FROM q
 """
 
@@ -263,7 +263,7 @@ sel AS (
   )
   WHERE above < budget AND above + cum_in <= budget
 )
-SELECT source, count(*) AS n_selected, sum(n_tok) AS tokens_selected
+SELECT source, count(*) AS n_selected, CAST(sum(n_tok) AS BIGINT) AS tokens_selected
 FROM sel
 GROUP BY source
 """
@@ -345,8 +345,8 @@ grams AS (
 train AS (SELECT DISTINCT gh FROM grams WHERE split = 'train')
 SELECT doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN gh IN (SELECT gh FROM train) THEN 1 ELSE 0 END) AS n_hit,
-       sum(CASE WHEN gh IN (SELECT gh FROM train) THEN 1 ELSE 0 END) * 1000000 // count(*) AS contam_ppm
+       CAST(sum(CASE WHEN gh IN (SELECT gh FROM train) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN gh IN (SELECT gh FROM train) THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS contam_ppm
 FROM grams
 WHERE split = 'test'
 GROUP BY doc_id
@@ -404,10 +404,10 @@ WITH per AS (
 )
 SELECT source, bucket,
        count(*)                                                        AS n_docs,
-       sum(n)                                                          AS n_tokens,
+       CAST(sum(n) AS BIGINT)                                          AS n_tokens,
        count(*) * bucket                                               AS padded_tokens,
        (count(*) * bucket + {BATCH_TOKENS - 1}) // {BATCH_TOKENS}      AS n_batches,
-       (count(*) * bucket - sum(n)) * 1000000 // (count(*) * bucket)   AS waste_ppm
+       CAST((count(*) * bucket - sum(n)) * 1000000 // (count(*) * bucket) AS BIGINT) AS waste_ppm
 FROM per
 GROUP BY source, bucket
 """

@@ -536,8 +536,8 @@ x AS (
 )
 SELECT source, block,
        count(*) AS n_docs,
-       sum(least(fin + 1, (block + 1) * {PACK_BLOCK}) - greatest(start, block * {PACK_BLOCK})) AS n_tokens,
-       sum(CASE WHEN fin >= (block + 1) * {PACK_BLOCK} THEN 1 ELSE 0 END) AS n_carry
+       CAST(sum(least(fin + 1, (block + 1) * {PACK_BLOCK}) - greatest(start, block * {PACK_BLOCK})) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN fin >= (block + 1) * {PACK_BLOCK} THEN 1 ELSE 0 END) AS BIGINT) AS n_carry
 FROM x
 GROUP BY 1, 2
 """
@@ -593,9 +593,9 @@ vocab AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS n_oov,
-       sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) * 1000000
-         // count(*) AS oov_ppm
+       CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) * 1000000
+         // count(*) AS BIGINT) AS oov_ppm
 FROM tok
 GROUP BY doc_id
 """

@@ -3,9 +3,14 @@ Spark and its oracle_sql() twin on DuckDB over the same parquet tables, then
 compare row count, column-name set, and an order-insensitive multiset of
 canonicalized values.
 
-Stricter than the driver in one way: exact value equality (post-rounding) --
-if a query only passes with a tolerance, it will flake on the driver's value
-hash, so we want the failure here first.
+Stricter than the driver in two ways: exact value equality (post-rounding),
+and TYPE-SENSITIVE canonicalization -- a Python float never folds into an
+int.  Round-4 post-mortem: DuckDB widens sum(BIGINT) to HUGEINT, whose
+int-valued cells folded to the same string as Spark's BIGINT under the old
+canon, masking a divergence that the driver's comparator (which fetches
+HUGEINT as float64/Decimal) flagged on every sweep.  If a query only
+passes when types are folded, it will flake on the driver's value hash, so
+we want the failure here first.
 """
 
 from __future__ import annotations
@@ -28,21 +33,21 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "bool:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 == 3 across engines
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v)
+            return "float:NaN"
+        return "float:" + repr(v)
+    if isinstance(v, int):
+        return "int:" + str(v)
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "ts:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        return "date:" + v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
-    return str(v)
+    return type(v).__name__ + ":" + str(v)
 
 
 def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:

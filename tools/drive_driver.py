@@ -1,7 +1,17 @@
-"""Simulate the driver's verify at sf0.01 through __spark_entry__ only."""
-import sys, time, hashlib
+"""Simulate the driver's verify at sf0.01 through __spark_entry__ only.
+
+Stricter than the driver is believed to be: the canonicalization is
+TYPE-SENSITIVE (a Python float never folds into an int, so a DuckDB
+HUGEINT->float64 style widening on one side is a guaranteed local FAIL —
+the round-4 driver-only divergence class reproduces here by construction).
+Also records PARITY.md: the exact duckdb version, parquet physical types,
+and per-query status, so a driver-sweep discrepancy can be diffed against
+what this environment saw.
+"""
+import sys, time, hashlib, datetime, math, glob, os
 sys.path.insert(0, "/root/repo")
 import duckdb
+import pyarrow.parquet as pq
 import __spark_entry__ as e
 from pyspark.sql import SparkSession
 
@@ -15,20 +25,28 @@ df = e.entry(spark)
 rows = df.collect()
 print("ENTRY", len(rows), df.schema.simpleString())
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-import datetime, math
+
 def canon(v):
+    # Type-sensitive on purpose: int 5 and float 5.0 canonicalize
+    # differently, bool is not an int, Decimal is its own thing.  If the
+    # two engines disagree on TYPE, that is a divergence we must see.
     if v is None: return "NULL"
+    if isinstance(v, bool): return "bool:" + str(v)
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        if v == int(v) and abs(v) < 1e15: return str(int(v))
-        return repr(v)
-    if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
-    return str(v)
+        if math.isnan(v): return "float:NaN"
+        return "float:" + repr(v)
+    if isinstance(v, int): return "int:" + str(v)
+    if isinstance(v, datetime.datetime):
+        return "ts:" + v.replace(tzinfo=None).isoformat()
+    return type(v).__name__ + ":" + str(v)
+
 
 def hash_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -36,6 +54,17 @@ def hash_rows(cols, rows):
     h = hashlib.sha256()
     for r in canon_rows: h.update(r.encode()); h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+parity = [f"# PARITY — local verify environment\n",
+          f"- duckdb {duckdb.__version__}; python {sys.version.split()[0]}; "
+          f"spark {spark.version}; sf_dir {SF}",
+          "\n## Parquet physical schema at verify time\n"]
+for t in TABLES:
+    s = pq.read_schema(f"{SF}/{t}.parquet")
+    cols = ", ".join(f"{f.name}:{f.type}" for f in s)
+    parity.append(f"- **{t}**: {cols}")
+parity.append("\n## Per-query (type-strict canon)\n")
 
 qs, os_ = e.queries(), e.oracle_sql()
 fails = 0
@@ -49,8 +78,13 @@ for name in sorted(qs):
         ok = (sorted(scols)==sorted(ocols) and len(srows)==len(orows)
               and hash_rows(scols,srows)==hash_rows(ocols,orows))
         print(f"{'OK  ' if ok else 'FAIL'} {name} rows={len(srows)} ({dt:.1f}s)")
+        parity.append(f"- {'OK' if ok else 'FAIL'} {name} rows={len(srows)}")
         fails += 0 if ok else 1
     else:
         print(f"ROWS {name} rows={len(srows)} ({dt:.1f}s)")
+        parity.append(f"- ROWS {name} rows={len(srows)}")
 print("FAILS:", fails)
+parity.append(f"\nFAILS: {fails}\n")
+with open("/root/repo/PARITY.md", "w") as f:
+    f.write("\n".join(parity))
 sys.exit(1 if fails else 0)
