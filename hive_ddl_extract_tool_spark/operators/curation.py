@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._hashing import h60, h60_sql
-from .text import WS, _marker_regex, _words
+from .text import NON_ALNUM, WS, _marker_regex, _words
 from ..tables import load
 
 # --------------------------------------------------------------------------
@@ -63,7 +63,7 @@ def q94_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREFIX_FP_SQL = h60_sql(
-    "array_to_string(list_slice(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), 1, "
+    "array_to_string(list_slice(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), 1, "
     f"{PREFIX_WORDS}), ' ')"
 )
 
@@ -104,7 +104,7 @@ def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size("w").cast("bigint").alias("nw"),
         F.size(F.array_distinct("w")).cast("bigint").alias("nd"),
-        F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double").alias("n_punct"),
+        F.regexp_count("text", F.lit(NON_ALNUM)).cast("double").alias("n_punct"),
         F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double").alias("n_stop"),
         F.length("text").cast("double").alias("n_chars"),
         h60(norm).alias("fp"),
@@ -149,15 +149,15 @@ def q95_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_FP_SQL = h60_sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+_NORM_FP_SQL = h60_sql("trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))")
 
 # Shared oracle prelude mirroring _gated(): per-doc signals -> q34 score ->
 # gates -> dedup canonical. Ends with the `canon` CTE.
 _GATED_SQL = f"""per AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS nw,
-         CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS nd,
-         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS nw,
+         CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS BIGINT) AS nd,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_punct,
          CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE) AS n_stop,
          CAST(length(text) AS DOUBLE) AS n_chars,
          {_NORM_FP_SQL} AS fp

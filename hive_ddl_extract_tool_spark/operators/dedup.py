@@ -27,9 +27,8 @@ from pyspark.sql import functions as F
 
 from ._cache import cached_df
 from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql
+from .text import WS  # the ONE explicit whitespace class (see text.py)
 from ..tables import load
-
-WS = r"\s+"
 SHINGLE_N = 3
 N_HASHES = 16
 N_BANDS = 8  # 2 rows per band
@@ -64,7 +63,7 @@ def _shingles(col: Column | str = "text") -> Column:
 # DuckDB twin of _shingles, as a FROM-able fragment producing (doc_id, shingle)
 SHINGLES_SQL = """
   SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
         FROM documents),
        LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
 """
@@ -132,7 +131,7 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q40 = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents
-GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+GROUP BY trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
 """
 
 
@@ -357,7 +356,7 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q44 = f"""
 WITH tf AS (
   SELECT doc_id, token, count(*) AS tf, {h60_sql('token')} AS h
-  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS token
         FROM documents)
   GROUP BY doc_id, token
 ),

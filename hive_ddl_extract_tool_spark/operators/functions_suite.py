@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._rounding import mround
+from .text import WS  # the ONE explicit whitespace class (see text.py)
 from ..tables import load
 
 
@@ -198,7 +199,7 @@ def q23_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine needs. Shuffle key is the token (high cardinality, well spread)."""
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        docs.select(F.explode(F.split(F.col("text"), WS)).alias("token"))
         .filter(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -209,7 +210,7 @@ def q23_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q23 = """
 SELECT token, count(*) AS freq
-FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents)
+FROM (SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM documents)
 WHERE length(token) > 0
 GROUP BY token
 ORDER BY freq DESC, token

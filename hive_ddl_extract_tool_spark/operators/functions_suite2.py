@@ -490,22 +490,27 @@ def q114_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
+    from .text import WS  # the ONE explicit whitespace class (see text.py)
+
     def stats(batches):
         for batch in batches:
             texts = batch.column("text")
             # vectorized kernels: whitespace-run split -> per-row token count
             # (split of a leading/trailing/multiple-space run yields empty
-            # strings, exactly like Spark's split -- drop them per row)
-            tokens = pc.split_pattern_regex(texts, r"\s+")
+            # strings, exactly like Spark's split -- drop them per row).
+            # WS is the shared explicit class, and the trim is ASCII-space
+            # only (utf8_trim_whitespace is Unicode-aware, DuckDB's trim is
+            # not -- a NBSP at a document edge would diverge).
+            tokens = pc.split_pattern_regex(texts, WS)
             n_tok = [
                 sum(1 for t in row if t != "") if row is not None else 0
                 for row in tokens.to_pylist()
             ]
-            norm = pc.utf8_trim_whitespace(
-                pc.replace_substring_regex(pc.utf8_lower(texts), r"\s+", " ")
+            norm = pc.utf8_trim(
+                pc.replace_substring_regex(pc.utf8_lower(texts), WS, " "), " "
             )
             fp = [
-                int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) if s is not None else 0
                 for s in norm.to_pylist()
             ]
             yield pa.RecordBatch.from_arrays(
@@ -525,11 +530,11 @@ def q114_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q114 = f"""
 SELECT doc_id,
-       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        {{FP}} AS fingerprint
 FROM documents
-""".replace("{FP}", "(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT)")
+""".replace("{FP}", "(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15))::BIGINT)")
 
 
 # --------------------------------------------------------------------------

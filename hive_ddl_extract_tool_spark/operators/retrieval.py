@@ -28,7 +28,7 @@ from ..tables import load
 
 # DuckDB twin of the shared tokenizer (lower + whitespace split, drop empties)
 _TOK_SQL = """
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
   FROM documents
 """
 
@@ -180,7 +180,7 @@ def q82_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q82 = f"""
 WITH base AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
   FROM documents
 ),
 bg AS (
@@ -329,7 +329,7 @@ def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q92 = f"""
 WITH base AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
   FROM documents
 ),
 doc_bg AS (

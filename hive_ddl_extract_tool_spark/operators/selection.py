@@ -20,10 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._hashing import h60, h60_sql
-from .text import LANG_MARKERS, SPLIT_SEED, _marker_regex, _words
+from .text import LANG_MARKERS, NON_ALNUM, SPLIT_SEED, _marker_regex, _words
 from ..tables import load
 
-_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 
 # --------------------------------------------------------------------------
 # q100: Gopher-style rule gates -- per-source pass counts
@@ -193,7 +193,7 @@ def q102_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
         nwd = F.size("w").cast("double")
-        n_punct = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+        n_punct = F.regexp_count("text", F.lit(NON_ALNUM)).cast("double")
         n_stop = F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double")
         score = (
             F.least(nwd / 50.0, F.lit(1.0)) * 0.4
@@ -241,7 +241,7 @@ per AS (
              least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.4
            + least((CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
                     / CAST(len(w) AS DOUBLE)) * 5.0, 1.0) * 0.3
-           + (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+           + (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE)
                     / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.3
          ) * {QB_SCALE}) AS BIGINT) AS qb
   FROM w

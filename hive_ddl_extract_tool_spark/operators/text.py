@@ -18,10 +18,20 @@ from ._rounding import mround
 from ..tables import load
 
 # Tokenization shared by every text operator (and mirrored in the oracles):
-# split on whitespace runs, drop empties.
-WS = r"\s+"
+# split on whitespace runs, drop empties. The whitespace set is an EXPLICIT
+# character class, never \s: Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB,
+# Arrow) omits \x0B, so a bare \s tokenizer silently diverges across engines
+# on the first document containing a vertical tab -- with row counts still
+# matching, the worst failure signature. The class below is Java's set
+# spelled out; it is embedded verbatim in the Spark patterns, every oracle
+# SQL string, and the Arrow kernels (tests/test_properties.py proves
+# three-engine agreement on hostile whitespace).
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS = WS_CLASS + "+"
+# 'punctuation': not alphanumeric, not whitespace -- same explicit set.
+NON_ALNUM = r"[^a-zA-Z0-9 \t\n\x0B\f\r]"
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph.
-BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
 
 # Marker stopwords per language for the heuristic language ID.
 LANG_MARKERS = {
@@ -66,7 +76,7 @@ def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q30 = """
 WITH per_doc AS (
   SELECT source, length(text) AS len,
-         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
+         len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS n_words
   FROM documents
 )
 SELECT source,
@@ -96,7 +106,7 @@ def q31_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q31 = f"""
 SELECT doc_id,
-       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)                    AS bpe_tokens,
        CAST(octet_length(encode(text)) AS BIGINT)                                          AS n_bytes
 FROM documents
@@ -158,7 +168,7 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", h60(norm).alias("fingerprint"))
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 ORACLE_Q33 = f"""
 SELECT doc_id, {h60_sql(_NORM_SQL)} AS fingerprint
 FROM documents
@@ -174,7 +184,7 @@ def q34_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _words()
     n_words = F.size(words).cast("double")
     n_chars_c = F.length("text").cast("double")
-    n_punct = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+    n_punct = F.regexp_count("text", F.lit(NON_ALNUM)).cast("double")
     n_stop = F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double")
     avg_wlen = F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words
     punct_ratio = n_punct / n_chars_c
@@ -198,11 +208,11 @@ def q34_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q34 = """
 WITH d AS (
   SELECT doc_id, text,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)  AS n_words,
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS DOUBLE)  AS n_words,
          CAST(length(text) AS DOUBLE)                                                          AS n_chars_c,
-         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)                      AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE)                      AS n_punct,
          CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE)       AS n_stop,
-         list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+         list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                                  w -> CAST(length(w) AS DOUBLE)))                              AS sum_wlen
   FROM documents
 ), s AS (
@@ -267,7 +277,7 @@ def q35_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q35 = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -370,7 +380,7 @@ def q71_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q71 = """
 WITH w AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
   FROM documents
 ),
 stats AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM w),
@@ -452,7 +462,7 @@ def q76_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q76 = f"""
 SELECT token, count(*) AS n
-FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS token
       FROM documents)
 GROUP BY token
 ORDER BY n DESC, token ASC
@@ -521,7 +531,7 @@ def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q90 = f"""
 WITH t AS (
   SELECT doc_id, source,
-         greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1)::BIGINT AS n_tok
+         greatest(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')), 1)::BIGINT AS n_tok
   FROM documents
 ),
 s AS (
@@ -584,7 +594,7 @@ def q91_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q91 = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS token
   FROM documents
 ),
 vocab AS (
@@ -663,7 +673,7 @@ def q113_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q113 = f"""
 WITH top AS (
   SELECT token, count(*) AS n
-  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS token
         FROM documents)
   GROUP BY token
   ORDER BY n DESC, token ASC

@@ -98,11 +98,11 @@ def test_run_cli_lists_and_rejects(capsys):
     assert "did you mean" in err
 
 
-def test_run_cli_check_mode(capsys):
+def test_run_cli_check_mode(capsys, sf_dir):
     """--check runs the query AND its oracle, exiting 0 on match and 2 for
     rows-only queries (nothing to check)."""
     from hive_ddl_extract_tool_spark.run import main
 
-    assert main(["q05_distinct_users", "/root/testdata/sf0.001", "--check"]) == 0
+    assert main(["q05_distinct_users", sf_dir, "--check"]) == 0
     assert "OK: q05_distinct_users" in capsys.readouterr().out
-    assert main(["q06_approx_distinct_users", "/root/testdata/sf0.001", "--check"]) == 2
+    assert main(["q06_approx_distinct_users", sf_dir, "--check"]) == 2

@@ -35,7 +35,14 @@ PYTHON_OK = {
     "q78_udtf_chunk",
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q115_tws_running_totals"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join"}
+
+
+def test_skip_plan_audit_names_exist():
+    """Every SKIP_PLAN_AUDIT entry must name a registered query, so the set
+    cannot silently drift when queries are renamed or removed."""
+    unknown = SKIP_PLAN_AUDIT - QUERIES.keys()
+    assert not unknown, f"SKIP_PLAN_AUDIT names unregistered queries: {unknown}"
 
 
 def test_filter_pushdown_q01(spark, sf_dir):

@@ -95,3 +95,100 @@ def test_h60_cross_engine_parity_on_tricky_corpus():
     sdf = sp.createDataFrame([(s,) for s in TRICKY], "s string").select(h60("s").alias("h"))
     spark_vals = [r["h"] for r in sdf.collect()]
     assert spark_vals == duck
+
+
+# --------------------------------------------------------------------------
+# Cross-engine tokenizer agreement on hostile whitespace
+# --------------------------------------------------------------------------
+#
+# The tokenizer's whitespace set is the explicit class text.WS_CLASS, never
+# \s: Java's \s includes \x0B, RE2's (DuckDB, Arrow) does not, so a bare \s
+# diverges across engines the moment a document contains a vertical tab --
+# with row counts still matching.  These tests pin Spark (Java regex),
+# DuckDB (RE2), and pyarrow (RE2) to identical token lists over strings
+# drawn from an alphabet that includes every hazard: the five ASCII
+# whitespace escapes, the vertical tab, and Unicode whitespace (NBSP,
+# em-space, ideographic space, zero-width space) that must NOT split.
+
+HOSTILE_WS_STRINGS = [
+    "plain words only",
+    "  leading and trailing  ",
+    "tab\tseparated\ttokens",
+    "newline\nand\r\ncarriage",
+    "vertical\x0btab\x0bsplit",
+    "form\ffeed\fsplit",
+    "mixed \t\x0b\f\r\n all at once",
+    "nbsp\xa0stays\xa0glued",
+    "em space stays",
+    "ideographic　space",
+    "zero​width​stays",
+    "",
+    " \t\x0b\f\r\n ",  # whitespace-only
+    "ünïcode wörds blëíben",
+]
+
+
+def _duck_tokens(strings):
+    import duckdb
+
+    from hive_ddl_extract_tool_spark.operators.text import WS
+
+    con = duckdb.connect()
+    out = []
+    for s in strings:
+        row = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, ?), x -> x <> '')",
+            [s, WS],
+        ).fetchone()[0]
+        out.append(list(row))
+    con.close()
+    return out
+
+
+def test_tokenizer_spark_duckdb_agree_on_hostile_whitespace(spark):
+    from hive_ddl_extract_tool_spark.operators.text import _words
+
+    df = spark.createDataFrame([(s,) for s in HOSTILE_WS_STRINGS], "text string")
+    got = [r[0] for r in df.select(_words("text")).collect()]
+    want = _duck_tokens(HOSTILE_WS_STRINGS)
+    assert got == want
+
+
+def test_tokenizer_arrow_duckdb_agree_on_hostile_whitespace():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hive_ddl_extract_tool_spark.operators.text import WS
+
+    arr = pa.array(HOSTILE_WS_STRINGS)
+    got = [
+        [t for t in row if t != ""]
+        for row in pc.split_pattern_regex(arr, WS).to_pylist()
+    ]
+    want = _duck_tokens(HOSTILE_WS_STRINGS)
+    assert got == want
+
+
+def test_punct_class_spark_duckdb_agree_on_hostile_whitespace(spark):
+    """NON_ALNUM (the 'punctuation' class) must count identically: under a
+    bare \\s complement, \\x0B is punctuation to RE2 but whitespace to Java."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.text import NON_ALNUM
+
+    df = spark.createDataFrame([(s,) for s in HOSTILE_WS_STRINGS], "text string")
+    got = [
+        r[0]
+        for r in df.select(F.regexp_count("text", F.lit(NON_ALNUM))).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, NON_ALNUM]
+        ).fetchone()[0]
+        for s in HOSTILE_WS_STRINGS
+    ]
+    con.close()
+    assert got == want
