@@ -1054,6 +1054,12 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 SEMDEDUP_T = 0.45  # rounded-cosine drop threshold (corpus max pairwise ~0.6)
+# Hot-cell guard: a cell with more rows than this gets its self-join salted
+# into ceil(n / CAP) slices, so one dense k-means cell cannot concentrate
+# its quadratic pair work in a single straggler task. The pair SET is
+# unchanged -- salting only re-keys the exchange from (cell) to
+# (cell, salt) and replicates the probe side per slice.
+SEMDEDUP_CELL_CAP = 1000
 
 
 def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,6 +1073,14 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, embedding, cell) parquet, so the corpus is scanned once for
     both queries in a session. Emits the per-cell dedup report (vectors,
     candidate pairs, dropped, kept) -- N_CELLS rows.
+
+    Scale guard: the within-cell join is salted once a cell exceeds
+    SEMDEDUP_CELL_CAP rows -- side A keyed by (cell, vec_id % k), side B
+    replicated across the k salts -- so the hottest cell's quadratic work
+    spreads over ceil(n/CAP) tasks instead of one straggler. k=1 for every
+    cell under the cap, so small cells pay nothing extra, and the emitted
+    pair multiset is identical either way (asserted by the oracle compare,
+    whose SQL knows nothing of salting).
 
     Exactness: cell assignment inherits q66b's bit-identical fixed-point
     centroids; the drop rule compares the ROUNDED cosine (identical
@@ -1086,13 +1100,29 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = with_norm.select(
         "vec_id", "cell", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
     )
-    a = vecs.select("cell", F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
-    b = vecs.select("cell", F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    cell_k = vecs.groupBy("cell").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / SEMDEDUP_CELL_CAP)
+        ).cast("int").alias("k")
+    )
+    salted = vecs.join(F.broadcast(cell_k), "cell")
+    a = salted.select(
+        "cell",
+        F.pmod("vec_id", F.col("k")).cast("int").alias("salt"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("u").alias("ua"),
+    )
+    b = salted.select(
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("salt"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("u").alias("ub"),
+    )
     dot = F.aggregate(
         F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("cell", "vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= SEMDEDUP_T)

@@ -293,7 +293,9 @@ def test_semdedup_pairs_stay_inside_cells(spark, sf_dir):
     """q103's pairwise step must be a cell-keyed equi-join (quadratic in
     cell size, linear in corpus size) over the staged assignment -- no
     cartesian anywhere, and the raw embeddings file appears at most once
-    (the staging job performs the single real scan)."""
+    (the staging job performs the single real scan). The join must be
+    keyed by (cell, salt), the hot-cell guard that spreads one dense
+    cell's quadratic work over ceil(n/CAP) tasks."""
     from hive_ddl_extract_tool_spark.operators._cache import clear_cache
 
     clear_cache()
@@ -304,6 +306,27 @@ def test_semdedup_pairs_stay_inside_cells(spark, sf_dir):
     # unit vectors are a projection of the staged row -- no corpus shuffle
     # by vec_id just to fetch them
     assert "hashpartitioning(vec_id" not in plan, f"vec_id shuffle crept in:\n{plan}"
+    # the pair join carries the hot-cell salt in its key
+    assert "salt" in plan, f"hot-cell salt missing from the pair join:\n{plan}"
+
+
+def test_semdedup_salting_preserves_pair_set(spark, sf_dir):
+    """Forcing every cell over the hot-cell cap (CAP=2 -> k>1 everywhere)
+    must leave the emitted report identical to the oracle's unsalted
+    pairwise SQL -- salting changes the exchange key, never the pairs."""
+    import hive_ddl_extract_tool_spark.operators.similarity as sim
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+    from .parity import compare
+
+    old = sim.SEMDEDUP_CELL_CAP
+    sim.SEMDEDUP_CELL_CAP = 2
+    try:
+        clear_cache()
+        df = QUERIES["q103_semdedup"](spark, sf_dir)
+        compare(df, sim.ORACLE_Q103, sf_dir)
+    finally:
+        sim.SEMDEDUP_CELL_CAP = old
+        clear_cache()
 
 
 def test_big_orders_topk_uses_heap(spark, sf_dir):
