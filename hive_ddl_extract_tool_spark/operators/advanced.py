@@ -596,7 +596,13 @@ def q88_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids -- what downstream behavioral features join against. One user_id
     exchange carries both window passes (lag, then running sum of session
     starts); ordering ties break on event_id so the assignment is
-    deterministic cross-engine. All integers -- hash-exact."""
+    deterministic cross-engine. All integers -- hash-exact.
+
+    Encoding-proof micros: under a MICROS drop both engines read exact
+    microseconds; under a NANOS drop the loader floors nanos with
+    `ts div 1000` (tables.py) and DuckDB's epoch_us on TIMESTAMP_NS
+    truncates identically (verified: .123456789 -> 123456 on both), so
+    the 30-minute gap compare can never flip between engines."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events").select(
