@@ -57,6 +57,8 @@ _PRIORITY = [
     "q110_malformed_quarantine",
     "q112_training_manifest",
     "q116_skew_report",
+    # round-5 new operator -- needs its first row
+    "q120_window_dedup",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -795,6 +795,101 @@ JOIN documents b ON b.doc_id = p.doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# q120: window-level duplication report (ExactSubstr-lite)
+# --------------------------------------------------------------------------
+
+WINDOW_N = 16  # token window (50 in Lee et al. 2021; 16 fits fixture doc lengths)
+
+
+def q120_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-level duplication report, the ExactSubstr complement to the
+    whole-document operators (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): for every source, what fraction of its
+    WINDOW_N-token rolling windows also occurs in at least one OTHER
+    document anywhere in the corpus. Doc-level dedup (q40/q42) misses
+    boilerplate duplicated INSIDE otherwise-unique documents; this metric
+    is what decides whether a substring-level pass is worth running.
+
+    Shape: rolling windows hashed to 60-bit ints (a pure projection +
+    bounded explode), then ONE gram-keyed aggregate finds hashes spanning
+    >= 2 distinct docs, and the flag joins back on the gram hash -- both
+    shuffles key on the hash, so the work shards uniformly at any corpus
+    size (same scale story as q104's decontamination join). The gram table
+    feeds both sides, so it is parquet-staged once (cached_df). Outputs
+    are integer counts and an integer ppm -- hash-exact.
+
+    n_docs counts documents long enough to hold a window (>= WINDOW_N
+    tokens), the population the ppm speaks for."""
+    from .text import _words
+
+    def build_windows() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        w = docs.select("doc_id", "source", _words(F.lower("text")).alias("w")).filter(
+            F.size("w") >= WINDOW_N
+        )
+        return w.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (WINDOW_N - 1)),
+                    lambda i: h60(F.concat_ws(" ", F.slice("w", i, F.lit(WINDOW_N)))),
+                )
+            ).alias("gh"),
+        )
+
+    grams = cached_df(spark, f"dup_windows:{sf_dir}", build_windows)
+    multi = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", F.lit(1).alias("dup"))
+    )
+    return (
+        grams.join(multi, "gh", "left")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("dup", F.lit(0)).cast("bigint")).alias("n_dup_windows"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("n_dup_windows * 1000000 DIV n_windows").alias("dup_ppm"),
+        )
+    )
+
+
+_WIN_WORDS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+)
+_WIN_GRAM_SQL = h60_sql(f"array_to_string(list_slice(w, i, i + {WINDOW_N - 1}), ' ')")
+
+ORACLE_Q120 = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WIN_WORDS_SQL} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source, {_WIN_GRAM_SQL} AS gh
+  FROM (SELECT * FROM w WHERE len(w) >= {WINDOW_N}),
+       LATERAL (SELECT unnest(range(1, len(w) - {WINDOW_N - 1} + 1)) AS i)
+),
+multi AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN gh IN (SELECT gh FROM multi) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN gh IN (SELECT gh FROM multi) THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+FROM grams
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -807,6 +902,7 @@ QUERIES = {
     "q86_decontamination": q86_decontamination,
     "q106_minhash_estimator_error": q106_minhash_estimator_error,
     "q119_edit_distance_verify": q119_edit_distance_verify,
+    "q120_window_dedup": q120_window_dedup,
 }
 
 ORACLES = {
@@ -821,4 +917,5 @@ ORACLES = {
     "q86_decontamination": ORACLE_Q86,
     "q106_minhash_estimator_error": ORACLE_Q106,
     "q119_edit_distance_verify": ORACLE_Q119,
+    "q120_window_dedup": ORACLE_Q120,
 }

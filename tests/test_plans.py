@@ -363,3 +363,17 @@ def test_decontam_joins_staged_grams(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+
+
+def test_window_dedup_joins_staged_windows(spark, sf_dir):
+    """q120's dup-flag join must read the staged window-hash table on both
+    sides (zero raw documents scans), stay equi-join, and key every
+    exchange on the gram hash so the work shards uniformly."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q120_window_dedup"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+    assert "hashpartitioning(gh" in plan, f"dup-flag join not gh-keyed:\n{plan}"
