@@ -57,8 +57,12 @@ _PRIORITY = [
     "q110_malformed_quarantine",
     "q112_training_manifest",
     "q116_skew_report",
-    # round-5 new operator -- needs its first row
+    # round-5 new operators -- need their first row
     "q120_window_dedup",
+    "q121_rrf_fusion",
+    "q122_dsir_weights",
+    "q123_quality_classifier",
+    "q124_dupgraph_pagerank",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -890,6 +890,91 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q124: PageRank over the near-dup graph (authority-based canonical election)
+# --------------------------------------------------------------------------
+
+PR_SCALE = 10**9   # per-node fixed-point mass
+PR_ITERS = 3       # fixed unrolled iterations (oracle unrolls the same 3)
+PR_D_NUM, PR_D_DEN = 85, 100  # damping d = 0.85 as an exact rational
+
+
+def q124_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric near-dup graph (q42's staged pairs):
+    3 damped power-iteration rounds, pr'(v) = (1-d)*S + d * sum over
+    in-neighbors u of pr(u)/deg(u). The authority signal a curation
+    pipeline can use instead of min-doc_id when electing the canonical
+    document of a duplicate cluster (highly-connected center beats an
+    arbitrary id).
+
+    The distributed shape: each round is one src-keyed equi-join (edges x
+    current pr x degree, all hash-partitioned on src) followed by one
+    map-side-combined sum over dst -- the classic Pregel step as two
+    exchanges per round, no driver-side state (the loop only builds the
+    plan). Exactness: mass is integer 1e-9 fixed point; each contribution
+    is (85 * pr) DIV (100 * deg) -- floor division of positive integers,
+    bit-identical in both engines -- so the iterative float algorithm
+    never exists: the oracle unrolls the identical 3 integer rounds."""
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN  # (1-d) * S, exact
+    pr = deg.select(F.col("src").alias("v"), F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr(f"CAST(({PR_D_NUM} * pr) DIV ({PR_D_DEN} * deg) AS BIGINT)").alias("c"),
+            )
+        )
+        pr = contrib.groupBy("v").agg(
+            (F.lit(base).cast("bigint") + F.sum("c")).alias("pr")
+        )
+    return (
+        pr.join(deg.withColumnRenamed("src", "v"), "v")
+        .select(F.col("v").alias("doc_id"), F.col("deg").alias("degree"), F.col("pr").alias("pagerank9"))
+    )
+
+
+def _pr_round_sql(prev: str, nxt: str) -> str:
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    return f"""{nxt} AS (
+  SELECT e.dst AS v,
+         CAST({base} + sum(({PR_D_NUM} * p.pr) // ({PR_D_DEN} * d.deg)) AS BIGINT) AS pr
+  FROM edges e JOIN {prev} p ON e.src = p.v JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+
+
+ORACLE_Q124 = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+pr0 AS (SELECT src AS v, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),
+{_pr_round_sql("pr0", "pr1")},
+{_pr_round_sql("pr1", "pr2")},
+{_pr_round_sql("pr2", "pr3")}
+SELECT p.v AS doc_id, CAST(d.deg AS BIGINT) AS degree, p.pr AS pagerank9
+FROM pr3 p JOIN deg d ON p.v = d.src
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -903,6 +988,7 @@ QUERIES = {
     "q106_minhash_estimator_error": q106_minhash_estimator_error,
     "q119_edit_distance_verify": q119_edit_distance_verify,
     "q120_window_dedup": q120_window_dedup,
+    "q124_dupgraph_pagerank": q124_dupgraph_pagerank,
 }
 
 ORACLES = {
@@ -918,4 +1004,5 @@ ORACLES = {
     "q106_minhash_estimator_error": ORACLE_Q106,
     "q119_edit_distance_verify": ORACLE_Q119,
     "q120_window_dedup": ORACLE_Q120,
+    "q124_dupgraph_pagerank": ORACLE_Q124,
 }

@@ -19,10 +19,11 @@ broadcast is the 1-row corpus-stats aggregate and the |query| -row df table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._cache import cached_df
+from .similarity import COSINE_SQL, _cosine
 from .text import _words
 from ..tables import load
 
@@ -44,15 +45,16 @@ BM25_TOP = 10
 Q9 = 10**9  # fixed-point scale for the order-free score sum
 
 
-def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents for the 3-term query by BM25 (Lucene idf form).
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score9): the 1e-9 fixed-point BM25 score for every document
+    matching >= 1 query term. Shared by q81 (top-k) and q121 (RRF fusion).
 
     Plan shape: one token explode feeds BOTH per-doc length and the
     tf filter (Catalyst prunes the tf branch to the 3 query terms before
     its shuffle); df (3 rows) and the corpus stats (1 row) broadcast into
-    the scoring join; the final top-10 is TakeOrderedAndProject on the
-    integer score. Per-term scores are floor-quantized and integer-summed
-    so the cross-engine hash compare is exact despite float scoring."""
+    the scoring join. Per-term scores are floor-quantized and
+    integer-summed so the cross-engine hash compare is exact despite float
+    scoring."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -74,7 +76,7 @@ def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("tot_dl")))
     )
     q9 = F.floor(term_score * F.lit(float(Q9))).cast("bigint")
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -82,6 +84,13 @@ def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("s9").alias("score9"))
     )
+
+
+def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the 3-term query by BM25 (Lucene idf form); the
+    final top-10 is TakeOrderedAndProject on the integer score (see
+    _bm25_scored for the scoring-plan shape)."""
+    scored = _bm25_scored(spark, sf_dir)
     return (
         scored.orderBy(F.col("score9").desc(), "doc_id")
         .limit(BM25_TOP)
@@ -91,8 +100,9 @@ def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-ORACLE_Q81 = f"""
-WITH tok AS ({_TOK_SQL}),
+# Shared CTE chain ending in scored(doc_id, score9) -- the DuckDB twin of
+# _bm25_scored, reused by ORACLE_Q81 and ORACLE_Q121.
+_BM25_CTES = f"""tok AS ({_TOK_SQL}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
 tf AS (
@@ -103,14 +113,17 @@ tf AS (
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT doc_id,
-         sum(CAST(floor(
+         CAST(sum(CAST(floor(
            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
            * (tf * ({BM25_K1} + 1.0))
            / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl * n_docs / tot_dl))
-           * {Q9}.0) AS BIGINT)) AS score9
+           * {Q9}.0) AS BIGINT)) AS BIGINT) AS score9
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
   GROUP BY doc_id
-)
+)"""
+
+ORACLE_Q81 = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, round(score9 / {Q9}.0, 6) AS bm25
 FROM scored
 ORDER BY score9 DESC, doc_id
@@ -359,11 +372,113 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q121: hybrid retrieval -- sparse BM25 + dense cosine, fused by RRF
+# --------------------------------------------------------------------------
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 10**6   # integer contribution = RRF_SCALE DIV (RRF_K + rank)
+FUSE_CAND = 50      # candidates taken from each retriever
+FUSE_TOP = 20       # fused results returned
+DENSE_QUERY_ID = 0  # the query document / vector (aligned id spaces)
+
+
+def q121_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the sparse BM25 ranking (q81's scorer) with a
+    dense cosine ranking (query = document 0's embedding) by reciprocal
+    rank fusion, score(d) = sum over lists of 1/(60 + rank_d) (Cormack et
+    al., SIGIR 2009). The standard two-tower retrieval shape: each
+    retriever returns its top-50, fusion sees only (doc_id, rank) pairs.
+
+    Exactness: ranks are integers with doc_id tie-breaks (the float
+    scores beneath them are the proven q81/q46 disciplines), and each RRF
+    contribution is the integer floor of 1e6/(60+rank) -- no float ever
+    crosses the engine boundary. Scale shape: each candidate list is
+    TakeOrderedAndProject over its scorer (never a global sort); the
+    row_number windows and the full-outer fusion join run on <= 50-row
+    inputs, so the SinglePartition stages are bounded by construction at
+    any corpus size."""
+    scored = _bm25_scored(spark, sf_dir)
+    sparse_cand = scored.orderBy(F.col("score9").desc(), "doc_id").limit(FUSE_CAND)
+    sparse = sparse_cand.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("score9").desc(), "doc_id"))
+        .alias("srn"),
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") != DENSE_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cs"),
+        )
+    )
+    dense_cand = dense_scored.orderBy(F.col("cs").desc(), "doc_id").limit(FUSE_CAND)
+    dense = dense_cand.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("cs").desc(), "doc_id"))
+        .alias("drn"),
+    )
+
+    contrib_s = F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + srn) AS BIGINT)")
+    contrib_d = F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + drn) AS BIGINT)")
+    return (
+        sparse.join(dense, ["doc_id"], "full_outer")
+        .select(
+            "doc_id",
+            F.col("srn").cast("int").alias("sparse_rank"),
+            F.col("drn").cast("int").alias("dense_rank"),
+            (F.coalesce(contrib_s, F.lit(0)) + F.coalesce(contrib_d, F.lit(0)))
+            .cast("bigint")
+            .alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(FUSE_TOP)
+    )
+
+
+ORACLE_Q121 = f"""
+WITH {_BM25_CTES},
+sparse AS (
+  SELECT doc_id, srn
+  FROM (SELECT doc_id, row_number() OVER (ORDER BY score9 DESC, doc_id) AS srn FROM scored)
+  WHERE srn <= {FUSE_CAND}
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {DENSE_QUERY_ID}),
+dense_scored AS (
+  SELECT doc_id, round({COSINE_SQL}, 6) AS cs
+  FROM (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
+        WHERE vec_id <> {DENSE_QUERY_ID}), qv
+),
+dense AS (
+  SELECT doc_id, drn
+  FROM (SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS drn FROM dense_scored)
+  WHERE drn <= {FUSE_CAND}
+)
+SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       CAST(s.srn AS INT) AS sparse_rank,
+       CAST(d.drn AS INT) AS dense_rank,
+       CAST(coalesce({RRF_SCALE} // ({RRF_K} + s.srn), 0)
+          + coalesce({RRF_SCALE} // ({RRF_K} + d.drn), 0) AS BIGINT) AS rrf_score
+FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {FUSE_TOP}
+"""
+
+
 QUERIES = {
     "q81_bm25_topk": q81_bm25_topk,
     "q82_collocations": q82_collocations,
     "q85_inverted_index": q85_inverted_index,
     "q92_bigram_lm_score": q92_bigram_lm_score,
+    "q121_rrf_fusion": q121_rrf_fusion,
 }
 
 ORACLES = {
@@ -371,4 +486,5 @@ ORACLES = {
     "q82_collocations": ORACLE_Q82,
     "q85_inverted_index": ORACLE_Q85,
     "q92_bigram_lm_score": ORACLE_Q92,
+    "q121_rrf_fusion": ORACLE_Q121,
 }

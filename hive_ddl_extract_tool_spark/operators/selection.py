@@ -413,12 +413,191 @@ GROUP BY source, bucket
 """
 
 
+# --------------------------------------------------------------------------
+# q122: DSIR-style importance weights (hashed n-gram importance resampling)
+# --------------------------------------------------------------------------
+
+# Data Selection for Language Models via Importance Resampling (Xie et al.,
+# NeurIPS 2023): model target and raw corpora as bag-of-hashed-ngrams
+# distributions; each raw document's importance weight is its
+# log-likelihood ratio under the two distributions. Resampling by these
+# weights shifts the corpus toward the target domain without a classifier.
+DSIR_B = 1024                                     # hashed feature buckets
+DSIR_TARGET = ("src0", "src1", "src2", "src3")    # target-domain proxy
+Q9DS = 10**9  # fixed-point scale shared with retrieval.py's discipline
+
+
+def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: tokens hash into 1024 buckets
+    (the shared md5-60-bit hash mod B); the target (4 proxy sources) and
+    raw (whole corpus) bucket distributions are add-one smoothed; the
+    document weight is the sum over its token occurrences of
+    ln p_target(b) - ln p_raw(b).
+
+    Plan shape (the 100 TB shape): ONE tokenize+hash pass is parquet-staged
+    and feeds the two bucket histograms and the scoring join; the weight
+    table is <= B rows and broadcasts; per-doc scoring is one map-side
+    combined aggregate. Exactness: both ln arguments are doubles built from
+    identical integer inputs, each per-bucket log-ratio is floor-quantized
+    to 1e-9 before the integer per-doc sum (q92's discipline), and the
+    single final division happens once per row."""
+    from ._cache import cached_df
+
+    def build_toks() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            "source",
+            F.explode(_words(F.lower("text"))).alias("tok"),
+        ).select("doc_id", "source", (h60("tok") % F.lit(DSIR_B)).alias("b"))
+
+    toks = cached_df(spark, f"dsir_toks:{sf_dir}", build_toks)
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        toks.filter(F.col("source").isin(*DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    n_r = raw.agg(F.sum("c_r").alias("n_r"))
+    n_t = tgt.agg(F.sum("c_t").alias("n_t"))
+    w9 = F.floor(
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + DSIR_B))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + DSIR_B))
+        )
+        * F.lit(float(Q9DS))
+    ).cast("bigint")
+    weights = (
+        raw.join(tgt, "b", "left")
+        .na.fill(0, ["c_t"])
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select("b", w9.alias("w9"))
+    )
+    return (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("w9").alias("lw9"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "lw9",
+            F.round(F.col("lw9") / F.col("n_tok") / F.lit(float(Q9DS)), 6).alias(
+                "avg_logweight"
+            ),
+        )
+    )
+
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+
+ORACLE_Q122 = f"""
+WITH tok AS (
+  SELECT doc_id, source, {h60_sql("tok")} % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+raw AS (SELECT b, count(*) AS c_r FROM tok GROUP BY 1),
+tgt AS (SELECT b, count(*) AS c_t FROM tok WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY 1),
+nr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM raw),
+nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tgt),
+w AS (
+  SELECT b,
+         CAST(floor((ln((coalesce(c_t, 0) + 1.0) / (n_t + {DSIR_B}))
+                   - ln((c_r + 1.0) / (n_r + {DSIR_B}))) * {Q9DS}.0) AS BIGINT) AS w9
+  FROM raw LEFT JOIN tgt USING (b), nr, nt
+),
+per AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(w9) AS BIGINT) AS lw9
+  FROM tok JOIN w USING (b)
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_tok, lw9, round(lw9 / n_tok / {Q9DS}.0, 6) AS avg_logweight
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# q123: hashed linear quality classifier -- fasttext-shape gate inference
+# --------------------------------------------------------------------------
+
+# The inference plumbing of a fasttext/DCLM-style quality classifier:
+# hash each token into a bucket, sum the buckets' learned weights, gate on
+# the sign. Weights here are a deterministic pseudo-model (derived from the
+# bucket id by the shared md5 hash) -- the published numbers exercise the
+# real plan shape (broadcast weight table, map-side-combined doc scores,
+# per-source gate report) with a model both engines can rebuild bit-for-bit.
+QC_B = 512            # classifier feature buckets
+QC_W_RANGE = 1000     # weights uniform in [-1000, 1000]
+
+
+def q123_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source acceptance report of the hashed linear classifier:
+    score(doc) = sum over tokens of w[h(token) mod 512], accept if > 0.
+    All integers end-to-end: weights are h60-derived integers, scores are
+    integer sums, the accept rate is integer ppm. Plan: the 512-row weight
+    table is generated (spark.range -- no scan) and broadcasts into the
+    one token explode; doc scores and the per-source report are two
+    map-side-combined aggregates."""
+    weights = spark.range(QC_B).select(
+        F.col("id").alias("b"),
+        (
+            h60(F.concat(F.lit("qw_"), F.col("id").cast("string"))) % (2 * QC_W_RANGE + 1)
+            - QC_W_RANGE
+        ).alias("w"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_words(F.lower("text"))).alias("tok")
+    ).select("doc_id", "source", (h60("tok") % F.lit(QC_B)).alias("b"))
+    scored = (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("score"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("bigint")).alias("n_accept"),
+        F.max("score").alias("max_score"),
+        F.expr(
+            "CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("accept_ppm"),
+    )
+
+
+ORACLE_Q123 = f"""
+WITH w AS (
+  SELECT range AS b,
+         {h60_sql("'qw_' || CAST(range AS VARCHAR)")} % {2 * QC_W_RANGE + 1} - {QC_W_RANGE} AS w
+  FROM range({QC_B})
+),
+tok AS (
+  SELECT doc_id, source, {h60_sql("tok")} % {QC_B} AS b
+  FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+scored AS (
+  SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
+  FROM tok JOIN w USING (b)
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       max(score) AS max_score,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS accept_ppm
+FROM scored
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
     "q102_token_budget_select": q102_token_budget_select,
     "q104_ngram_decontam": q104_ngram_decontam,
     "q105_length_buckets": q105_length_buckets,
+    "q122_dsir_weights": q122_dsir_weights,
+    "q123_quality_classifier": q123_quality_classifier,
 }
 
 ORACLES = {
@@ -427,4 +606,6 @@ ORACLES = {
     "q102_token_budget_select": ORACLE_Q102,
     "q104_ngram_decontam": ORACLE_Q104,
     "q105_length_buckets": ORACLE_Q105,
+    "q122_dsir_weights": ORACLE_Q122,
+    "q123_quality_classifier": ORACLE_Q123,
 }

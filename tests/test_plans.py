@@ -377,3 +377,50 @@ def test_window_dedup_joins_staged_windows(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
     assert "hashpartitioning(gh" in plan, f"dup-flag join not gh-keyed:\n{plan}"
+
+
+def test_rrf_fusion_candidate_lists_are_topk(spark, sf_dir):
+    """q121's retriever lists must be TakeOrderedAndProject (never a global
+    sort of all scored docs), and the only nested loop is the broadcast of
+    the 1-row dense query vector."""
+    df = QUERIES["q121_rrf_fusion"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_weight_table_is_broadcast(spark, sf_dir):
+    """q122's bucket-weight table is <= 1024 rows by construction; the
+    token->weight scoring join must broadcast it, never shuffle the
+    exploded token stream against it. The tokenize pass is staged, so the
+    raw corpus is scanned only by the staging job."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q122_dsir_weights"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+
+
+def test_quality_classifier_weights_broadcast_no_scan(spark, sf_dir):
+    """q123's weight table is generated (spark.range), so the plan must
+    show exactly one parquet scan (the corpus) and a broadcast join for
+    the 512-row weight side."""
+    df = QUERIES["q123_quality_classifier"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert plan.count(".parquet") <= 1 or "documents.parquet" in plan, plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
+    """q124's three unrolled rounds must all be equi-joins over the staged
+    pair set (zero raw documents scans, no cartesian); per-round work is
+    src-keyed joins + one dst-keyed aggregate."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q124_dupgraph_pagerank"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"

@@ -132,6 +132,24 @@ SHOW = {
         "(AQE demotes to broadcast at runtime), and the top-10 is "
         "TakeOrderedAndProject -- never a global sort."
     ),
+    "q121_rrf_fusion": (
+        "Hybrid retrieval fusion: both candidate lists are "
+        "TakeOrderedAndProject over their scorers (never a global sort); "
+        "the 1-row dense query vector broadcasts; the fusion full-outer "
+        "join and rank windows run on <=50-row inputs by construction."
+    ),
+    "q122_dsir_weights": (
+        "DSIR importance weights: ONE staged tokenize+hash pass feeds both "
+        "bucket histograms and the scoring join; the <=1024-row weight "
+        "table is BroadcastHashJoined into the token stream; per-doc "
+        "scoring is one map-side-combined aggregate."
+    ),
+    "q124_dupgraph_pagerank": (
+        "PageRank as the Pregel shape: each unrolled round is a src-keyed "
+        "equi-join (edges x pr x degree) + one dst-keyed combine -- two "
+        "exchanges per round over the staged pair set, no driver-side "
+        "state, no cartesian."
+    ),
     "q112_training_manifest": (
         "The end-to-end curation manifest: one linear gate pass, dedup "
         "canonical as a window min over the fingerprint partition, hash "
