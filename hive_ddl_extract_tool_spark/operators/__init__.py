@@ -63,6 +63,8 @@ _PRIORITY = [
     "q122_dsir_weights",
     "q123_quality_classifier",
     "q124_dupgraph_pagerank",
+    "q125_source_divergence",
+    "q126_dsir_resample",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -427,20 +427,17 @@ DSIR_TARGET = ("src0", "src1", "src2", "src3")    # target-domain proxy
 Q9DS = 10**9  # fixed-point scale shared with retrieval.py's discipline
 
 
-def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DSIR importance weight: tokens hash into 1024 buckets
-    (the shared md5-60-bit hash mod B); the target (4 proxy sources) and
-    raw (whole corpus) bucket distributions are add-one smoothed; the
-    document weight is the sum over its token occurrences of
-    ln p_target(b) - ln p_raw(b).
+def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tok, lw9): each document's integer-summed DSIR
+    log-likelihood-ratio weight. Shared by q122 (the weight report) and
+    q126 (the resampled draw).
 
     Plan shape (the 100 TB shape): ONE tokenize+hash pass is parquet-staged
     and feeds the two bucket histograms and the scoring join; the weight
     table is <= B rows and broadcasts; per-doc scoring is one map-side
     combined aggregate. Exactness: both ln arguments are doubles built from
     identical integer inputs, each per-bucket log-ratio is floor-quantized
-    to 1e-9 before the integer per-doc sum (q92's discipline), and the
-    single final division happens once per row."""
+    to 1e-9 before the integer per-doc sum (q92's discipline)."""
     from ._cache import cached_df
 
     def build_toks() -> DataFrame:
@@ -478,22 +475,31 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(weights), "b")
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("w9").alias("lw9"))
-        .select(
-            "doc_id",
-            "source",
-            "n_tok",
-            "lw9",
-            F.round(F.col("lw9") / F.col("n_tok") / F.lit(float(Q9DS)), 6).alias(
-                "avg_logweight"
-            ),
-        )
+    )
+
+
+def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: tokens hash into 1024 buckets
+    (the shared md5-60-bit hash mod B); the target (4 proxy sources) and
+    raw (whole corpus) bucket distributions are add-one smoothed; the
+    document weight is the sum over its token occurrences of
+    ln p_target(b) - ln p_raw(b). See _dsir_per_doc for the plan shape."""
+    return _dsir_per_doc(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "lw9",
+        F.round(F.col("lw9") / F.col("n_tok") / F.lit(float(Q9DS)), 6).alias(
+            "avg_logweight"
+        ),
     )
 
 
 _DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET)
 
-ORACLE_Q122 = f"""
-WITH tok AS (
+# Shared CTE chain ending in per(doc_id, source, n_tok, lw9) -- the DuckDB
+# twin of _dsir_per_doc, reused by ORACLE_Q122 and ORACLE_Q126.
+_DSIR_PER_CTES = f"""tok AS (
   SELECT doc_id, source, {h60_sql("tok")} % {DSIR_B} AS b
   FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS tok FROM documents)
 ),
@@ -511,7 +517,10 @@ per AS (
   SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(w9) AS BIGINT) AS lw9
   FROM tok JOIN w USING (b)
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_Q122 = f"""
+WITH {_DSIR_PER_CTES}
 SELECT doc_id, source, n_tok, lw9, round(lw9 / n_tok / {Q9DS}.0, 6) AS avg_logweight
 FROM per
 """
@@ -590,6 +599,165 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q125: source-divergence matrix -- Jeffreys (symmetric KL) between sources
+# --------------------------------------------------------------------------
+
+# Corpus-composition monitoring: how far apart two sources' unigram
+# distributions are. The number a mixing pipeline (q101) watches to decide
+# whether two shards are interchangeable or must be balanced separately;
+# also the drift alarm when a source's crawl changes under it. Distances
+# are over the same hashed-bucket space as q122 (the staged pass is
+# shared), so the whole matrix costs S^2 * B bounded compute after one
+# corpus scan at any corpus size.
+
+
+def q125_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jeffreys divergence J(s1, s2) = KL(p1||p2) + KL(p2||p1) between the
+    add-one-smoothed hashed-unigram distributions of every source pair
+    (s1 < s2), in integer 1e-9 fixed point.
+
+    Plan shape: reuses q122's staged (doc, source, bucket) tokenize pass;
+    per-source bucket counts form a <= S*B-row table; a dense (source x
+    bucket) grid (cross join of two tiny dims) left-joins the counts so
+    zero-count buckets still contribute their smoothed term; the pair join
+    is bucket-keyed between two S*B tables. Exactness: each bucket's
+    contribution (p1-p2)*(ln p1 - ln p2) is one float expression over
+    identical integer inputs, floor-quantized to 1e-9 before the integer
+    pair sum (q92's discipline)."""
+    from ._cache import cached_df
+
+    def build_toks() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            "source",
+            F.explode(_words(F.lower("text"))).alias("tok"),
+        ).select("doc_id", "source", (h60("tok") % F.lit(DSIR_B)).alias("b"))
+
+    toks = cached_df(spark, f"dsir_toks:{sf_dir}", build_toks)
+    counts = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    buckets = counts.select("b").distinct()
+    grid = (
+        totals.crossJoin(buckets)
+        .join(counts, ["source", "b"], "left")
+        .na.fill(0, ["c"])
+        .select("source", "b", "c", "n")
+    )
+    p = lambda c, n: (c + 1.0) / (n + DSIR_B)  # add-one smoothed probability
+    a, bb = grid.alias("a"), grid.alias("b2")
+    pa = p(F.col("a.c"), F.col("a.n"))
+    pb = p(F.col("b2.c"), F.col("b2.n"))
+    term9 = F.floor((pa - pb) * (F.log(pa) - F.log(pb)) * F.lit(float(Q9DS))).cast(
+        "bigint"
+    )
+    return (
+        a.join(bb, (F.col("a.b") == F.col("b2.b")) & (F.col("a.source") < F.col("b2.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b2.source").alias("source_b")
+        )
+        .agg(F.sum(term9).alias("jeffreys9"))
+        .select(
+            "source_a",
+            "source_b",
+            "jeffreys9",
+            F.round(F.col("jeffreys9") / F.lit(float(Q9DS)), 6).alias("jeffreys"),
+        )
+    )
+
+
+ORACLE_Q125 = f"""
+WITH tok AS (
+  SELECT doc_id, source, {h60_sql("tok")} % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+counts AS (SELECT source, b, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+buckets AS (SELECT DISTINCT b FROM counts),
+grid AS (
+  SELECT t.source, bk.b, CAST(coalesce(c.c, 0) AS BIGINT) AS c, t.n
+  FROM totals t CROSS JOIN buckets bk
+  LEFT JOIN counts c ON c.source = t.source AND c.b = bk.b
+),
+pairs AS (
+  SELECT a.source AS source_a, b2.source AS source_b,
+         CAST(sum(CAST(floor(
+           ((a.c + 1.0) / (a.n + {DSIR_B}) - (b2.c + 1.0) / (b2.n + {DSIR_B}))
+           * (ln((a.c + 1.0) / (a.n + {DSIR_B})) - ln((b2.c + 1.0) / (b2.n + {DSIR_B})))
+           * {Q9DS}.0) AS BIGINT)) AS BIGINT) AS jeffreys9
+  FROM grid a JOIN grid b2 ON a.b = b2.b AND a.source < b2.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, jeffreys9, round(jeffreys9 / {Q9DS}.0, 6) AS jeffreys
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# q126: the DSIR resample itself -- weighted top-k draw (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+
+# q122 computes importance weights; this query performs the resampling step
+# that materializes the shifted corpus: a weighted random draw WITHOUT
+# replacement via the Efraimidis-Spirakis one-pass reduction (select the k
+# largest u_i^(1/w_i), equivalently the k largest ln(u_i)/w_i). u_i comes
+# from the shared md5 hash, so the "random" draw is a pure function of the
+# data -- reproducible across engines, runs, and cluster sizes.
+SAMPLE_K = 100                  # documents drawn
+ES_SHIFT9 = 2 * 10**9           # shifts avg-logweight (1e-9 units) positive
+ES_U_BITS = 20                  # u = (h % 2^20 + 0.5) / 2^20, exact double
+
+
+def q126_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampled corpus draw: the 100 documents with the largest
+    Efraimidis-Spirakis keys ln(u)/w, where w is the document's shifted
+    integer DSIR weight and u a hash-derived uniform. One linear pass over
+    the staged per-doc weights; the draw is TakeOrderedAndProject on the
+    integer key -- no global sort, no rand(). Exactness: w is an exact
+    integer, u is an exact dyadic rational, and the key is floor-quantized
+    to 1e-9 before ranking (doc_id tie-break)."""
+    per = _dsir_per_doc(spark, sf_dir)
+    w = (
+        F.floor(F.col("lw9") * F.lit(1.0) / F.col("n_tok")).cast("bigint")
+        + F.lit(ES_SHIFT9).cast("bigint")
+    ).alias("w")
+    u = (
+        (h60(F.concat(F.lit("samp_"), F.col("doc_id").cast("string"))) % F.lit(2**ES_U_BITS))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**ES_U_BITS))
+    scored = per.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        w,
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "w",
+        F.floor(F.log(u) * F.lit(float(Q9DS)) / F.col("w")).cast("bigint").alias("key9"),
+    )
+    return scored.orderBy(F.col("key9").desc(), "doc_id").limit(SAMPLE_K)
+
+
+ORACLE_Q126 = f"""
+WITH {_DSIR_PER_CTES},
+scored AS (
+  SELECT doc_id, source, n_tok,
+         CAST(floor(lw9 * 1.0 / n_tok) AS BIGINT) + {ES_SHIFT9} AS w
+  FROM per
+)
+SELECT doc_id, source, n_tok, w,
+       CAST(floor(ln((({h60_sql("'samp_' || CAST(doc_id AS VARCHAR)")} % {2**ES_U_BITS}) + 0.5) / {float(2**ES_U_BITS)})
+                  * {Q9DS}.0 / w) AS BIGINT) AS key9
+FROM scored
+ORDER BY key9 DESC, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -598,6 +766,8 @@ QUERIES = {
     "q105_length_buckets": q105_length_buckets,
     "q122_dsir_weights": q122_dsir_weights,
     "q123_quality_classifier": q123_quality_classifier,
+    "q125_source_divergence": q125_source_divergence,
+    "q126_dsir_resample": q126_dsir_resample,
 }
 
 ORACLES = {
@@ -608,4 +778,6 @@ ORACLES = {
     "q105_length_buckets": ORACLE_Q105,
     "q122_dsir_weights": ORACLE_Q122,
     "q123_quality_classifier": ORACLE_Q123,
+    "q125_source_divergence": ORACLE_Q125,
+    "q126_dsir_resample": ORACLE_Q126,
 }

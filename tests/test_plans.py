@@ -424,3 +424,16 @@ def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+
+
+def test_source_divergence_pair_join_is_bucket_keyed(spark, sf_dir):
+    """q125's pair join runs between two S*B-bounded grid tables keyed on
+    the bucket (never a corpus-sized side), over the staged tokenize pass
+    (zero raw documents scans)."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q125_source_divergence"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan, plan
