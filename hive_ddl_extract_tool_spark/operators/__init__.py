@@ -65,6 +65,8 @@ _PRIORITY = [
     "q124_dupgraph_pagerank",
     "q125_source_divergence",
     "q126_dsir_resample",
+    "q127_event_transitions",
+    "q128_incremental_dedup",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -796,6 +796,66 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q127: event-type transition matrix (first-order Markov behavior model)
+# --------------------------------------------------------------------------
+
+def q127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's time-ordered
+    event stream: for every (prev_type, next_type) pair, the transition
+    count, the row-normalized probability in integer ppm, and whether the
+    transition is a self-loop. The behavior model behind next-action
+    prediction and funnel-anomaly detection; the event-stream twin of
+    q92's document bigram LM.
+
+    One user_id exchange carries the lag window (ordering ties break on
+    event_id, so the sequence is deterministic cross-engine); the matrix
+    aggregate is low-cardinality (|types|^2). All outputs are integers --
+    hash-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    marked = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    counts = marked.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = W.partitionBy("prev_type")  # |types| rows -- bounded
+    return (
+        counts.withColumn("row_n", F.sum("n").over(row_tot))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("CAST(n * 1000000 DIV row_n AS BIGINT)").alias("p_ppm"),
+            (F.col("prev_type") == F.col("next_type")).alias("self_loop"),
+        )
+    )
+
+
+ORACLE_Q127 = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n * 1000000 // (sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_ppm,
+       prev_type = next_type AS self_loop
+FROM counts
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -809,6 +869,7 @@ QUERIES = {
     "q89_value_histogram": q89_value_histogram,
     "q108_scd2_merge": q108_scd2_merge,
     "q118_decayed_engagement": q118_decayed_engagement,
+    "q127_event_transitions": q127_event_transitions,
 }
 
 ORACLES = {
@@ -824,4 +885,5 @@ ORACLES = {
     "q89_value_histogram": ORACLE_Q89,
     "q108_scd2_merge": ORACLE_Q108,
     "q118_decayed_engagement": ORACLE_Q118,
+    "q127_event_transitions": ORACLE_Q127,
 }

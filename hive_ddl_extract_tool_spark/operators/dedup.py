@@ -1004,6 +1004,110 @@ FROM pr3 p JOIN deg d ON p.v = d.src
 """
 
 
+# --------------------------------------------------------------------------
+# q128: incremental dedup -- today's ingest batch against the standing index
+# --------------------------------------------------------------------------
+
+ING_SEED = "ingest_v1"   # deterministic batch membership (q36's discipline)
+ING_MOD, ING_BUCKET = 10, 9  # ~10% of docs are "today's batch"
+
+
+def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of LSH dedup: a daily ingest batch deduped
+    against the accumulated corpus index WITHOUT reprocessing the index.
+    Batch membership is a pure hash function of doc_id (q36's no-rand()
+    discipline). A new document is dropped against the INDEX if it
+    near-dups any index doc, else dropped WITHIN the batch if it near-dups
+    an earlier (lower-id) batch doc; the per-source report counts both
+    drop reasons and the kept survivors.
+
+    Derivation rides q42's staged verified pairs -- at scale the daily job
+    computes band signatures for the batch only and joins them against the
+    STORED index signature table (linear in the batch, not the corpus);
+    the resulting pair set is identical, so this query IS that job's
+    accounting. All outputs integer -- hash-exact."""
+
+    def is_new(col: Column) -> Column:
+        return (
+            F.pmod(
+                h60(F.concat(F.lit(f"{ING_SEED}:"), col.cast("string"))),
+                F.lit(ING_MOD),
+            )
+            == ING_BUCKET
+        )
+
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("n"), F.col("doc_b").alias("x")),
+                    F.struct(F.col("doc_b").alias("n"), F.col("doc_a").alias("x")),
+                )
+            ).alias("e")
+        )
+        .select("e.n", "e.x")
+    )
+    flags = (
+        sym.filter(is_new(F.col("n")))
+        .groupBy("n")
+        .agg(
+            F.max(F.when(~is_new(F.col("x")), 1).otherwise(0)).alias("dup_idx"),
+            F.max(
+                F.when(is_new(F.col("x")) & (F.col("x") < F.col("n")), 1).otherwise(0)
+            ).alias("dup_batch"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    batch = docs.filter(is_new(F.col("doc_id")))
+    tagged = batch.join(
+        F.broadcast(flags.withColumnRenamed("n", "doc_id")), "doc_id", "left"
+    ).na.fill(0, ["dup_idx", "dup_batch"])
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("dup_idx").cast("bigint").alias("n_dup_vs_index"),
+        F.sum(F.when((F.col("dup_idx") == 0) & (F.col("dup_batch") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_in_batch"),
+        F.sum(F.when((F.col("dup_idx") == 0) & (F.col("dup_batch") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+_ING_KEY_EXPR = f"'{ING_SEED}:' || CAST({{c}} AS VARCHAR)"  # {c} filled per use
+_IS_NEW_SQL = f"({h60_sql(_ING_KEY_EXPR)} % {ING_MOD}) = {ING_BUCKET}"
+
+ORACLE_Q128 = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
+sym AS (
+  SELECT doc_a AS n, doc_b AS x FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+flags AS (
+  SELECT n,
+         max(CASE WHEN NOT ({_IS_NEW_SQL.format(c="x")}) THEN 1 ELSE 0 END) AS dup_idx,
+         max(CASE WHEN ({_IS_NEW_SQL.format(c="x")}) AND x < n THEN 1 ELSE 0 END) AS dup_batch
+  FROM sym
+  WHERE {_IS_NEW_SQL.format(c="n")}
+  GROUP BY n
+),
+batch AS (
+  SELECT d.doc_id, d.source, coalesce(f.dup_idx, 0) AS dup_idx, coalesce(f.dup_batch, 0) AS dup_batch
+  FROM documents d LEFT JOIN flags f ON d.doc_id = f.n
+  WHERE {_IS_NEW_SQL.format(c="d.doc_id")}
+)
+SELECT source,
+       count(*) AS n_batch,
+       CAST(sum(dup_idx) AS BIGINT) AS n_dup_vs_index,
+       CAST(sum(CASE WHEN dup_idx = 0 AND dup_batch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_batch,
+       CAST(sum(CASE WHEN dup_idx = 0 AND dup_batch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM batch
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1018,6 +1122,7 @@ QUERIES = {
     "q119_edit_distance_verify": q119_edit_distance_verify,
     "q120_window_dedup": q120_window_dedup,
     "q124_dupgraph_pagerank": q124_dupgraph_pagerank,
+    "q128_incremental_dedup": q128_incremental_dedup,
 }
 
 ORACLES = {
@@ -1034,4 +1139,5 @@ ORACLES = {
     "q119_edit_distance_verify": ORACLE_Q119,
     "q120_window_dedup": ORACLE_Q120,
     "q124_dupgraph_pagerank": ORACLE_Q124,
+    "q128_incremental_dedup": ORACLE_Q128,
 }

@@ -280,3 +280,32 @@ def test_cli_contract(spark, ddl_fixtures, tmp_path):
     text = open(out).read()
     assert "CREATE DATABASE IF NOT EXISTS ddl_db2;" in text
     assert "other_t" in text
+
+
+# --------------------------------------------------------------------------
+# Second-dialect DDL round-trip (skip-gated: lakehouse jars not in this image)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt,provider", [("delta", "delta"), ("iceberg", "iceberg")])
+def test_lakehouse_ddl_roundtrip(spark, tmp_path, fmt, provider):
+    """When a lakehouse connector is on the classpath, the extractor's
+    SHOW CREATE TABLE path must round-trip a table created with that
+    provider (second DDL dialect beyond Hive/Spark parquet). Skipped when
+    the jars are absent (this image ships none -- the probe is authoritative,
+    see test_sources.py)."""
+    from hive_ddl_extract_tool_spark.sources.io import optional_format
+
+    if not optional_format(spark, fmt):
+        pytest.skip(f"{fmt} connector not on the classpath")
+    db = f"lh_{fmt}_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        spark.sql(
+            f"CREATE TABLE {db}.t (id BIGINT, v STRING) USING {provider} "
+            f"LOCATION '{tmp_path}/t'"
+        )
+        ddl = spark.sql(f"SHOW CREATE TABLE {db}.t").collect()[0][0]
+        assert provider in ddl.lower()
+        assert "id" in ddl and "v" in ddl
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

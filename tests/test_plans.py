@@ -437,3 +437,16 @@ def test_source_divergence_pair_join_is_bucket_keyed(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
     assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def test_incremental_dedup_rides_staged_pairs(spark, sf_dir):
+    """q128 must read the staged q42 pair set (zero re-banding, zero raw
+    documents re-shingling in its own plan) and broadcast the tiny per-doc
+    flag table into the batch join."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q128_incremental_dedup"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
