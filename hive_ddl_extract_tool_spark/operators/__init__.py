@@ -67,6 +67,9 @@ _PRIORITY = [
     "q126_dsir_resample",
     "q127_event_transitions",
     "q128_incremental_dedup",
+    "q129_point_in_time_join",
+    "q130_canonical_election",
+    "q131_stream_dedup_gate",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

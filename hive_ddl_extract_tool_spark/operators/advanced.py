@@ -797,6 +797,93 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# q129: point-in-time (temporal) join -- leakage-free feature attribution
+# --------------------------------------------------------------------------
+
+# The feature-store correctness primitive: join each fact row to the
+# dimension VERSION that was valid at the fact's own timestamp, never the
+# current one (training-serving skew / label leakage otherwise). Dimension
+# history here is a deterministic SCD-2-style synthesis: every customer has
+# a v1 segment from the epoch; a hash-selected ~1/7 migrate to 'MIGRATED'
+# on a hash-derived day inside the order-date range.
+PIT_MOD = 7                  # 1/7 of customers have a second version
+PIT_BASE_DAY = 9131          # 1995-01-01 as days since epoch
+PIT_DAY_SPAN = 1000          # migration day = base + h60 % span
+
+
+def q129_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-effective-segment order totals under point-in-time semantics:
+    each order joins the customer-segment version valid on its order date.
+
+    Plan shape (q59's as-of machinery generalized to SCD lookups): union-tag
+    snapshots and facts, ONE shuffle on the dimension key, and
+    last(ignorenulls) over the (day, tag)-ordered window carries the
+    in-effect version onto every fact row -- no inequality join, no per-key
+    cross product, whatever the history depth. A snapshot dated the same
+    day as a fact applies to it (tag orders snapshots first). All outputs
+    integer cents/counts -- hash-exact."""
+    from pyspark.sql import Window as W
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mig = F.pmod(h60(F.concat(F.lit("pit:"), F.col("c_custkey").cast("string"))), F.lit(PIT_MOD)) == 0
+    mig_day = PIT_BASE_DAY + F.pmod(
+        h60(F.concat(F.lit("pitday:"), F.col("c_custkey").cast("string"))), F.lit(PIT_DAY_SPAN)
+    )
+    v1 = cust.select(
+        "c_custkey", F.lit(-1).alias("day"), F.lit(0).alias("tag"), F.col("c_mktsegment").alias("seg")
+    )
+    v2 = cust.filter(mig).select(
+        "c_custkey", mig_day.alias("day"), F.lit(0).alias("tag"), F.lit("MIGRATED").alias("seg")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tagged = v1.unionByName(v2).withColumn("cents", F.lit(None).cast("bigint")).unionByName(orders)
+    w = (
+        W.partitionBy("c_custkey")
+        .orderBy("day", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged.withColumn("eff_seg", F.last("seg", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("tag") == 1)
+        .groupBy(F.col("eff_seg").alias("segment_at_order"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("revenue_cents"))
+    )
+
+
+ORACLE_Q129 = f"""
+WITH mig AS (
+  SELECT c_custkey,
+         {PIT_BASE_DAY} + ({h60_sql("'pitday:' || CAST(c_custkey AS VARCHAR)")} % {PIT_DAY_SPAN}) AS mig_day
+  FROM customer
+  WHERE ({h60_sql("'pit:' || CAST(c_custkey AS VARCHAR)")} % {PIT_MOD}) = 0
+),
+o AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+eff AS (
+  SELECT o.c_custkey, o.cents,
+         CASE WHEN m.c_custkey IS NOT NULL AND o.day >= m.mig_day
+              THEN 'MIGRATED' ELSE c.c_mktsegment END AS segment_at_order
+  FROM o
+  JOIN customer c ON o.c_custkey = c.c_custkey
+  LEFT JOIN mig m ON o.c_custkey = m.c_custkey
+)
+SELECT segment_at_order, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM eff
+GROUP BY segment_at_order
+"""
+
+
+# --------------------------------------------------------------------------
 # q127: event-type transition matrix (first-order Markov behavior model)
 # --------------------------------------------------------------------------
 
@@ -870,6 +957,7 @@ QUERIES = {
     "q108_scd2_merge": q108_scd2_merge,
     "q118_decayed_engagement": q118_decayed_engagement,
     "q127_event_transitions": q127_event_transitions,
+    "q129_point_in_time_join": q129_point_in_time_join,
 }
 
 ORACLES = {
@@ -886,4 +974,5 @@ ORACLES = {
     "q108_scd2_merge": ORACLE_Q108,
     "q118_decayed_engagement": ORACLE_Q118,
     "q127_event_transitions": ORACLE_Q127,
+    "q129_point_in_time_join": ORACLE_Q129,
 }

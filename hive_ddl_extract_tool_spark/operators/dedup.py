@@ -1108,6 +1108,61 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q130: authority-based canonical election (q68 clusters x q124 PageRank)
+# --------------------------------------------------------------------------
+
+def q130_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elect each duplicate cluster's canonical document by PageRank
+    authority (max pagerank9, doc_id tie-break) and report where that
+    election disagrees with the naive min-doc_id rule -- the composition
+    that makes q124's authority signal actionable: keep the most-connected
+    center of each near-dup cluster, not an arbitrary id.
+
+    Rides two staged artifacts (connected-component labels, the pair set
+    feeding PageRank) -- zero recompute of banding or star rounds; the
+    join is label-to-score on doc_id, the argmax is a per-cluster window
+    over cluster-sized partitions. All integers + one boolean."""
+    labels = _neardup_labels(spark, sf_dir)
+    pr = q124_dupgraph_pagerank(spark, sf_dir).select("doc_id", "pagerank9")
+    joined = labels.join(pr, "doc_id")
+    w = Window.partitionBy("lbl").orderBy(F.col("pagerank9").desc(), "doc_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("min_id_canonical"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("authority_canonical"),
+            F.max(F.when(F.col("rn") == 1, F.col("pagerank9"))).alias("authority_pr9"),
+        )
+        .withColumn(
+            "election_differs",
+            F.col("authority_canonical") != F.col("min_id_canonical"),
+        )
+    )
+
+
+ORACLE_Q130 = f"""
+WITH RECURSIVE
+{_CC_MAPPED_SQL},
+pr AS (SELECT doc_id, pagerank9 FROM ({ORACLE_Q124})),
+j AS (
+  SELECT m.canonical_id AS cluster_id, m.doc_id, p.pagerank9,
+         row_number() OVER (PARTITION BY m.canonical_id ORDER BY p.pagerank9 DESC, m.doc_id) AS rn
+  FROM mapped m JOIN pr p ON m.doc_id = p.doc_id
+)
+SELECT cluster_id,
+       count(*) AS cluster_size,
+       min(doc_id) AS min_id_canonical,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS authority_canonical,
+       max(CASE WHEN rn = 1 THEN pagerank9 END) AS authority_pr9,
+       max(CASE WHEN rn = 1 THEN doc_id END) <> min(doc_id) AS election_differs
+FROM j
+GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1123,6 +1178,7 @@ QUERIES = {
     "q120_window_dedup": q120_window_dedup,
     "q124_dupgraph_pagerank": q124_dupgraph_pagerank,
     "q128_incremental_dedup": q128_incremental_dedup,
+    "q130_canonical_election": q130_canonical_election,
 }
 
 ORACLES = {
@@ -1140,4 +1196,5 @@ ORACLES = {
     "q120_window_dedup": ORACLE_Q120,
     "q124_dupgraph_pagerank": ORACLE_Q124,
     "q128_incremental_dedup": ORACLE_Q128,
+    "q130_canonical_election": ORACLE_Q130,
 }

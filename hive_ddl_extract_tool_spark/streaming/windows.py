@@ -397,6 +397,149 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --------------------------------------------------------------------------
+# q131: streaming dedup gate -- ingest stream banded against the static index
+# --------------------------------------------------------------------------
+
+def q131_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of incremental dedup (q128's production split):
+    today's ingest documents arrive as a STREAM, each row's MinHash band
+    keys are computed as a PURE PROJECTION (per-row higher-order functions
+    -- no streaming aggregation, no watermark state), and a stream-static
+    equi-join against the standing index's band table flags candidate
+    duplicates in-flight. Exact Jaccard verification stays in the batch
+    layer (q128); this is the gate that keeps obvious dups out of the
+    ingest path at stream speed.
+
+    The per-row HOF signature (array_min over transform) computes exactly
+    the same integers as the batch groupBy-min (same multiset, same hash
+    family), so the drained stream equals the batch band join and the
+    oracle is exact. State: only the final per-doc dropDuplicates --
+    bounded by the batch, not the corpus."""
+    from ..operators._hashing import MINHASH_SEEDS, P31, h60
+    from ..operators.dedup import (
+        ING_BUCKET,
+        ING_MOD,
+        ING_SEED,
+        N_BANDS,
+        _doc_shingles_raw,
+        _minhash_wide,
+        _shingles_from_words,
+        _words,
+    )
+
+    name = "q131_gate_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def is_new(col):
+        return (
+            F.pmod(
+                h60(F.concat(F.lit(f"{ING_SEED}:"), col.cast("string"))),
+                F.lit(ING_MOD),
+            )
+            == ING_BUCKET
+        )
+
+    # Static side: the standing index's band table (batch path, staged
+    # shingle machinery). At scale this is the STORED signature table.
+    idx_wide = _minhash_wide(
+        _doc_shingles_raw(spark, sf_dir).filter(~is_new(F.col("doc_id")))
+    )
+    idx_bands = idx_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"m{2 * b}").alias("ka"),
+                        F.col(f"m{2 * b + 1}").alias("kb"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col("e.band").alias("band"), F.col("e.ka").alias("ka"), F.col("e.kb").alias("kb"))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(is_new(F.col("doc_id")))
+    )
+    sh = F.transform(_shingles_from_words(_words()), lambda s: h60(s) % F.lit(P31))
+    mins = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    sig = stream.select("doc_id", "source", sh.alias("sh")).select(
+        "doc_id", "source", *mins
+    )
+    new_bands = sig.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"m{2 * b}").alias("ka"),
+                        F.col(f"m{2 * b + 1}").alias("kb"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "source", "e.band", "e.ka", "e.kb")
+    flagged = (
+        new_bands.join(idx_bands, ["band", "ka", "kb"])
+        .select("doc_id", "source")
+        .dropDuplicates(["doc_id"])
+    )
+    q = flagged.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _oracle_q131() -> str:
+    from ..operators.dedup import ING_BUCKET, ING_MOD, ING_SEED, _minhash_long_sql
+    from ..operators._hashing import h60_sql
+
+    key = h60_sql(f"'{ING_SEED}:' || CAST(doc_id AS VARCHAR)")
+    is_new = f"({key} % {ING_MOD}) = {ING_BUCKET}"
+    return f"""
+WITH sig AS ({_minhash_long_sql()}),
+bands AS (
+  SELECT doc_id, seed_id // 2 AS band,
+         max(CASE WHEN seed_id % 2 = 0 THEN minh END) AS ka,
+         max(CASE WHEN seed_id % 2 = 1 THEN minh END) AS kb
+  FROM sig GROUP BY 1, 2
+),
+new_b AS (SELECT * FROM bands WHERE {is_new}),
+idx_b AS (SELECT * FROM bands WHERE NOT ({is_new}))
+SELECT DISTINCT n.doc_id, d.source
+FROM new_b n
+JOIN idx_b i ON n.band = i.band AND n.ka = i.ka AND n.kb = i.kb
+JOIN documents d ON n.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -406,6 +549,7 @@ QUERIES = {
     "q70_stream_static_join": q70_stream_static_join,
     "q98_stream_sessionize": q98_stream_sessionize,
     "q107_stream_interval_join": q107_stream_interval_join,
+    "q131_stream_dedup_gate": q131_stream_dedup_gate,
 }
 
 ORACLES = {
@@ -417,4 +561,5 @@ ORACLES = {
     "q70_stream_static_join": ORACLE_Q70,
     "q98_stream_sessionize": ORACLE_Q88,
     "q107_stream_interval_join": ORACLE_Q107,
+    "q131_stream_dedup_gate": _oracle_q131(),
 }

@@ -35,7 +35,7 @@ PYTHON_OK = {
     "q78_udtf_chunk",
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate"}
 
 
 def test_skip_plan_audit_names_exist():
@@ -450,3 +450,24 @@ def test_incremental_dedup_rides_staged_pairs(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_point_in_time_join_is_join_free(spark, sf_dir):
+    """q129's as-of fill must be the union-tag + window shape: ONE exchange
+    on the dimension key and NO join operator anywhere in the plan (an
+    inequality join here would be a per-key cross product)."""
+    plan = formatted_plan(QUERIES["q129_point_in_time_join"](spark, sf_dir))
+    assert "Join" not in plan, f"q129 should be join-free:\n{plan}"
+    assert "Window" in plan, plan
+
+
+def test_canonical_election_rides_staged_artifacts(spark, sf_dir):
+    """q130 must compose the STAGED label and pair artifacts: no raw
+    documents scan, no re-banding, no cartesian in its own plan."""
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    df = QUERIES["q130_canonical_election"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"

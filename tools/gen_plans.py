@@ -150,6 +150,16 @@ SHOW = {
         "exchanges per round over the staged pair set, no driver-side "
         "state, no cartesian."
     ),
+    "q129_point_in_time_join": (
+        "Point-in-time temporal join: union-tag + last(ignorenulls) window "
+        "-- join-FREE plan, one exchange on the dimension key; an "
+        "inequality join here would be a per-key cross product."
+    ),
+    "q130_canonical_election": (
+        "Authority canonical election: staged CC labels join staged "
+        "PageRank scores on doc_id; the argmax is a per-cluster window. "
+        "Zero re-banding, zero raw corpus scans."
+    ),
     "q112_training_manifest": (
         "The end-to-end curation manifest: one linear gate pass, dedup "
         "canonical as a window min over the fingerprint partition, hash "
