@@ -27,18 +27,12 @@ from pyspark.sql import functions as F
 
 from ._cache import cached_df
 from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql
-from .text import WS  # the ONE explicit whitespace class (see text.py)
+from .text import WS, _words  # the ONE tokenizer definition (see text.py)
 from ..tables import load
 SHINGLE_N = 3
 N_HASHES = 16
 N_BANDS = 8  # 2 rows per band
 JACCARD_THRESHOLD = 0.8
-
-
-def _words(col: Column | str = "text") -> Column:
-    if isinstance(col, str):
-        col = F.col(col)
-    return F.filter(F.split(col, WS), lambda x: x != F.lit(""))
 
 
 def _shingles_from_words(w: Column) -> Column:
@@ -247,7 +241,7 @@ def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join (no CSE across subtrees), and it is tiny by construction.
     cand = cached_df(spark, f"q42_cand:{sf_dir}", build_cand)
     # The exact-Jaccard verify only ever touches candidate documents, so
-    # broadcast-semi-filter the shingle table down to them FIRST: the
+    # semi-filter the shingle table down to them FIRST: the
     # (doc_id, sh) exchanges then carry |cand_docs| * ~shingles rows
     # instead of the whole corpus (at 100 TB the difference between a
     # corpus-sized shuffle and a near-dup-sized one).
@@ -256,7 +250,11 @@ def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select("doc_b"))
         .distinct()
     )
-    ds_c = ds.join(F.broadcast(cand_docs), "doc_id", "semi")
+    # No broadcast hint: cand_docs grows with the corpus's near-dup
+    # population, so forcing a driver-side broadcast would OOM on a
+    # dup-heavy crawl; the plain semi-join keeps the row-count reduction
+    # and AQE demotes it to broadcast at runtime whenever it IS small.
+    ds_c = ds.join(cand_docs, "doc_id", "semi")
     sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -850,8 +848,6 @@ def q120_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_docs counts documents long enough to hold a window (>= WINDOW_N
     tokens), the population the ppm speaks for."""
-    from .text import _words
-
     def build_windows() -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         w = docs.select("doc_id", "source", _words(F.lower("text")).alias("w")).filter(
@@ -1060,8 +1056,11 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     batch = docs.filter(is_new(F.col("doc_id")))
+    # Plain join (no broadcast hint): flags grows with the batch's near-dup
+    # count; AQE broadcasts it at runtime when small, and a dup-heavy ingest
+    # day degrades to a shuffle join instead of an executor OOM.
     tagged = batch.join(
-        F.broadcast(flags.withColumnRenamed("n", "doc_id")), "doc_id", "left"
+        flags.withColumnRenamed("n", "doc_id"), "doc_id", "left"
     ).na.fill(0, ["dup_idx", "dup_batch"])
     return tagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batch"),

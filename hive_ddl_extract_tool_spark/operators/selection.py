@@ -427,6 +427,24 @@ DSIR_TARGET = ("src0", "src1", "src2", "src3")    # target-domain proxy
 Q9DS = 10**9  # fixed-point scale shared with retrieval.py's discipline
 
 
+def _dsir_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, source, bucket) tokenize+hash pass -- the ONE corpus
+    scan shared by q122/q126 (per-doc weights) and q125 (per-source bucket
+    histograms). One definition, one cache key: divergence between the
+    consumers is impossible by construction."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            "source",
+            F.explode(_words(F.lower("text"))).alias("tok"),
+        ).select("doc_id", "source", (h60("tok") % F.lit(DSIR_B)).alias("b"))
+
+    return cached_df(spark, f"dsir_toks:{sf_dir}", build)
+
+
 def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_tok, lw9): each document's integer-summed DSIR
     log-likelihood-ratio weight. Shared by q122 (the weight report) and
@@ -438,17 +456,7 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregate. Exactness: both ln arguments are doubles built from
     identical integer inputs, each per-bucket log-ratio is floor-quantized
     to 1e-9 before the integer per-doc sum (q92's discipline)."""
-    from ._cache import cached_df
-
-    def build_toks() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        return docs.select(
-            "doc_id",
-            "source",
-            F.explode(_words(F.lower("text"))).alias("tok"),
-        ).select("doc_id", "source", (h60("tok") % F.lit(DSIR_B)).alias("b"))
-
-    toks = cached_df(spark, f"dsir_toks:{sf_dir}", build_toks)
+    toks = _dsir_toks(spark, sf_dir)
     raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
     tgt = (
         toks.filter(F.col("source").isin(*DSIR_TARGET))
@@ -625,20 +633,14 @@ def q125_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution (p1-p2)*(ln p1 - ln p2) is one float expression over
     identical integer inputs, floor-quantized to 1e-9 before the integer
     pair sum (q92's discipline)."""
-    from ._cache import cached_df
-
-    def build_toks() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        return docs.select(
-            "doc_id",
-            "source",
-            F.explode(_words(F.lower("text"))).alias("tok"),
-        ).select("doc_id", "source", (h60("tok") % F.lit(DSIR_B)).alias("b"))
-
-    toks = cached_df(spark, f"dsir_toks:{sf_dir}", build_toks)
+    toks = _dsir_toks(spark, sf_dir)
     counts = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
-    buckets = counts.select("b").distinct()
+    # Dense 0..B-1 bucket axis (generated, no scan): buckets empty in EVERY
+    # source still carry nonzero smoothed terms whenever two sources have
+    # different token totals -- restricting to observed buckets would
+    # silently under-report the divergence.
+    buckets = spark.range(DSIR_B).select(F.col("id").cast("bigint").alias("b"))
     grid = (
         totals.crossJoin(buckets)
         .join(counts, ["source", "b"], "left")
@@ -674,7 +676,7 @@ WITH tok AS (
 ),
 counts AS (SELECT source, b, count(*) AS c FROM tok GROUP BY 1, 2),
 totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
-buckets AS (SELECT DISTINCT b FROM counts),
+buckets AS (SELECT CAST(range AS BIGINT) AS b FROM range(1024)),
 grid AS (
   SELECT t.source, bk.b, CAST(coalesce(c.c, 0) AS BIGINT) AS c, t.n
   FROM totals t CROSS JOIN buckets bk
@@ -718,9 +720,15 @@ def q126_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, u is an exact dyadic rational, and the key is floor-quantized
     to 1e-9 before ranking (doc_id tie-break)."""
     per = _dsir_per_doc(spark, sf_dir)
-    w = (
+    # greatest(.., 1): the shift makes w positive for any realistic
+    # log-ratio, but a pathological corpus (target vocabulary disjoint from
+    # a source) could push the shifted weight to zero or below -- where the
+    # key flips sign and div-by-zero semantics differ across engines. The
+    # clamp pins the floor of the weight scale instead.
+    w = F.greatest(
         F.floor(F.col("lw9") * F.lit(1.0) / F.col("n_tok")).cast("bigint")
-        + F.lit(ES_SHIFT9).cast("bigint")
+        + F.lit(ES_SHIFT9).cast("bigint"),
+        F.lit(1).cast("bigint"),
     ).alias("w")
     u = (
         (h60(F.concat(F.lit("samp_"), F.col("doc_id").cast("string"))) % F.lit(2**ES_U_BITS))

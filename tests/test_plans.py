@@ -38,6 +38,19 @@ PYTHON_OK = {
 SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate"}
 
 
+def test_priority_names_exist():
+    """Every _PRIORITY entry must name a registered query and appear once:
+    a silent miss (all_queries() skips unknown names) would drop a query
+    from its sweep-priority slot with no failure -- the same drift class
+    the SKIP_PLAN_AUDIT guard below exists for."""
+    from hive_ddl_extract_tool_spark.operators import _PRIORITY
+
+    unknown = set(_PRIORITY) - QUERIES.keys()
+    assert not unknown, f"_PRIORITY names unregistered queries: {unknown}"
+    dupes = {n for n in _PRIORITY if _PRIORITY.count(n) > 1}
+    assert not dupes, f"_PRIORITY lists names twice: {dupes}"
+
+
 def test_skip_plan_audit_names_exist():
     """Every SKIP_PLAN_AUDIT entry must name a registered query, so the set
     cannot silently drift when queries are renamed or removed."""
@@ -405,12 +418,16 @@ def test_dsir_weight_table_is_broadcast(spark, sf_dir):
 
 def test_quality_classifier_weights_broadcast_no_scan(spark, sf_dir):
     """q123's weight table is generated (spark.range), so the plan must
-    show exactly one parquet scan (the corpus) and a broadcast join for
+    show EXACTLY one parquet scan (the corpus) and a broadcast join for
     the 512-row weight side."""
     df = QUERIES["q123_quality_classifier"](spark, sf_dir)
     assert_broadcast_join(df)
     plan = formatted_plan(df)
-    assert plan.count(".parquet") <= 1 or "documents.parquet" in plan, plan
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, f"expected exactly one parquet scan:\n{plan}"
+    assert "documents.parquet" in plan, plan
 
 
 def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
