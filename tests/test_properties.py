@@ -192,3 +192,32 @@ def test_punct_class_spark_duckdb_agree_on_hostile_whitespace(spark):
     ]
     con.close()
     assert got == want
+
+
+def test_tokenizer_spark_duckdb_agree_on_real_corpus(spark, sf_dir):
+    """Beyond the synthetic hostile strings: the shared tokenizer must
+    produce identical token LISTS per document over the actual fixture
+    corpus -- the direct evidence that every tokenizing oracle compares
+    like with like on this data drop."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.text import _words
+
+    got = {
+        r["doc_id"]: r["w"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", _words(F.lower("text")).alias("w"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+            " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') FROM"
+            f" '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
