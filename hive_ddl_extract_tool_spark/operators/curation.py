@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._hashing import h60, h60_sql
-from .text import NON_ALNUM, WS, _marker_regex, _words
+from .text import (LOWER_WORDS_SQL, NON_ALNUM, WS, _marker_count,
+                   _marker_count_sql, _quality_score, _quality_score_sql, _words)
 from ..tables import load
 
 # --------------------------------------------------------------------------
@@ -105,15 +106,17 @@ def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").cast("bigint").alias("nw"),
         F.size(F.array_distinct("w")).cast("bigint").alias("nd"),
         F.regexp_count("text", F.lit(NON_ALNUM)).cast("double").alias("n_punct"),
-        F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double").alias("n_stop"),
+        _marker_count("en", F.col("w")).cast("double").alias("n_stop"),
         F.length("text").cast("double").alias("n_chars"),
         h60(norm).alias("fp"),
     )
     nwd = F.col("nw").cast("double")
-    score = (
-        F.least(nwd / 50.0, F.lit(1.0)) * 0.4
-        + F.least((F.col("n_stop") / nwd) * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least((F.col("n_punct") / F.col("n_chars")) * 10.0, F.lit(1.0))) * 0.3
+    # Guarded: nw >= MIN_WORDS (>0) implies text is non-empty, so inside g2
+    # both denominators are positive; the WHEN makes that explicit instead
+    # of relying on conjunction short-circuiting under ANSI.
+    score = F.when(
+        (F.col("nw") > 0) & (F.col("n_chars") > 0),
+        _quality_score(nwd, F.col("n_stop"), F.col("n_punct"), F.col("n_chars")),
     )
     g1 = F.col("nw") >= MIN_WORDS
     g2 = g1 & (score >= QUALITY_MIN)
@@ -158,16 +161,14 @@ _GATED_SQL = f"""per AS (
          CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS nw,
          CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS BIGINT) AS nd,
          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_punct,
-         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE) AS n_stop,
+         CAST({_marker_count_sql("en", LOWER_WORDS_SQL)} AS DOUBLE) AS n_stop,
          CAST(length(text) AS DOUBLE) AS n_chars,
          {_NORM_FP_SQL} AS fp
   FROM documents
 ),
 s AS (
   SELECT *,
-         least(CAST(nw AS DOUBLE) / 50.0, 1.0) * 0.4
-           + least((n_stop / CAST(nw AS DOUBLE)) * 5.0, 1.0) * 0.3
-           + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.3 AS score
+         CASE WHEN nw > 0 AND n_chars > 0 THEN {_quality_score_sql('CAST(nw AS DOUBLE)', 'n_stop', 'n_punct', 'n_chars')} END AS score
   FROM per
 ),
 gated AS (

@@ -62,7 +62,11 @@ def q56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_above_avg"),
-            mround(F.sum("value"), 2).alias("sum_above"),
+            # sum the EXACT cents (order-free int64), divide once: a raw
+            # double sum accumulates in partition order and can land a
+            # group total within an ulp of a .xx5 boundary differently per
+            # engine; cents/100.0 is at most 2dp, so the round is tie-free.
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_above"),
         )
     )
 
@@ -75,8 +79,8 @@ dim AS (
   SELECT event_type AS et, sum(cents) AS sum_cents, count(*) AS cnt FROM e GROUP BY 1
 )
 SELECT event_type,
-       count(*)                        AS n_above_avg,
-       round(1.37e-6 + sum(value), 2)  AS sum_above
+       count(*)                          AS n_above_avg,
+       round(sum(cents) / 100.0, 2)      AS sum_above
 FROM e JOIN dim ON event_type = et
 WHERE cents * cnt > sum_cents
 GROUP BY event_type
@@ -98,10 +102,18 @@ def q58_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"q58_bucketed_{sf_tag}")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # Exact integer revenue in 1e-4-dollar units: price is 2dp and discount
+    # is 2dp, so cents * (100 - discount_pct) is an exact int64 -- the
+    # cross-order sum is order-free, where a raw double sum accumulates in
+    # partition order and can flip a .xx5 rounding boundary per engine.
+    rev4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     li_rev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(F.sum(rev4).alias("rev4"))
     )
     write_bucketed(orders, "q58_orders_b", ["o_orderkey"], n_buckets=8,
                    sort_cols=["o_orderkey"], path=f"{base}/orders")
@@ -114,19 +126,21 @@ def q58_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            mround(F.sum("rev"), 2).alias("revenue"),
+            mround(F.sum("rev4") / 10000.0, 2).alias("revenue"),
         )
     )
 
 
 ORACLE_Q58 = """
 WITH li AS (
-  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
   FROM lineitem GROUP BY 1
 )
 SELECT o_orderstatus,
-       count(*)                      AS n_orders,
-       round(1.37e-6 + sum(rev), 2)  AS revenue
+       count(*)                                  AS n_orders,
+       round(1.37e-6 + sum(rev4) / 10000.0, 2)   AS revenue
 FROM orders JOIN li ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
 """

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._hashing import h60, h60_sql
-from .text import LANG_MARKERS, NON_ALNUM, SPLIT_SEED, _marker_regex, _words
+from .text import (LANG_MARKERS, LOWER_WORDS_SQL, NON_ALNUM, SPLIT_SEED,
+                   _marker_count, _marker_count_sql, _quality_score,
+                   _quality_score_sql, _words)
 from ..tables import load
 
 _WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
@@ -194,11 +196,14 @@ def q102_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
         nwd = F.size("w").cast("double")
         n_punct = F.regexp_count("text", F.lit(NON_ALNUM)).cast("double")
-        n_stop = F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double")
-        score = (
-            F.least(nwd / 50.0, F.lit(1.0)) * 0.4
-            + F.least((n_stop / nwd) * 5.0, F.lit(1.0)) * 0.3
-            + (1.0 - F.least((n_punct / F.length("text").cast("double")) * 10.0, F.lit(1.0))) * 0.3
+        n_stop = _marker_count("en", F.col("w")).cast("double")
+        n_chars = F.length("text").cast("double")
+        # Shared q34 score tree (text._quality_score), denominator-guarded:
+        # a zero-word doc gets NULL score -> NULL bucket -> excluded from
+        # the histogram join identically on both engines.
+        score = F.when(
+            (nwd > 0) & (n_chars > 0),
+            _quality_score(nwd, n_stop, n_punct, n_chars),
         )
         return w.select(
             "doc_id",
@@ -230,6 +235,13 @@ def q102_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q102_SCORE_SQL = _quality_score_sql(
+    "CAST(len(w) AS DOUBLE)",
+    f"CAST({_marker_count_sql('en', 'w')} AS DOUBLE)",
+    "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE)",
+    "CAST(length(text) AS DOUBLE)",
+)
+
 ORACLE_Q102 = f"""
 WITH w AS (
   SELECT doc_id, source, text, {_WORDS_SQL} AS w FROM documents
@@ -237,12 +249,7 @@ WITH w AS (
 per AS (
   SELECT doc_id, source,
          CAST(len(w) AS BIGINT) AS n_tok,
-         CAST(floor((
-             least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.4
-           + least((CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
-                    / CAST(len(w) AS DOUBLE)) * 5.0, 1.0) * 0.3
-           + (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.3
+         CAST(floor((CASE WHEN len(w) > 0 AND length(text) > 0 THEN {_Q102_SCORE_SQL} END
          ) * {QB_SCALE}) AS BIGINT) AS qb
   FROM w
 ),

@@ -49,8 +49,57 @@ def _words(col: Column | str = "text") -> Column:
     return F.filter(F.split(col, WS), lambda x: x != F.lit(""))
 
 
-def _marker_regex(lang: str) -> str:
-    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+def _marker_count(lang: str, words: Column) -> Column:
+    """Occurrences of lang's marker TOKENS in a lowered word array.
+
+    Token membership, not a \\b regex: Java's word boundary is
+    Unicode-aware while DuckDB/RE2's is ASCII-only, so \\b counts diverge
+    the moment a marker word abuts a non-ASCII letter ('leña' contains
+    \\ble\\b to RE2 but not to Java). Equality over the shared
+    whitespace-split tokens is engine-neutral by construction."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(words, lambda x: x.isin(*markers)))
+
+
+def _marker_count_sql(lang: str, words_expr: str) -> str:
+    """DuckDB twin of _marker_count over a words-array SQL expression."""
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({words_expr}, x -> x IN ({lst})))"
+
+
+# KNOWN cross-engine limitation (documented, not fixed): lower() itself
+# diverges on locale-special codepoints -- Spark lowercases U+0130 'İ' to
+# 'i'+U+0307 (two codepoints) while DuckDB yields plain 'i'. Every
+# fingerprint/token built from lower(text) would differ on text containing
+# such characters. The driver's synthetic corpus is ASCII; a Unicode-robust
+# normalization (strip combining marks after lowering, on BOTH engines)
+# is the round-6 path if a non-ASCII drop ever appears.
+
+# Words of the LOWERED text -- the array the marker counts run over.
+LOWER_WORDS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+)
+
+
+def _quality_score(nw_d: Column, n_stop: Column, n_punct: Column, n_chars: Column) -> Column:
+    """The ONE q34 quality-score expression tree (shared by q34, curation's
+    gate 2, and selection's q102 bucket score -- four call sites, one
+    definition, so the cross-engine exactness argument cannot drift).
+    Caller guarantees nw_d > 0 and n_chars > 0 (guard with F.when)."""
+    return (
+        F.least(nw_d / 50.0, F.lit(1.0)) * 0.4
+        + F.least((n_stop / nw_d) * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least((n_punct / n_chars) * 10.0, F.lit(1.0))) * 0.3
+    )
+
+
+def _quality_score_sql(nw: str, n_stop: str, n_punct: str, n_chars: str) -> str:
+    """DuckDB twin of _quality_score, same term order."""
+    return (
+        f"least({nw} / 50.0, 1.0) * 0.4"
+        f" + least(({n_stop} / {nw}) * 5.0, 1.0) * 0.3"
+        f" + (1.0 - least(({n_punct} / {n_chars}) * 10.0, 1.0)) * 0.3"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -118,9 +167,11 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-TOKEN scores (see _marker_count: \\b regex boundaries diverge
+    cross-engine on non-ASCII neighbors), deterministic argmax."""
     docs = load(spark, sf_dir, "documents")
-    lowered = F.lower(F.col("text"))
-    scores = {lang: F.regexp_count(lowered, F.lit(_marker_regex(lang))) for lang in LANG_MARKERS}
+    w = docs.select("lang", _words(F.lower("text")).alias("lw"))
+    scores = {lang: _marker_count(lang, F.col("lw")) for lang in LANG_MARKERS}
     # deterministic argmax: first language (in fixed order) with maximal score;
     # all-zero scores -> 'unknown'
     langs = list(LANG_MARKERS)
@@ -128,16 +179,13 @@ def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     guess = F.when(best == 0, "unknown")
     for lang in langs:
         guess = guess.when(scores[lang] == best, lang)
-    scored = docs.select("lang", guess.alias("guess"))
+    scored = w.select("lang", guess.alias("guess"))
     return scored.groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def _langid_guess_sql() -> str:
     langs = list(LANG_MARKERS)
-    score = {
-        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(LANG_MARKERS[lang])})\\b'))"
-        for lang in langs
-    }
+    score = {lang: _marker_count_sql(lang, "lw") for lang in langs}
     best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
     whens = "\n         ".join(
         f"WHEN {score[lang]} = best THEN '{lang}'" for lang in langs
@@ -147,7 +195,8 @@ def _langid_guess_sql() -> str:
          CASE WHEN best = 0 THEN 'unknown'
          {whens}
          END AS guess
-  FROM (SELECT lang, text, {best} AS best FROM documents)
+  FROM (SELECT lang, lw, {best} AS best
+        FROM (SELECT lang, {LOWER_WORDS_SQL} AS lw FROM documents))
 """
 
 
@@ -180,57 +229,66 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def q34_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + the toy keep score.
+
+    Divergence-proofing (round-5 hardening): stopwords are counted by
+    token membership (_marker_count -- \\b diverges cross-engine on
+    non-ASCII neighbors); every ratio guards its denominator with an
+    explicit WHEN (a zero-word doc yields NULL on BOTH engines instead of
+    an ANSI abort vs engine-version-dependent NULL/inf); and the ratio
+    outputs round through mround (quotients of small integers land on
+    exact decimal ties where Spark and DuckDB round differently)."""
     docs = load(spark, sf_dir, "documents")
     words = _words()
     n_words = F.size(words).cast("double")
     n_chars_c = F.length("text").cast("double")
     n_punct = F.regexp_count("text", F.lit(NON_ALNUM)).cast("double")
-    n_stop = F.regexp_count(F.lower("text"), F.lit(_marker_regex("en"))).cast("double")
-    avg_wlen = F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words
-    punct_ratio = n_punct / n_chars_c
-    stop_ratio = n_stop / n_words
-    # toy quality score: long enough, some stopwords, not punctuation soup
-    score = (
-        F.least(n_words / 50.0, F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+    n_stop = _marker_count("en", _words(F.lower("text"))).cast("double")
+    avg_wlen = F.when(
+        n_words > 0, F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words
+    )
+    punct_ratio = F.when(n_chars_c > 0, n_punct / n_chars_c)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words)
+    score = F.when(
+        (n_words > 0) & (n_chars_c > 0),
+        _quality_score(n_words, n_stop, n_punct, n_chars_c),
     )
     return docs.select(
         "doc_id",
-        F.round(avg_wlen, 6).alias("avg_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+        mround(avg_wlen, 6).alias("avg_word_len"),
+        mround(punct_ratio, 6).alias("punct_ratio"),
+        mround(stop_ratio, 6).alias("stopword_ratio"),
+        mround(score, 6).alias("quality"),
         (score >= 0.5).alias("keep"),
     )
 
 
-ORACLE_Q34 = """
+ORACLE_Q34 = f"""
 WITH d AS (
   SELECT doc_id, text,
          CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS DOUBLE)  AS n_words,
          CAST(length(text) AS DOUBLE)                                                          AS n_chars_c,
          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE)                      AS n_punct,
-         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b')) AS DOUBLE)       AS n_stop,
-         list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
-                                 w -> CAST(length(w) AS DOUBLE)))                              AS sum_wlen
+         CAST({_marker_count_sql("en", LOWER_WORDS_SQL)} AS DOUBLE)                            AS n_stop,
+         coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
+                                 w -> CAST(length(w) AS DOUBLE))), 0.0)                        AS sum_wlen
   FROM documents
 ), s AS (
   SELECT doc_id,
-         sum_wlen / n_words  AS avg_word_len,
-         n_punct / n_chars_c AS punct_ratio,
-         n_stop / n_words    AS stop_ratio,
-         least(n_words / 50.0, 1.0) * 0.4
-           + least((n_stop / n_words) * 5.0, 1.0) * 0.3
-           + (1.0 - least((n_punct / n_chars_c) * 10.0, 1.0)) * 0.3 AS score
+         CASE WHEN n_words > 0 THEN sum_wlen / n_words END  AS avg_word_len,
+         CASE WHEN n_chars_c > 0 THEN n_punct / n_chars_c END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN n_stop / n_words END    AS stop_ratio,
+         CASE WHEN n_words > 0 AND n_chars_c > 0 THEN
+           {_quality_score_sql("n_words", "n_stop", "n_punct", "n_chars_c")}
+         END AS score
   FROM d
 )
 SELECT doc_id,
-       round(avg_word_len, 6) AS avg_word_len,
-       round(punct_ratio, 6)  AS punct_ratio,
-       round(stop_ratio, 6)   AS stopword_ratio,
-       round(score, 6)        AS quality,
-       score >= 0.5           AS keep
+       round(1.37e-6 + avg_word_len, 6) AS avg_word_len,
+       round(1.37e-6 + punct_ratio, 6)  AS punct_ratio,
+       round(1.37e-6 + stop_ratio, 6)   AS stopword_ratio,
+       round(1.37e-6 + score, 6)        AS quality,
+       score >= 0.5                     AS keep
 FROM s
 """
 
@@ -371,8 +429,14 @@ def q71_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.join(top, "doc_id", "left").select(
         "doc_id",
-        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6).alias("distinct_word_ratio"),
-        F.round(
+        mround(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_distinct").cast("double") / F.col("n_words"),
+            ),
+            6,
+        ).alias("distinct_word_ratio"),
+        mround(
             F.coalesce(F.col("top_c").cast("double") / F.col("total"), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
     )
@@ -391,8 +455,8 @@ bg AS (
 cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
 top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM cnt GROUP BY 1)
 SELECT s.doc_id,
-       round(CAST(n_distinct AS DOUBLE) / n_words, 6)              AS distinct_word_ratio,
-       round(coalesce(CAST(top_c AS DOUBLE) / total, 0.0), 6)      AS top_bigram_frac
+       round(1.37e-6 + CASE WHEN n_words > 0 THEN CAST(n_distinct AS DOUBLE) / n_words END, 6) AS distinct_word_ratio,
+       round(1.37e-6 + coalesce(CAST(top_c AS DOUBLE) / total, 0.0), 6)                        AS top_bigram_frac
 FROM stats s LEFT JOIN top t USING (doc_id)
 """
 
@@ -660,13 +724,17 @@ def q113_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxy = kd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     cxx = kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     cyy = kd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    slope = cxy / cxx
-    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / kd / Q6
+    # Degenerate-moment guards: cxx = 0 (single distinct token) or cyy = 0
+    # (all top-K counts equal) must yield NULL on BOTH engines, not an ANSI
+    # abort vs an engine-version-dependent NULL/inf.
+    slope = F.when(cxx != 0, cxy / cxx)
+    intercept = F.when(cxx != 0, (F.col("sy").cast("double") - slope * F.col("sx")) / kd / Q6)
+    r2 = F.when((cxx != 0) & (cyy != 0), cxy * cxy / (cxx * cyy))
     return m.select(
         F.col("k").cast("int").alias("n_points"),
         F.round(slope, 4).alias("zipf_slope"),
         F.round(intercept, 4).alias("zipf_intercept"),
-        F.round(cxy * cxy / (cxx * cyy), 4).alias("r2"),
+        F.round(r2, 4).alias("r2"),
     )
 
 
@@ -693,10 +761,13 @@ m AS (
   FROM q
 )
 SELECT CAST(k AS INT) AS n_points,
-       round((k * sxy - CAST(sx AS DOUBLE) * sy) / (k * sxx - CAST(sx AS DOUBLE) * sx), 4) AS zipf_slope,
-       round((CAST(sy AS DOUBLE) - ((k * sxy - CAST(sx AS DOUBLE) * sy) / (k * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / k / {Q6}, 4) AS zipf_intercept,
-       round((k * sxy - CAST(sx AS DOUBLE) * sy) * (k * sxy - CAST(sx AS DOUBLE) * sy)
-             / ((k * sxx - CAST(sx AS DOUBLE) * sx) * (k * syy - CAST(sy AS DOUBLE) * sy)), 4) AS r2
+       round(CASE WHEN (k * sxx - CAST(sx AS DOUBLE) * sx) <> 0 THEN
+         (k * sxy - CAST(sx AS DOUBLE) * sy) / (k * sxx - CAST(sx AS DOUBLE) * sx) END, 4) AS zipf_slope,
+       round(CASE WHEN (k * sxx - CAST(sx AS DOUBLE) * sx) <> 0 THEN
+         (CAST(sy AS DOUBLE) - ((k * sxy - CAST(sx AS DOUBLE) * sy) / (k * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / k / {Q6} END, 4) AS zipf_intercept,
+       round(CASE WHEN (k * sxx - CAST(sx AS DOUBLE) * sx) <> 0 AND (k * syy - CAST(sy AS DOUBLE) * sy) <> 0 THEN
+         (k * sxy - CAST(sx AS DOUBLE) * sy) * (k * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((k * sxx - CAST(sx AS DOUBLE) * sx) * (k * syy - CAST(sy AS DOUBLE) * sy)) END, 4) AS r2
 FROM m
 """
 

@@ -31,10 +31,17 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 def _ensure_session_defaults(spark: SparkSession) -> None:
     """Pin the runtime confs correctness depends on, regardless of who built
     the session (the external driver uses its own). UTC keeps timestamp
-    parsing/formatting aligned with the DuckDB oracle (naive-UTC semantics);
-    both are plain runtime confs, safe to set mid-session."""
+    parsing/formatting aligned with the DuckDB oracle (naive-UTC semantics).
+    ANSI mode is pinned OFF: Spark 4 defaults it on, where x/0 ABORTS the
+    job while DuckDB returns NULL -- a whitespace-only document in a future
+    data drop would crash every ratio query instead of producing the
+    oracle's NULL row. (The flagged queries also guard their denominators
+    explicitly; the pin is defense-in-depth for any unguarded division.)
+    Both are plain runtime confs, safe to set mid-session."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.ansi.enabled") != "false":
+        spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

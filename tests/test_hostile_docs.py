@@ -1,0 +1,96 @@
+"""Hostile-document regression tests for the round-5 divergence hardening.
+
+The driver's data drop rotates per round; these tests freeze the document
+shapes that USED to crash or diverge -- empty text, whitespace-only text
+(zero words under ANSI division), single-token and all-counts-equal corpora
+(degenerate Zipf moments) -- and assert Spark and DuckDB produce the
+identical canonicalized result on each affected query.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
+
+from .parity import _canon_rows
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def _write_docs(path, texts):
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([f"s{i % 2}" for i in range(n)], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+
+
+def _assert_parity(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, str(sf_dir))
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        rel = con.sql(ORACLES[name])
+        ocols, orows = list(rel.columns), rel.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
+        f"{name}: value mismatch on hostile docs\nspark={srows}\noracle={orows}"
+    )
+
+
+HOSTILE_TEXTS = [
+    "",                       # empty: n_chars = 0, n_words = 0
+    "  \t\n \x0b ",           # whitespace-only: n_words = 0, n_chars > 0
+    "the the the and of",     # marker-heavy
+    "a b",                    # below every length gate
+    "zz " * 30,               # repetitive, clears the length gate
+]
+
+AFFECTED = [
+    "q30_text_stats",
+    "q31_token_count",
+    "q32_langid",
+    "q33_fingerprint",
+    "q34_quality_score",
+    "q71_repetition_metrics",
+    "q95_curation_report",
+    "q100_gopher_rules",
+    "q113_zipf_fit",
+]
+
+
+@pytest.mark.parametrize("name", AFFECTED)
+def test_hostile_documents_cross_engine(spark, tmp_path, name):
+    _write_docs(tmp_path, HOSTILE_TEXTS)
+    _assert_parity(spark, tmp_path, name)
+
+
+def test_zipf_degenerate_moments_cross_engine(spark, tmp_path):
+    """All token counts equal -> cyy = 0 -> r2 is NULL on both engines
+    (was: ANSI abort on Spark vs NULL/inf on DuckDB)."""
+    _write_docs(tmp_path, ["alpha beta gamma"])
+    _assert_parity(spark, tmp_path, "q113_zipf_fit")
+
+
+def test_zipf_single_token_cross_engine(spark, tmp_path):
+    """One distinct token -> k = 1 -> cxx = 0 -> slope/intercept/r2 NULL."""
+    _write_docs(tmp_path, ["solo"])
+    _assert_parity(spark, tmp_path, "q113_zipf_fit")
