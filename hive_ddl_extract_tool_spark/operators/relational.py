@@ -31,36 +31,58 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is a partial (map-side) + final hash agg on 2 low-cardinality
     keys -- the shuffle moves only #groups * #partitions rows at any SF."""
     li = load(spark, sf_dir, "lineitem")
+    # Exact-integer money discipline: quantities/prices are 2dp-quantized
+    # and discount/tax are 2dp rates, so every sum accumulates exact
+    # integers (cents, cents*pct = 1e-4 units, cents*pct*pct = 1e-6 units)
+    # -- order-free where a raw double sum accumulates in partition order
+    # and can flip a .xx5 rounding boundary per engine/partitioning. Sums
+    # run in decimal(30,0) so a 100 TB group cannot overflow int64; the
+    # exact total converts to double ONCE before the rounded division.
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_p = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_p = F.round(F.col("l_tax") * 100).cast("bigint")
+    dec = "decimal(30,0)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            mround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            mround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            mround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(qty_c.cast(dec)).cast("double") / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(ep_c.cast(dec)).cast("double") / 100.0, 2).alias("sum_base_price"),
             mround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+                F.sum((ep_c * (100 - disc_p)).cast(dec)).cast("double") / 10000.0, 2
+            ).alias("sum_disc_price"),
+            mround(
+                F.sum((ep_c * (100 - disc_p) * (100 + tax_p)).cast(dec)).cast("double") / 1000000.0, 2
             ).alias("sum_charge"),
-            mround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            mround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            mround(F.avg("l_discount"), 4).alias("avg_disc"),
+            mround(F.sum(qty_c.cast(dec)).cast("double") / 100.0 / F.count(F.lit(1)), 4).alias("avg_qty"),
+            mround(F.sum(ep_c.cast(dec)).cast("double") / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
+            mround(F.sum(disc_p.cast(dec)).cast("double") / 100.0 / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
 ORACLE_Q01 = """
+WITH e AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS disc_p,
+         CAST(round(l_tax * 100) AS BIGINT)           AS tax_p
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+)
 SELECT l_returnflag, l_linestatus,
-       round(1.37e-6 + sum(l_quantity), 2)                                            AS sum_qty,
-       round(1.37e-6 + sum(l_extendedprice), 2)                                       AS sum_base_price,
-       round(1.37e-6 + sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-       round(1.37e-6 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       round(1.37e-6 + avg(l_quantity), 4)                                            AS avg_qty,
-       round(1.37e-6 + avg(l_extendedprice), 4)                                       AS avg_price,
-       round(1.37e-6 + avg(l_discount), 4)                                            AS avg_disc,
-       count(*)                                                             AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+       round(CAST(sum(qty_c) AS DOUBLE) / 100.0, 2)                                     AS sum_qty,
+       round(CAST(sum(ep_c) AS DOUBLE) / 100.0, 2)                                      AS sum_base_price,
+       round(1.37e-6 + CAST(sum(ep_c * (100 - disc_p)) AS DOUBLE) / 10000.0, 2)         AS sum_disc_price,
+       round(1.37e-6 + CAST(sum(ep_c * (100 - disc_p) * (100 + tax_p)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+       round(1.37e-6 + CAST(sum(qty_c) AS DOUBLE) / 100.0 / count(*), 4)                AS avg_qty,
+       round(1.37e-6 + CAST(sum(ep_c) AS DOUBLE) / 100.0 / count(*), 4)                 AS avg_price,
+       round(1.37e-6 + CAST(sum(disc_p) AS DOUBLE) / 100.0 / count(*), 4)               AS avg_disc,
+       count(*)                                                                         AS count_order
+FROM e
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -89,7 +111,17 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
         .groupBy("r_name", "n_name")
         .agg(
-            mround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # exact 1e-4-dollar integers (see q01's money discipline)
+            mround(
+                F.sum(
+                    (
+                        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+                    ).cast("decimal(30,0)")
+                ).cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -97,7 +129,8 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q02 = """
 SELECT r_name, n_name,
-       round(1.37e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(1.37e-6 + CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
        count(*)                                          AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
