@@ -45,8 +45,14 @@ BIAS = 0.1
 def q53_sql_ml_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     w = F.array(*[F.lit(v) for v in WEIGHTS])
+    # NULL products (a short or NULL-holed embedding zip_with-pads NULLs)
+    # are dropped before the fold, matching the oracle's list_sum skip
+    # semantics instead of poisoning the whole dot product to NULL.
     z = F.aggregate(
-        F.zip_with("embedding", w, lambda x, wi: x.cast("double") * wi),
+        F.filter(
+            F.zip_with("embedding", w, lambda x, wi: x.cast("double") * wi),
+            lambda x: x.isNotNull(),
+        ),
         F.lit(float(BIAS)),
         lambda acc, x: acc + x,
     )
@@ -298,7 +304,7 @@ filled AS (
          last_value(view_id IGNORE NULLS) OVER w AS prior_view,
          last_value(view_ts IGNORE NULLS) OVER w AS prior_view_ts
   FROM rel
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id AS click_id, prior_view AS view_id,
@@ -479,7 +485,7 @@ per_bucket AS (
          count(*) AS n_events,
          max(CASE WHEN rn = 1 THEN value END) AS last_value
   FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
-                                     ORDER BY ts DESC, event_id DESC) AS rn
+                                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         FROM b)
   GROUP BY user_id, bucket
 ),
@@ -507,7 +513,11 @@ MIN_N = 5    # minimum observations before scoring
 
 
 def q80_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-monitor shape in batch: z-score each event's value against
+    """
+    # Magnitude bound: the windowed sum of cents^2 stays in int64 up to
+    # |value| ~ 6.9e6 per 20-row window (generator values are ~1e3);
+    # past that, promote the squares to decimal(30,0) (the q01 discipline)
+    # before DuckDB's HUGEINT and Spark's bigint diverge on overflow.Streaming-monitor shape in batch: z-score each event's value against
     its user's trailing 20 observations, flag |z| > 3. The moving mean/std
     come from integer moments (values are 2dp-quantized -> exact cents):
     integer window sums stay EXACT even under the subtract-on-slide
@@ -874,7 +884,10 @@ eff AS (
          CASE WHEN m.c_custkey IS NOT NULL AND o.day >= m.mig_day
               THEN 'MIGRATED' ELSE c.c_mktsegment END AS segment_at_order
   FROM o
-  JOIN customer c ON o.c_custkey = c.c_custkey
+  -- LEFT: an order whose custkey has no customer row keeps a NULL segment
+  -- group, matching the window implementation (which simply finds no
+  -- snapshot rows in that partition) instead of silently dropping the row.
+  LEFT JOIN customer c ON o.c_custkey = c.c_custkey
   LEFT JOIN mig m ON o.c_custkey = m.c_custkey
 )
 SELECT segment_at_order, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS revenue_cents

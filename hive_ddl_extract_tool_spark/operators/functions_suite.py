@@ -87,13 +87,27 @@ def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Guards mirror Spark's lenient JSON semantics exactly: json_valid gates
+# every extraction (DuckDB's json functions THROW on malformed input where
+# Spark returns NULL); trunc(TRY_CAST(.. AS DOUBLE)) reproduces Spark's
+# string->int cast (truncating, '1.5' -> 1, 'abc' -> NULL) where DuckDB's
+# direct string cast rounds or aborts; the typed k2 path requires an
+# integer-typed JSON number, matching from_json's strict BIGINT field.
 ORACLE_Q21 = """
+WITH p AS (
+  SELECT event_type, value,
+         CASE WHEN json_valid(props)
+              THEN CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INT) END AS k,
+         CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k2
+  FROM events
+)
 SELECT event_type,
-       CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
-       count(*)                                                         AS n,
-       round(1.37e-6 + sum(value), 2)                                             AS sum_value,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-FROM events
+       CAST(k % 10 AS INT)             AS k_bucket,
+       count(*)                        AS n,
+       round(1.37e-6 + sum(value), 2)  AS sum_value,
+       CAST(max(k2) AS INT)            AS max_k
+FROM p
 GROUP BY 1, 2
 """
 
@@ -139,15 +153,25 @@ WITH feed AS (
   FROM documents
 ),
 v AS (
+  -- ok mirrors from_json's TYPED parse: valid JSON whose $.id is an
+  -- integer-typed number (a string "7" or a float 1.5 is NOT a BIGINT to
+  -- Spark's parser); nested CASE keeps json_type off malformed input,
+  -- and the len term TRY-casts so hostile payloads cannot abort the
+  -- oracle of the query whose purpose is surviving malformed input.
   SELECT source, payload,
-         json_extract_string(TRY_CAST(payload AS JSON), '$.id') IS NOT NULL AS ok
+         coalesce(CASE WHEN json_valid(payload)
+                       THEN json_type(payload, '$.id') IN ('BIGINT', 'UBIGINT') END,
+                  FALSE) AS ok
   FROM feed
 )
 SELECT source,
        count(*)                                                      AS n_rows,
        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)           AS n_valid,
        CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)           AS n_quarantined,
-       CAST(sum(CASE WHEN ok THEN CAST(json_extract_string(payload, '$.len') AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_parsed_len
+       CAST(sum(CASE WHEN ok THEN
+             (CASE WHEN json_type(payload, '$.len') IN ('BIGINT', 'UBIGINT')
+                   THEN TRY_CAST(json_extract_string(payload, '$.len') AS BIGINT) END)
+             ELSE 0 END) AS BIGINT) AS sum_parsed_len
 FROM v
 GROUP BY source
 """
@@ -164,7 +188,14 @@ def q22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding)."""
     emb = load(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    sumsq = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    # The fold runs over the NULL-FILTERED array: Spark's aggregate turns
+    # acc + NULL into NULL while DuckDB's list_sum skips NULLs -- filtering
+    # inside the fold only (positional ops like element_at keep the raw
+    # array) gives both engines skip semantics. The empty-array case is the
+    # oracle's coalesce(.., 0.0) (list_sum([]) is NULL, the 0.0 seed is not).
+    sumsq = F.aggregate(
+        F.filter(dbl, lambda x: x.isNotNull()), F.lit(0.0), lambda acc, x: acc + x * x
+    )
     return emb.select(
         "vec_id",
         "label",
@@ -181,8 +212,8 @@ ORACLE_Q22 = """
 SELECT vec_id, label,
        CAST(len(embedding) AS INT)                                                     AS dim,
        round(CAST(embedding[1] AS DOUBLE), 6)                                          AS first_val,
-       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
-       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0), 6) AS sum_sq,
+       round(sqrt(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 6) AS l2_norm,
        round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)           AS max_val,
        CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS INT) AS n_positive
 FROM embeddings

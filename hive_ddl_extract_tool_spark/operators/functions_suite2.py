@@ -270,24 +270,40 @@ FROM part
 # --------------------------------------------------------------------------
 
 def q24_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map<string,STRING>, not map<string,int>: the string map stringifies
+    every scalar value and NULLs only on non-objects -- exactly DuckDB's
+    json_keys semantics -- where a typed int map silently NULLs the whole
+    map on one mistyped value (json_keys would still list its keys: a
+    guaranteed n_keys divergence on hostile props). k_val then casts the
+    string, matching the oracle's truncating TRY_CAST."""
     events = load(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,int>")
+    m = F.from_json("props", "map<string,string>")
     return events.select(
         "event_id",
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
-        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
         F.map_contains_key(m, "missing").alias("has_missing"),
     )
 
 
 ORACLE_Q24 = """
+WITH p AS (
+  SELECT event_id,
+         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+              THEN json_keys(props) END AS ks,
+         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+              THEN CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INT) END AS k_val,
+         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+              THEN json_extract(props, '$.missing') IS NOT NULL END AS has_missing
+  FROM events
+)
 SELECT event_id,
-       CAST(len(json_keys(props)) AS INT)                             AS n_keys,
-       array_to_string(list_sort(json_keys(props)), ',')              AS keys_sorted,
-       CAST(json_extract_string(props, '$.k') AS INT)                 AS k_val,
-       json_extract(props, '$.missing') IS NOT NULL                   AS has_missing
-FROM events
+       CAST(len(ks) AS INT)                AS n_keys,
+       array_to_string(list_sort(ks), ',') AS keys_sorted,
+       k_val,
+       has_missing
+FROM p
 """
 
 
@@ -334,21 +350,32 @@ def q26_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated scalar subquery; Catalyst decorrelates it into an aggregate +
     join, so the executed plan shuffles once on nationkey, not once per row."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("cs_customer")
+    # The above-average test runs in exact integers (cents * n > sum_cents
+    # <=> bal > avg): a raw double avg() sums in partition order, so a
+    # balance within an ulp of its nation's mean could flip membership
+    # across engines. Still a correlated scalar subquery -- Catalyst
+    # decorrelates the aggregates into one nationkey join either way.
     return spark.sql("""
+        WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                   FROM cs_customer)
         SELECT c_custkey, c_nationkey,
                round(1.37e-6 + c_acctbal, 2) AS acctbal
-        FROM cs_customer outer_c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cs_customer
-                           WHERE c_nationkey = outer_c.c_nationkey)
+        FROM c outer_c
+        WHERE cents * (SELECT count(*) FROM c WHERE c_nationkey = outer_c.c_nationkey)
+              > (SELECT sum(cents) FROM c WHERE c_nationkey = outer_c.c_nationkey)
     """)
 
 
 ORACLE_Q26 = """
+WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer)
 SELECT c_custkey, c_nationkey,
        round(1.37e-6 + c_acctbal, 2) AS acctbal
-FROM customer outer_c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                   WHERE c_nationkey = outer_c.c_nationkey)
+FROM c outer_c
+WHERE cents * (SELECT count(*) FROM c WHERE c_nationkey = outer_c.c_nationkey)
+      > (SELECT sum(cents) FROM c WHERE c_nationkey = outer_c.c_nationkey)
 """
 
 
@@ -502,15 +529,18 @@ def q114_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # only (utf8_trim_whitespace is Unicode-aware, DuckDB's trim is
             # not -- a NBSP at a document edge would diverge).
             tokens = pc.split_pattern_regex(texts, WS)
+            # NULL text -> NULL outputs (None, not 0): the oracle's
+            # regexp/md5 of NULL yields NULL, and the type-strict canon
+            # distinguishes int 0 from NULL.
             n_tok = [
-                sum(1 for t in row if t != "") if row is not None else 0
+                sum(1 for t in row if t != "") if row is not None else None
                 for row in tokens.to_pylist()
             ]
             norm = pc.utf8_trim(
                 pc.replace_substring_regex(pc.utf8_lower(texts), WS, " "), " "
             )
             fp = [
-                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) if s is not None else 0
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) if s is not None else None
                 for s in norm.to_pylist()
             ]
             yield pa.RecordBatch.from_arrays(
@@ -573,7 +603,7 @@ def q67_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q67 = """
 SELECT vec_id,
-       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)  AS n_pos,
+       CAST(len(list_filter(embedding, x -> x > 0 AND NOT isnan(x))) AS BIGINT)  AS n_pos,  -- SQL NaN > 0 is TRUE; numpy's is False
        CAST(list_position(list_transform(embedding, x -> abs(x)),
                           list_max(list_transform(embedding, x -> abs(x)))) AS INT) AS peak_dim
 FROM embeddings

