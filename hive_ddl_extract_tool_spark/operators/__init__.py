@@ -70,6 +70,11 @@ _PRIORITY = [
     "q129_point_in_time_join",
     "q130_canonical_election",
     "q131_stream_dedup_gate",
+    "q132_doremi_mixture",
+    "q133_semantic_decontam",
+    "q134_volume_shipping",
+    "q135_market_share",
+    "q136_interarrival_histogram",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

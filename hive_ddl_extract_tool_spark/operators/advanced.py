@@ -956,6 +956,61 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# q136: inter-arrival histogram (decade-bucketed gaps per event type)
+# --------------------------------------------------------------------------
+
+def q136_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of inter-arrival gaps per event type -- the burstiness/
+    session-cadence diagnostic that picks sessionization thresholds (q88's
+    30-minute gap) and rate-limit windows from data instead of folklore.
+
+    Gap = microseconds since the same user's previous event (any type);
+    attributed to the LATER event's type. Buckets are decimal decades
+    computed as length(CAST(gap AS STRING)) -- an exact integer stand-in
+    for floor(log10(gap))+1 that both engines evaluate identically (q105's
+    no-float-log discipline; digit-count of a nonnegative BIGINT has no
+    sign/locale pitfalls). One user_id exchange carries the lag window
+    (ties break on event_id); the histogram aggregate is
+    |types| x ~13 rows. All outputs integers -- hash-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.select(
+        "event_type", (F.col("tus") - F.lag("tus").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy(
+            "event_type",
+            F.length(F.col("gap_us").cast("string")).cast("bigint").alias("gap_digits"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+ORACLE_Q136 = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(length(CAST(gap_us AS VARCHAR)) AS BIGINT) AS gap_digits,
+       count(*) AS n,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us
+FROM seq WHERE gap_us IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -971,6 +1026,7 @@ QUERIES = {
     "q118_decayed_engagement": q118_decayed_engagement,
     "q127_event_transitions": q127_event_transitions,
     "q129_point_in_time_join": q129_point_in_time_join,
+    "q136_interarrival_histogram": q136_interarrival_histogram,
 }
 
 ORACLES = {
@@ -988,4 +1044,5 @@ ORACLES = {
     "q118_decayed_engagement": ORACLE_Q118,
     "q127_event_transitions": ORACLE_Q127,
     "q129_point_in_time_join": ORACLE_Q129,
+    "q136_interarrival_histogram": ORACLE_Q136,
 }

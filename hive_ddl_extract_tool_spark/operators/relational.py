@@ -567,6 +567,168 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# q134: TPC-H Q7 shape -- cross-nation shipping volume by year
+# --------------------------------------------------------------------------
+
+def q134_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's shape (`ref: SURVEY.md §2B X2`): revenue shipped between
+    every DISTINCT (supplier nation, customer nation) pair per ship year.
+    Two independent dimension chains hang off lineitem: supplier->nation on
+    l_suppkey and orders->customer->nation on l_orderkey. nation is
+    broadcast on both sides (25 rows at every SF); supplier and customer
+    are orders-of-magnitude smaller than lineitem, so AQE keeps them as
+    the build side of the two fact joins -- the only corpus-sized shuffle
+    is lineitem-orders on the natural key. Revenue accumulates exact
+    integer 1e-4-dollar units in decimal(30,0) (q01's money discipline):
+    order-free at any partitioning, overflow-safe at 100 TB group sizes."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    rev4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).cast("decimal(30,0)")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == n1.sn_key)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, cust.c_nationkey == n2.cn_key)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(
+            mround(F.sum(rev4).cast("double") / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_Q134 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(1.37e-6 + CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q135: TPC-H Q8 shape -- a nation's market share by order year
+# --------------------------------------------------------------------------
+
+SHARE_NATION = "NATION_0"  # whose market share we track
+SHARE_MAX_PSIZE = 25       # part filter (Q8's p_type analogue)
+
+
+def q135_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's shape: within ASIA-region customers' orders of small
+    parts, what fraction of revenue per order year came from SHARE_NATION's
+    suppliers. The CASE-guarded numerator and the total ride ONE aggregate
+    over one join tree (no second pass); the share is exact integer
+    cross-multiplication (rev4_nation * 1e6 DIV rev4_total) on 1e-4-dollar
+    units -- no float division anywhere, so the ppm is cross-engine exact.
+    part is filtered BEFORE its join (predicate pushdown to the scan);
+    nation/region broadcast; the lineitem-orders equi-join is again the
+    only fact-sized shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= SHARE_MAX_PSIZE).select("p_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_c = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    nat_s = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    rev4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat_s, supp.s_nationkey == nat_s.sn_key)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat_c, cust.c_nationkey == nat_c.cn_key)
+        .join(region, F.col("cr_key") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == SHARE_NATION, rev4).otherwise(F.lit(0)).cast(
+                    "decimal(30,0)"
+                )
+            ).cast("decimal(38,0)").alias("rev4_nation"),
+            F.sum(rev4.cast("decimal(30,0)")).cast("decimal(38,0)").alias("rev4_total"),
+        )
+        .select(
+            "o_year",
+            mround(F.col("rev4_nation").cast("double") / 10000.0, 2).alias("rev_nation"),
+            mround(F.col("rev4_total").cast("double") / 10000.0, 2).alias("rev_total"),
+            F.expr("CAST(rev4_nation * 1000000 DIV rev4_total AS BIGINT)").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_Q135 = f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size <= {SHARE_MAX_PSIZE}
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+),
+agg AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN supp_nation = '{SHARE_NATION}' THEN rev4 ELSE 0 END) AS HUGEINT) AS rev4_nation,
+         CAST(sum(rev4) AS HUGEINT) AS rev4_total
+  FROM j GROUP BY o_year
+)
+SELECT o_year,
+       round(1.37e-6 + CAST(rev4_nation AS DOUBLE) / 10000.0, 2) AS rev_nation,
+       round(1.37e-6 + CAST(rev4_total AS DOUBLE) / 10000.0, 2)  AS rev_total,
+       CAST(rev4_nation * 1000000 // rev4_total AS BIGINT) AS share_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -584,6 +746,8 @@ QUERIES = {
     "q96_custdist": q96_custdist,
     "q97_idle_rich_customers": q97_idle_rich_customers,
     "q111_big_orders": q111_big_orders,
+    "q134_volume_shipping": q134_volume_shipping,
+    "q135_market_share": q135_market_share,
 }
 
 ORACLES = {
@@ -602,5 +766,7 @@ ORACLES = {
     "q96_custdist": ORACLE_Q96,
     "q97_idle_rich_customers": ORACLE_Q97,
     "q111_big_orders": ORACLE_Q111,
+    "q134_volume_shipping": ORACLE_Q134,
+    "q135_market_share": ORACLE_Q135,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }

@@ -774,6 +774,108 @@ LIMIT {SAMPLE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q132: DoReMi-lite domain reweighting (multiplicative weights, all-integer)
+# --------------------------------------------------------------------------
+
+# Domain Reweighting with Minimax Optimization (Xie et al., NeurIPS 2023
+# "DoReMi") iterates: measure each domain's excess loss under a proxy
+# model, multiplicatively upweight lossy domains, renormalize. The proxy
+# loss here is the domain's cross-entropy against the CORPUS unigram
+# distribution over the shared DSIR hashed-bucket space -- the same
+# "surprisal under a reference model" shape, computable in one aggregate.
+DOREMI_K = 10**6       # weight fixed point: weights are ppm, sum ~= K
+DOREMI_ETA_DIV = 10_000  # step size: factor = K + excess9/ETA_DIV
+DOREMI_ROUNDS = 3
+
+
+def q132_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting over source domains, exact-integer
+    end to end so the ITERATIVE algorithm replays bit-identically in the
+    unrolled-CTE oracle (q124's discipline).
+
+    Per-bucket surprisal nlp9 = floor(-ln((c_b+1)/(n+B)) * 1e9) is the only
+    float step (identical expression tree both engines, q92/q122's
+    accepted-hazard pattern); per-domain cross-entropy h9 is an integer
+    weighted sum DIV token count; DOREMI_ROUNDS multiplicative-weight
+    rounds then run in pure integer arithmetic: factor = K + excess9/ETA
+    (floor), u = w*factor, w' = u*K DIV sum(u). Bounds: w <= K = 1e6,
+    factor <= ~1.7e6, u <= 1.7e12, u*K <= 1.7e18 < 2^63 -- int64-safe at
+    any corpus size (per-domain sums accumulate in decimal(30,0)).
+
+    Plan shape: reuses the staged q122 tokenize pass (ONE corpus scan per
+    session across q122/q125/q126/q132); the bucket surprisal table is
+    <= B rows and broadcasts into the per-(source) aggregate; the rounds
+    run on an S-row frame (S = #sources) -- window sums over S rows, no
+    driver state, no collect."""
+    toks = _dsir_toks(spark, sf_dir)
+    ref = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    n = ref.agg(F.sum("c_b").alias("n"))
+    nlp9 = F.floor(
+        -F.log((F.col("c_b") + 1.0) / (F.col("n") + DSIR_B)) * F.lit(float(Q9DS))
+    ).cast("bigint")
+    nlp = ref.crossJoin(F.broadcast(n)).select("b", nlp9.alias("nlp9"))
+    base = (
+        toks.join(F.broadcast(nlp), "b")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.col("nlp9").cast("decimal(30,0)")).alias("s_nlp"),
+        )
+        .select("source", "n_tok", F.expr("CAST(s_nlp DIV n_tok AS BIGINT)").alias("h9"))
+    )
+    all_rows = W.partitionBy()
+    g = base.select(
+        "source",
+        "n_tok",
+        "h9",
+        (F.col("h9") - F.min("h9").over(all_rows)).alias("excess9"),
+        F.count(F.lit(1)).over(all_rows).alias("n_src"),
+    ).withColumn("factor", F.expr(f"{DOREMI_K} + excess9 DIV {DOREMI_ETA_DIV}"))
+    g = g.withColumn("w0", F.expr(f"{DOREMI_K} DIV n_src"))
+    for r in range(1, DOREMI_ROUNDS + 1):
+        g = g.withColumn(f"u{r}", F.col(f"w{r-1}") * F.col("factor"))
+        g = g.withColumn(
+            f"w{r}",
+            F.expr(f"CAST(u{r} * {DOREMI_K} DIV sum(u{r}) OVER () AS BIGINT)"),
+        )
+    return g.select("source", "n_tok", "h9", "excess9", "w1", "w2", "w3")
+
+
+ORACLE_Q132 = f"""
+WITH tok AS (
+  SELECT doc_id, source, {h60_sql("tok")} % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+ref AS (SELECT b, count(*) AS c_b FROM tok GROUP BY 1),
+n AS (SELECT CAST(sum(c_b) AS BIGINT) AS n FROM ref),
+nlp AS (
+  SELECT b, CAST(floor(-ln((c_b + 1.0) / (n + {DSIR_B})) * {Q9DS}.0) AS BIGINT) AS nlp9
+  FROM ref, n
+),
+base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(nlp9) // count(*) AS BIGINT) AS h9
+  FROM tok JOIN nlp USING (b)
+  GROUP BY source
+),
+e AS (
+  SELECT source, n_tok, h9,
+         h9 - min(h9) OVER () AS excess9,
+         CAST({DOREMI_K} // count(*) OVER () AS BIGINT) AS w0,
+         CAST({DOREMI_K} + (h9 - min(h9) OVER ()) // {DOREMI_ETA_DIV} AS BIGINT) AS factor
+  FROM base
+),
+r1a AS (SELECT *, w0 * factor AS u1 FROM e),
+r1 AS (SELECT *, CAST(u1 * {DOREMI_K} // sum(u1) OVER () AS BIGINT) AS w1 FROM r1a),
+r2a AS (SELECT *, w1 * factor AS u2 FROM r1),
+r2 AS (SELECT *, CAST(u2 * {DOREMI_K} // sum(u2) OVER () AS BIGINT) AS w2 FROM r2a),
+r3a AS (SELECT *, w2 * factor AS u3 FROM r2),
+r3 AS (SELECT *, CAST(u3 * {DOREMI_K} // sum(u3) OVER () AS BIGINT) AS w3 FROM r3a)
+SELECT source, n_tok, h9, excess9, w1, w2, w3 FROM r3
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -784,6 +886,7 @@ QUERIES = {
     "q123_quality_classifier": q123_quality_classifier,
     "q125_source_divergence": q125_source_divergence,
     "q126_dsir_resample": q126_dsir_resample,
+    "q132_doremi_mixture": q132_doremi_mixture,
 }
 
 ORACLES = {
@@ -796,4 +899,5 @@ ORACLES = {
     "q123_quality_classifier": ORACLE_Q123,
     "q125_source_divergence": ORACLE_Q125,
     "q126_dsir_resample": ORACLE_Q126,
+    "q132_doremi_mixture": ORACLE_Q132,
 }

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._cache import cached_df
-from ._hashing import h60_sql
+from ._hashing import h60, h60_sql
 from ..tables import load
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1188,6 +1188,149 @@ ORACLE_Q103 = _oracle_q103()
 
 
 # --------------------------------------------------------------------------
+# q133: semantic decontamination -- test-split vectors near ANY train vector
+# --------------------------------------------------------------------------
+
+DECON_T = 0.42  # rounded-cosine contamination threshold
+
+
+def q133_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: a TEST-split vector is contaminated
+    when some TRAIN-split vector has rounded cosine >= DECON_T -- the
+    semantic complement of q104's lexical 8-gram decontam (paraphrased
+    leakage that shares no n-grams). The split is the deterministic q36
+    hash split applied to vec_id, so it replays identically in the oracle.
+
+    Cost shape is q103's: candidate pairs are confined to a trained k-means
+    cell (reusing q66b's bit-exact centroids AND its staged assignment
+    parquet -- zero extra corpus scans in a session that already ran
+    q66b/q103), so the test x train pairing is quadratic only within a
+    cell; the same SEMDEDUP_CELL_CAP salting spreads a hot cell's work
+    across ceil(n/CAP) tasks. Output: the per-cell contamination report
+    every eval-set release publishes (test size, train size, contaminated
+    count, ppm) -- N_CELLS rows."""
+    from .text import SPLIT_SEED
+
+    cent = train_centroids(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
+    dbl = _dbl(F.col("embedding"))
+    with_norm = ranked.select(
+        "vec_id",
+        F.col("t2")[0]["ci"].alias("cell"),
+        dbl.alias("e"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    is_train = (
+        F.pmod(
+            h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("vec_id").cast("string"))),
+            F.lit(100),
+        )
+        < 80
+    )
+    vecs = with_norm.select(
+        "vec_id",
+        "cell",
+        F.transform("e", lambda x: x / F.col("nrm")).alias("u"),
+        is_train.alias("is_train"),
+    )
+    cell_k = vecs.groupBy("cell").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / SEMDEDUP_CELL_CAP)
+        ).cast("int").alias("k")
+    )
+    salted = vecs.join(F.broadcast(cell_k), "cell")
+    test_side = salted.filter(~F.col("is_train")).select(
+        "cell",
+        F.pmod("vec_id", F.col("k")).cast("int").alias("salt"),
+        F.col("vec_id").alias("test_id"),
+        F.col("u").alias("ut"),
+    )
+    train_side = salted.filter(F.col("is_train")).select(
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("salt"),
+        F.col("u").alias("ua"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ut", "ua", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    contam = (
+        test_side.join(train_side, ["cell", "salt"])
+        .filter(F.round(dot, 6) >= DECON_T)
+        .select("cell", "test_id")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    counts = vecs.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).cast("bigint").alias("n_test"),
+    )
+    return (
+        counts.join(contam, "cell", "left")
+        .select(
+            "cell",
+            "n_train",
+            "n_test",
+            F.coalesce("n_contam", F.lit(0)).cast("bigint").alias("n_contam"),
+            F.expr(
+                "CASE WHEN n_test > 0 THEN CAST(coalesce(n_contam, 0) * 1000000 DIV n_test AS BIGINT) END"
+            ).alias("contam_ppm"),
+        )
+    )
+
+
+def _oracle_q133() -> str:
+    from .text import SPLIT_SEED
+
+    rounds = []
+    prev = "cent0"
+    for n in range(1, KMEANS_ITERS + 1):
+        rounds.append(_kmeans_round_sql(prev, n))
+        prev = f"cent{n}"
+    hk = h60_sql(f"'{SPLIT_SEED}:' || CAST(r.vec_id AS VARCHAR)")
+    return f"""
+WITH cent0 AS (SELECT ci, cv FROM {_CENT0_SQL} c),
+{",".join(rounds)},
+ranked AS ({_ivf_cells_sql(prev)}),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+),
+assigned AS (
+  SELECT r.vec_id, n.u, r.ci AS cell, ({hk} % 100) < 80 AS is_train
+  FROM ranked r JOIN n ON r.vec_id = n.vec_id
+  WHERE r.rk = 1
+),
+contam AS (
+  SELECT cell, count(*) AS n_contam
+  FROM (
+    SELECT DISTINCT t.cell, t.vec_id
+    FROM assigned t JOIN assigned a
+      ON t.cell = a.cell AND NOT t.is_train AND a.is_train
+    WHERE round(list_sum(list_transform(range(1, len(t.u) + 1), i -> t.u[i] * a.u[i])), 6) >= {DECON_T}
+  )
+  GROUP BY cell
+),
+counts AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+  FROM assigned GROUP BY cell
+)
+SELECT c.cell, c.n_train, c.n_test,
+       CAST(coalesce(ct.n_contam, 0) AS BIGINT) AS n_contam,
+       CASE WHEN c.n_test > 0
+            THEN CAST(coalesce(ct.n_contam, 0) * 1000000 // c.n_test AS BIGINT) END AS contam_ppm
+FROM counts c LEFT JOIN contam ct USING (cell)
+"""
+
+
+ORACLE_Q133 = _oracle_q133()
+
+
+# --------------------------------------------------------------------------
 # q117: PCA top component via power iteration on exact sufficient statistics
 # --------------------------------------------------------------------------
 
@@ -1335,6 +1478,7 @@ QUERIES = {
     "q93_dim_correlations": q93_dim_correlations,
     "q99_label_purity": q99_label_purity,
     "q103_semdedup": q103_semdedup,
+    "q133_semantic_decontam": q133_semantic_decontam,
     "q117_pca_power_iteration": q117_pca_power_iteration,
 }
 
@@ -1351,6 +1495,7 @@ ORACLES = {
     "q99_label_purity": ORACLE_Q99,
     "q87_embed_dim_stats": ORACLE_Q87,
     "q103_semdedup": ORACLE_Q103,
+    "q133_semantic_decontam": ORACLE_Q133,
     "q117_pca_power_iteration": ORACLE_Q117,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }
