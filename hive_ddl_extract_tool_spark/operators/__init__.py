@@ -75,6 +75,7 @@ _PRIORITY = [
     "q134_volume_shipping",
     "q135_market_share",
     "q136_interarrival_histogram",
+    "q137_hybrid_dedup_audit",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -1162,6 +1162,94 @@ GROUP BY cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# q137: hybrid dedup audit -- semantic second opinion on the lexical pairs
+# --------------------------------------------------------------------------
+
+HYBRID_T = 0.40  # rounded-cosine agreement threshold for lexical pairs
+
+
+def q137_hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic second opinion on every q42 lexical near-dup pair: attach
+    the embedding cosine of the two documents (vec_id shares doc_id's key
+    space) and flag whether the vectors agree the pair is a duplicate --
+    the lexical/semantic twin of q119's character-level verify, catching
+    template pairs whose shingles overlap but whose content diverges.
+    Embeddings lag document ingest (sf0.1 ships 2000 vectors for 5000
+    docs), so vector columns are nullable LEFT joins and the agreement
+    flag is three-valued.
+
+    Cost shape: the staged pair set is near-dup-sized; the corpus-sized
+    embeddings table is first SEMI-filtered to candidate ids (q42's own
+    no-forced-broadcast discipline -- AQE demotes the semi join to
+    broadcast when the candidate set is small, and at 100 TB the exchanges
+    carry a candidate-sized row set, never the corpus). Exactness: cos6
+    rounds the double dot product of identical inputs; jac_ppm is integer;
+    the agreement flag compares the ROUNDED cosine."""
+    from .similarity import _dbl
+
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir)
+    cand = (
+        pairs.select(F.col("doc_a").alias("vec_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = _dbl(F.col("embedding"))
+    u = (
+        emb.join(cand, "vec_id", "semi")
+        .select(
+            "vec_id",
+            F.transform(
+                dbl,
+                lambda x: x
+                / F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, y: acc + y * y)),
+            ).alias("u"),
+        )
+    )
+    ua = u.select(F.col("vec_id").alias("doc_a"), F.col("u").alias("ua"))
+    ub = u.select(F.col("vec_id").alias("doc_b"), F.col("u").alias("ub"))
+    cos6 = F.round(
+        F.aggregate(
+            F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        ),
+        6,
+    )
+    return (
+        pairs.join(ua, "doc_a", "left")
+        .join(ub, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("bigint").alias("jac_ppm"),
+            cos6.alias("cos6"),
+            F.when(
+                F.col("ua").isNotNull() & F.col("ub").isNotNull(), cos6 >= HYBRID_T
+            ).alias("semantic_agree"),
+        )
+    )
+
+
+ORACLE_Q137 = f"""
+WITH pairs AS ({ORACLE_Q42}),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(floor(p.jaccard * 1e6 + 0.5) AS BIGINT) AS jac_ppm,
+       round(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), 6) AS cos6,
+       CASE WHEN a.u IS NOT NULL AND b.u IS NOT NULL
+            THEN round(list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), 6) >= {HYBRID_T}
+       END AS semantic_agree
+FROM pairs p
+LEFT JOIN n a ON a.vec_id = p.doc_a
+LEFT JOIN n b ON b.vec_id = p.doc_b
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1178,6 +1266,7 @@ QUERIES = {
     "q124_dupgraph_pagerank": q124_dupgraph_pagerank,
     "q128_incremental_dedup": q128_incremental_dedup,
     "q130_canonical_election": q130_canonical_election,
+    "q137_hybrid_dedup_audit": q137_hybrid_dedup_audit,
 }
 
 ORACLES = {
@@ -1196,4 +1285,5 @@ ORACLES = {
     "q124_dupgraph_pagerank": ORACLE_Q124,
     "q128_incremental_dedup": ORACLE_Q128,
     "q130_canonical_election": ORACLE_Q130,
+    "q137_hybrid_dedup_audit": ORACLE_Q137,
 }
