@@ -76,6 +76,7 @@ _PRIORITY = [
     "q135_market_share",
     "q136_interarrival_histogram",
     "q137_hybrid_dedup_audit",
+    "q138_cogroup_reconcile",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

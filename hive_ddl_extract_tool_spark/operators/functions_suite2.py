@@ -764,6 +764,88 @@ FROM documents,
 """
 
 
+# --------------------------------------------------------------------------
+# q138: cogrouped applyInPandas -- the two-table Python interchange surface
+# --------------------------------------------------------------------------
+
+def q138_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().cogroup().applyInPandas` completes the Python-interchange
+    matrix (scalar pandas_udf / mapInPandas / applyInPandas / UDTF /
+    applyInPandasWithState / mapInArrow are each exercised elsewhere): both
+    tables are shuffled on the SAME key and each key-group arrives as a
+    PAIR of pandas frames -- the reconciliation/merge-audit shape (ledger
+    vs journal, header vs detail) that a plain join expresses awkwardly.
+
+    Per order: the header's o_totalprice in exact integer cents vs the sum
+    of its lineitems' extendedprice cents and the line count (empty detail
+    frame => 0s, matching the oracle's LEFT JOIN + coalesce; detail rows
+    without a header emit nothing). The per-order frame then aggregates to
+    a per-status integer report, so the Python step's output is verified
+    value-hash-exact. Cents are int64 inside the kernel -- banker's-vs-
+    half-up rounding cannot diverge because 2dp-quantized inputs never
+    land a product on an exact .5."""
+    import pandas as pd
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # detail without header: excluded, like the oracle's
+            return pd.DataFrame(  # orders-driven LEFT JOIN
+                {"o_orderstatus": pd.Series(dtype="object"),
+                 "n_lines": pd.Series(dtype="int64"),
+                 "total_cents": pd.Series(dtype="int64"),
+                 "lines_cents": pd.Series(dtype="int64")}
+            )
+        lines_cents = (
+            int((ldf["l_extendedprice"] * 100).round().astype("int64").sum())
+            if len(ldf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [odf["o_orderstatus"].iloc[0]],
+                "n_lines": [len(ldf)],
+                "total_cents": [int(round(odf["o_totalprice"].iloc[0] * 100))],
+                "lines_cents": [lines_cents],
+            }
+        )
+
+    per_order = (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderstatus string, n_lines long, total_cents long, lines_cents long",
+        )
+    )
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("total_cents").alias("total_cents"),
+        F.sum("lines_cents").alias("lines_cents"),
+    )
+
+
+ORACLE_Q138 = """
+WITH l AS (
+  SELECT l_orderkey,
+         count(*) AS n_lines,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS lines_c
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(coalesce(lines_c, 0)) AS BIGINT) AS lines_cents
+FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -784,6 +866,7 @@ QUERIES = {
     "q69_regression_stats": q69_regression_stats,
     "q77_variant_json": q77_variant_json,
     "q78_udtf_chunk": q78_udtf_chunk,
+    "q138_cogroup_reconcile": q138_cogroup_reconcile,
 }
 
 ORACLES = {
@@ -805,5 +888,6 @@ ORACLES = {
     "q69_regression_stats": ORACLE_Q69,
     "q77_variant_json": ORACLE_Q77,
     "q78_udtf_chunk": ORACLE_Q78,
+    "q138_cogroup_reconcile": ORACLE_Q138,
     # q15b: rows-only (sketch-based)
 }

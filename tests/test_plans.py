@@ -33,6 +33,7 @@ PYTHON_OK = {
     "q54_skyline",
     "q67_pandas_udf_scalar",
     "q78_udtf_chunk",
+    "q138_cogroup_reconcile",
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
 SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate"}
