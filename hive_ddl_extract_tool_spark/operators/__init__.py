@@ -77,6 +77,8 @@ _PRIORITY = [
     "q136_interarrival_histogram",
     "q137_hybrid_dedup_audit",
     "q138_cogroup_reconcile",
+    "q139_cheapest_supplier",
+    "q140_stream_outer_join",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

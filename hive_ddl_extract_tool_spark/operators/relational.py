@@ -729,6 +729,67 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q139: TPC-H Q2 shape -- argmin correlated subquery (cheapest supplier)
+# --------------------------------------------------------------------------
+
+Q2_MIN_PSIZE = 45  # part filter: the large-size tail (~10% of parts)
+
+
+def q139_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape: for each qualifying part, the supplier with the
+    MINIMUM account balance among suppliers that actually shipped it -- the
+    correlated min-subquery pattern (WHERE x = (SELECT min(..) WHERE
+    correlated)). Spark expresses it join-free-then-rejoin: distinct
+    (part, supplier) ship pairs from lineitem, a per-part min over the
+    joined balance, and an equality filter back -- one window over the
+    part key instead of a second aggregation+join pass. Ties on the
+    minimum balance keep BOTH suppliers (Q2 semantics); balances are
+    compared as exact integer cents so the tie set is cross-engine
+    identical. The part filter pushes to the scan; supplier is the small
+    side of its join at every SF."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") > Q2_MIN_PSIZE)
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    ships = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    joined = ships.join(part, "p_partkey").join(supp, "s_suppkey")
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("bal_cents").over(w))
+        .filter(F.col("bal_cents") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "p_brand", "s_suppkey", "s_name", "bal_cents")
+    )
+
+
+ORACLE_Q139 = f"""
+WITH ships AS (
+  SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey FROM lineitem
+),
+j AS (
+  SELECT p.p_partkey, p.p_name, p.p_brand, s.s_suppkey, s.s_name,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM ships
+  JOIN part p USING (p_partkey)
+  JOIN supplier s USING (s_suppkey)
+  WHERE p.p_size > {Q2_MIN_PSIZE}
+)
+SELECT p_partkey, p_name, p_brand, s_suppkey, s_name, bal_cents
+FROM j
+WHERE bal_cents = (SELECT min(bal_cents) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -748,6 +809,7 @@ QUERIES = {
     "q111_big_orders": q111_big_orders,
     "q134_volume_shipping": q134_volume_shipping,
     "q135_market_share": q135_market_share,
+    "q139_cheapest_supplier": q139_cheapest_supplier,
 }
 
 ORACLES = {
@@ -768,5 +830,6 @@ ORACLES = {
     "q111_big_orders": ORACLE_Q111,
     "q134_volume_shipping": ORACLE_Q134,
     "q135_market_share": ORACLE_Q135,
+    "q139_cheapest_supplier": ORACLE_Q139,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }

@@ -540,6 +540,153 @@ JOIN documents d ON n.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q140: stream-stream LEFT OUTER interval join (watermark-expired NULL rows)
+# --------------------------------------------------------------------------
+
+def _staged_events_file(spark: SparkSession, sf_dir: str):
+    """(path-of-single-parquet-file, max event ts): events with ts
+    normalized to TIMESTAMP micros, coalesced to ONE file and
+    session-cached. One file matters: each file becomes its own
+    micro-batch under maxFilesPerTrigger=1, and the staged write's
+    partitioning is not time-ordered -- with several real files, batch 1's
+    watermark would late-drop earlier rows arriving in batch 2 (observed:
+    exactly one unmatched view vanished)."""
+    from ..operators._cache import cached_df
+
+    base = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    staged = cached_df(spark, f"q140_flush_events:{sf_dir}", lambda: base.coalesce(1))
+    path = staged.inputFiles()[0].removeprefix("file:")
+    max_ts = base.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    return path, max_ts
+
+
+def _write_sentinel(spark: SparkSession, run_dir: str, name: str, ts) -> None:
+    """One heartbeat file: a 'view' and a 'click' at `ts` with user_id -1,
+    atomically moved into the live source directory so the running stream
+    picks it up as a new file."""
+    import os
+    import shutil
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [(-1, ts, -1, k, 0.0, "{}") for k in ("view", "click")]
+    sdf = spark.createDataFrame(rows, schema).coalesce(1)
+    tmp = f"{run_dir}/_tmp_{name}"
+    sdf.write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(f"{tmp}/{part}", f"{run_dir}/{name}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's interval join with LEFT OUTER semantics -- the streaming
+    operator whose correctness depends on WATERMARK EXPIRY, not just
+    matching: a 'view' with no same-user 'click' in the next 10 minutes
+    must still emit (with NULL click columns), and may only do so once the
+    watermark proves no matching click can ever arrive. A drained finite
+    source never proves that for the tail, so after the replayed log is
+    processed, two sentinel heartbeat files (~1/~2 days late, one 'view' +
+    one 'click' each so BOTH sides' watermarks advance) are dropped into
+    the LIVE source directory between drains: heartbeat 1 lifts the
+    watermark past every real row's eviction bound, heartbeat 2 provides
+    the following batch in which the engine actually evicts and emits the
+    NULL rows. The Trigger.AvailableNow drain (maxFilesPerTrigger=1 -> one
+    micro-batch per file, terminating when the snapshot is consumed) makes
+    the batch sequence deterministic where processAllAvailable raced. The
+    drained table then equals the batch LEFT JOIN and the oracle is exact;
+    state stays bounded by interval + late horizon (the forever-runnable
+    property), and the heartbeat is exactly how a production replay forces
+    final results out of a finite topic."""
+    import datetime
+    import shutil
+    import tempfile
+
+    name = "q140_soj_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    events_file, max_ts = _staged_events_file(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="q140_src_")
+    shutil.copy(events_file, f"{run_dir}/events.parquet")
+    _write_sentinel(spark, run_dir, "heartbeat1", max_ts + datetime.timedelta(days=1))
+    _write_sentinel(spark, run_dir, "heartbeat2", max_ts + datetime.timedelta(days=2))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run_dir)
+    )
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == kind)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("value").alias(f"{prefix}_val"),
+            )
+        )
+
+    joined = (
+        side("view", "v")
+        .join(
+            side("click", "c"),
+            F.expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"),
+            "leftOuter",
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            F.date_format("v_ts", TS_US_SPARK).alias("view_ts"),
+            F.date_format("c_ts", TS_US_SPARK).alias("click_ts"),
+            F.col("c_val").alias("click_value"),
+        )
+    )
+    # NO sentinel filter inside the streaming plan: a `v_user >= 0`
+    # predicate pushes through the outer join down to the parquet SCAN,
+    # whose row-group stats (every sentinel row is user_id = -1) prune the
+    # heartbeat files entirely -- numInputRows 0, watermark frozen, tail
+    # rows never flushed (observed; the nastiest kind of pushdown bug:
+    # the optimization is correct for the DATA and wrong for the CLOCK).
+    # Sentinels are filtered from the drained BATCH table instead.
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+ORACLE_Q140 = f"""
+SELECT v.user_id,
+       strftime(v.ts, '{TS_US_DUCK}') AS view_ts,
+       strftime(c.ts, '{TS_US_DUCK}') AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -550,6 +697,7 @@ QUERIES = {
     "q98_stream_sessionize": q98_stream_sessionize,
     "q107_stream_interval_join": q107_stream_interval_join,
     "q131_stream_dedup_gate": q131_stream_dedup_gate,
+    "q140_stream_outer_join": q140_stream_outer_join,
 }
 
 ORACLES = {
@@ -562,4 +710,5 @@ ORACLES = {
     "q98_stream_sessionize": ORACLE_Q88,
     "q107_stream_interval_join": ORACLE_Q107,
     "q131_stream_dedup_gate": _oracle_q131(),
+    "q140_stream_outer_join": ORACLE_Q140,
 }
