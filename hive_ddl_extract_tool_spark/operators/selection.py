@@ -808,8 +808,19 @@ def q132_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= B rows and broadcasts into the per-(source) aggregate; the rounds
     run on an S-row frame (S = #sources) -- window sums over S rows, no
     driver state, no collect."""
+    from ._cache import cached_df
+
     toks = _dsir_toks(spark, sf_dir)
-    ref = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    # The bucket histogram is <= B rows but its INPUT is the corpus-sized
+    # token table; unstaged, the ref -> n -> nlp chain re-aggregates that
+    # table three times (no CSE across subtrees -- observed 6 staged-table
+    # scans in the plan). Staged, the corpus-sized table is scanned exactly
+    # twice: once building ref, once in the scoring join.
+    ref = cached_df(
+        spark,
+        f"dsir_ref:{sf_dir}",
+        lambda: toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_b")),
+    )
     n = ref.agg(F.sum("c_b").alias("n"))
     nlp9 = F.floor(
         -F.log((F.col("c_b") + 1.0) / (F.col("n") + DSIR_B)) * F.lit(float(Q9DS))

@@ -221,3 +221,27 @@ def test_tokenizer_spark_duckdb_agree_on_real_corpus(spark, sf_dir):
     )
     con.close()
     assert got == want
+
+
+def test_doremi_weight_invariants(spark, sf_dir):
+    """q132's multiplicative-weight rounds must behave like the algorithm
+    they claim to be: every weight in [0, K], each round's weights sum to
+    ~K (floor-division slack < S per round), and after reweighting the
+    per-source ordering follows excess loss (higher excess => weakly
+    higher weight, since every round multiplies by the same monotone
+    factor and renormalizes)."""
+    from hive_ddl_extract_tool_spark.operators.selection import (
+        DOREMI_K,
+        q132_doremi_mixture,
+    )
+
+    rows = q132_doremi_mixture(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    s = len(rows)
+    for rnd in ("w1", "w2", "w3"):
+        ws = [r[rnd] for r in rows]
+        assert all(0 <= w <= DOREMI_K for w in ws)
+        assert DOREMI_K - s <= sum(ws) <= DOREMI_K
+    by_excess = sorted(rows, key=lambda r: r["excess9"])
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a["w3"] <= b["w3"] + 1  # +1: independent floor-div slack
