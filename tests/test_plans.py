@@ -489,3 +489,22 @@ def test_canonical_election_rides_staged_artifacts(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan}"
+
+
+def test_doremi_scans_token_stage_once(spark, sf_dir):
+    """q132's corpus-sized staged token table must appear ONCE in the plan:
+    the ref -> n -> nlp chain reads the tiny staged histogram instead of
+    re-aggregating the token stage per consumer (observed three token-stage
+    scans unstaged)."""
+    plan = formatted_plan(QUERIES["q132_doremi_mixture"](spark, sf_dir))
+    toks_scans = plan.count("stage_dsir_toks")
+    assert toks_scans <= 1, f"token stage scanned {toks_scans}x:\n{plan[:2000]}"
+
+
+def test_hybrid_audit_semi_filters_embeddings(spark, sf_dir):
+    """q137 must reduce the corpus-sized embeddings table through a semi
+    join on candidate ids BEFORE the vector joins -- the property that
+    keeps its exchanges near-dup-sized at any corpus size."""
+    plan = formatted_plan(QUERIES["q137_hybrid_dedup_audit"](spark, sf_dir))
+    assert "LeftSemi" in plan, f"no semi filter in plan:\n{plan[:2000]}"
+    assert_no_cartesian(QUERIES["q137_hybrid_dedup_audit"](spark, sf_dir))

@@ -167,6 +167,32 @@ SHOW = {
         "the whole pipeline with exactly two exchanges (fp window + "
         "groupBy)."
     ),
+    "q132_doremi_mixture": (
+        "DoReMi mixture rounds: the corpus-sized staged token table is "
+        "scanned ONCE in this plan (the <=1024-row bucket histogram is "
+        "itself staged -- unstaged it re-aggregated the token table three "
+        "times); the surprisal table broadcasts into one per-source "
+        "aggregate; the multiplicative-weight rounds are window arithmetic "
+        "over an S-row frame."
+    ),
+    "q133_semantic_decontam": (
+        "Semantic decontamination: q103's cell-confined pair shape with "
+        "test x train sides -- cell-keyed equi-join over the staged "
+        "assignment, hot cells salted, no CartesianProduct, one embeddings "
+        "scan via the shared stage."
+    ),
+    "q134_volume_shipping": (
+        "TPC-H Q7 shape: two independent dimension chains off lineitem; "
+        "nation broadcast on both sides, supplier/customer as AQE build "
+        "sides; the only corpus-sized exchange is lineitem-orders on the "
+        "natural key, then one map-side-combined aggregate."
+    ),
+    "q137_hybrid_dedup_audit": (
+        "Hybrid dedup audit: corpus-sized embeddings SEMI-filtered to "
+        "candidate ids before unit-normalization (AQE demotes the semi "
+        "join to broadcast when the candidate set is small); both vector "
+        "joins carry a near-dup-sized row set, never the corpus."
+    ),
 }
 
 
