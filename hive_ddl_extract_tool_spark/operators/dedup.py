@@ -1250,6 +1250,77 @@ LEFT JOIN n b ON b.vec_id = p.doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# q141: k-hop neighborhood via Spark's NATIVE recursive CTE (Spark 4)
+# --------------------------------------------------------------------------
+
+KHOP_DEPTH = 3  # bounded recursion: UNION-dedup inside recursive CTEs is
+                # not yet supported (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+                # so a cyclic closure must cap depth to terminate
+
+
+def q141_khop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per node of the near-dup graph: how many documents are within
+    KHOP_DEPTH hops, and the minimum reachable doc id -- the graph-
+    expansion statistic behind contamination blast-radius estimates
+    ("if this doc is bad, how many does it taint within k links?").
+
+    The point of this operator is the ENGINE FEATURE: Spark 4's native
+    `WITH RECURSIVE` runs the traversal inside Catalyst (per-round joins
+    planned by the engine, not hand-unrolled like q124's fixed-point
+    PageRank or driven from the driver like q68's CC loop); DuckDB runs
+    the IDENTICAL recursive SQL, so parity checks engine-native recursion
+    against engine-native recursion. Depth is capped (UNION ALL revisits
+    nodes on cycles; UNION-dedup recursion isn't supported yet), which
+    also bounds the path fan-out -- near-dup components are small, so
+    k-hop at depth 3 equals full closure except on components of
+    diameter > 3 (q68 computes the exact closure; this is its bounded
+    recursive-SQL twin). Cost shape: the recursion runs over the staged
+    near-dup EDGE set -- orders of magnitude smaller than the corpus --
+    and each round is an edge-keyed equi-join."""
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("q141_edges")
+    return spark.sql(f"""
+WITH RECURSIVE sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM q141_edges
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM q141_edges
+),
+reach(src, node, depth) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM sym)
+  UNION ALL
+  SELECT r.src, s.b, r.depth + 1 FROM reach r JOIN sym s ON r.node = s.a
+  WHERE r.depth < {KHOP_DEPTH}
+)
+SELECT src AS doc_id,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_khop,
+       CAST(min(node) AS BIGINT) AS min_reach_id
+FROM reach
+GROUP BY src
+""")
+
+
+ORACLE_Q141 = f"""
+WITH RECURSIVE pairs AS ({ORACLE_Q42}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, node, depth) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM sym)
+  UNION ALL
+  SELECT r.src, s.b, r.depth + 1 FROM reach r JOIN sym s ON r.node = s.a
+  WHERE r.depth < {KHOP_DEPTH}
+)
+SELECT src AS doc_id,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_khop,
+       CAST(min(node) AS BIGINT) AS min_reach_id
+FROM reach
+GROUP BY src
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1267,6 +1338,7 @@ QUERIES = {
     "q128_incremental_dedup": q128_incremental_dedup,
     "q130_canonical_election": q130_canonical_election,
     "q137_hybrid_dedup_audit": q137_hybrid_dedup_audit,
+    "q141_khop_neighborhood": q141_khop_neighborhood,
 }
 
 ORACLES = {
@@ -1286,4 +1358,5 @@ ORACLES = {
     "q128_incremental_dedup": ORACLE_Q128,
     "q130_canonical_election": ORACLE_Q130,
     "q137_hybrid_dedup_audit": ORACLE_Q137,
+    "q141_khop_neighborhood": ORACLE_Q141,
 }

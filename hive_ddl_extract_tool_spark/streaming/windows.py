@@ -30,6 +30,36 @@ TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 SESSION_GAP = "30 minutes"
 
+# State-store partition count for the stream-stream joins (q107/q140). A
+# stateful query fixes its shuffle-partition count at the FIRST checkpoint,
+# so this is a per-query sizing decision, not a session default: each
+# partition costs a state store instance + a task per stateful operator per
+# micro-batch, and at replay volumes (~1M events) 32 partitions spend more
+# on per-batch task/state overhead than on data (measured 20 s -> 11.5 s at
+# sf0.1 going 32 -> 8). On a cluster, size it like any state store:
+# ~stream-rate x state horizon / healthy-partition-size, growing with
+# volume -- the env override is the knob.
+import os as _os
+
+STREAM_JOIN_PARTITIONS = int(_os.environ.get("SPARK_GRAFT_STREAM_JOIN_PARTITIONS", "8"))
+
+
+class _stream_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions while a streaming query
+    STARTS (the checkpoint snapshots it); restores the session value after.
+    The drive/bench run queries sequentially, so the temporary pin cannot
+    leak into a concurrent batch plan."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
 
 # --------------------------------------------------------------------------
 # q60: tumbling window (5 minutes)
@@ -377,11 +407,12 @@ def q107_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_val").alias("click_value"),
         )
     )
-    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -660,18 +691,19 @@ def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows never flushed (observed; the nastiest kind of pushdown bug:
     # the optimization is correct for the DATA and wrong for the CLOCK).
     # Sentinels are filtered from the drained BATCH table instead.
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-        shutil.rmtree(run_dir, ignore_errors=True)
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+            shutil.rmtree(run_dir, ignore_errors=True)
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
