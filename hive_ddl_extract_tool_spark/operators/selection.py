@@ -169,6 +169,36 @@ FROM q
 QB_SCALE = 1000  # quality-score buckets: floor(score * 1000)
 
 
+def _quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, source, n_tok, qb): every document's token count and
+    quantized q34 quality bucket -- ONE corpus scoring pass shared by q102
+    (histogram threshold + selection join) and q142 (gate calibration).
+    Shared q34 score tree (text._quality_score), denominator-guarded: a
+    zero-word doc gets NULL score -> NULL bucket -> excluded from bucket
+    joins identically on both engines."""
+    from ._cache import cached_df
+
+    def build_per() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
+        nwd = F.size("w").cast("double")
+        n_punct = F.regexp_count("text", F.lit(NON_ALNUM)).cast("double")
+        n_stop = _marker_count("en", F.col("w")).cast("double")
+        n_chars = F.length("text").cast("double")
+        score = F.when(
+            (nwd > 0) & (n_chars > 0),
+            _quality_score(nwd, n_stop, n_punct, n_chars),
+        )
+        return w.select(
+            "doc_id",
+            "source",
+            F.size("w").cast("bigint").alias("n_tok"),
+            F.floor(score * QB_SCALE).cast("bigint").alias("qb"),
+        )
+
+    return cached_df(spark, f"quality_buckets:{sf_dir}", build_per)
+
+
 def q102_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select the highest-quality documents that fit a token budget (1/3 of
     the corpus), reported per source. NOT a global sort: the scalable shape
@@ -190,30 +220,7 @@ def q102_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (no CSE across Spark subtrees; the q42 lesson). The histogram
     side of the selection join is <= QB_SCALE+1 rows by construction at any
     corpus size, so it broadcasts explicitly."""
-    from ._cache import cached_df
-
-    def build_per() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        w = docs.select("doc_id", "source", "text", _words(F.lower("text")).alias("w"))
-        nwd = F.size("w").cast("double")
-        n_punct = F.regexp_count("text", F.lit(NON_ALNUM)).cast("double")
-        n_stop = _marker_count("en", F.col("w")).cast("double")
-        n_chars = F.length("text").cast("double")
-        # Shared q34 score tree (text._quality_score), denominator-guarded:
-        # a zero-word doc gets NULL score -> NULL bucket -> excluded from
-        # the histogram join identically on both engines.
-        score = F.when(
-            (nwd > 0) & (n_chars > 0),
-            _quality_score(nwd, n_stop, n_punct, n_chars),
-        )
-        return w.select(
-            "doc_id",
-            "source",
-            F.size("w").cast("bigint").alias("n_tok"),
-            F.floor(score * QB_SCALE).cast("bigint").alias("qb"),
-        )
-
-    per = cached_df(spark, f"quality_buckets:{sf_dir}", build_per)
+    per = _quality_buckets(spark, sf_dir)
     hist = per.groupBy("qb").agg(F.sum("n_tok").alias("tok_s"))
     # tokens in strictly-better buckets + the budget, as 1-row-per-bucket
     # scalars (window over the bounded histogram)
@@ -556,30 +563,44 @@ QC_B = 512            # classifier feature buckets
 QC_W_RANGE = 1000     # weights uniform in [-1000, 1000]
 
 
+def _classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, source, score): every document's hashed-linear
+    classifier score -- ONE inference pass shared by q123 (per-source
+    accept report) and q142 (calibration vs the heuristic score). The
+    512-row weight table is generated (spark.range -- no scan) and
+    broadcasts into the one token explode; doc scores are one map-side-
+    combined aggregate. Zero-word docs produce no token rows, hence no
+    score row -- excluded identically on both engines."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        weights = spark.range(QC_B).select(
+            F.col("id").alias("b"),
+            (
+                h60(F.concat(F.lit("qw_"), F.col("id").cast("string"))) % (2 * QC_W_RANGE + 1)
+                - QC_W_RANGE
+            ).alias("w"),
+        )
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "source", F.explode(_words(F.lower("text"))).alias("tok")
+        ).select("doc_id", "source", (h60("tok") % F.lit(QC_B)).alias("b"))
+        return (
+            toks.join(F.broadcast(weights), "b")
+            .groupBy("doc_id", "source")
+            .agg(F.sum("w").alias("score"))
+        )
+
+    return cached_df(spark, f"qc_scores:{sf_dir}", build)
+
+
 def q123_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source acceptance report of the hashed linear classifier:
     score(doc) = sum over tokens of w[h(token) mod 512], accept if > 0.
     All integers end-to-end: weights are h60-derived integers, scores are
-    integer sums, the accept rate is integer ppm. Plan: the 512-row weight
-    table is generated (spark.range -- no scan) and broadcasts into the
-    one token explode; doc scores and the per-source report are two
-    map-side-combined aggregates."""
-    weights = spark.range(QC_B).select(
-        F.col("id").alias("b"),
-        (
-            h60(F.concat(F.lit("qw_"), F.col("id").cast("string"))) % (2 * QC_W_RANGE + 1)
-            - QC_W_RANGE
-        ).alias("w"),
-    )
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.explode(_words(F.lower("text"))).alias("tok")
-    ).select("doc_id", "source", (h60("tok") % F.lit(QC_B)).alias("b"))
-    scored = (
-        toks.join(F.broadcast(weights), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("w").alias("score"))
-    )
+    integer sums, the accept rate is integer ppm (see _classifier_scores
+    for the staged inference pass)."""
+    scored = _classifier_scores(spark, sf_dir)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("score") > 0).cast("bigint")).alias("n_accept"),
@@ -887,6 +908,73 @@ SELECT source, n_tok, h9, excess9, w1, w2, w3 FROM r3
 """
 
 
+# --------------------------------------------------------------------------
+# q142: gate calibration -- heuristic quality score vs learned-gate decision
+# --------------------------------------------------------------------------
+
+def q142_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the two quality gates every curation stack runs in
+    parallel: per DECILE of the q34 heuristic score, how often the q123
+    hashed classifier accepts -- the table that decides whether the cheap
+    heuristic can pre-filter for the expensive model (high agreement in
+    the tails => gate early, disagreement in the middle => send only that
+    band to the classifier). Composes the two STAGED passes (quality
+    buckets, classifier scores) with one doc_id equi-join -- zero new
+    corpus scans in a session that ran q102/q123. Decile = qb/100 capped
+    at 9 (identical integer arithmetic both engines; zero-word docs have
+    NULL bucket and no score row, excluded by the inner join on both
+    sides). All outputs integer."""
+    per = _quality_buckets(spark, sf_dir).filter(F.col("qb").isNotNull())
+    scored = _classifier_scores(spark, sf_dir).select("doc_id", "score")
+    decile = F.least(F.lit(9), F.expr("qb DIV 100")).cast("bigint")
+    return (
+        per.join(scored, "doc_id")
+        .select(decile.alias("decile"), (F.col("score") > 0).alias("accept"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("accept").cast("bigint")).alias("n_accept"),
+            F.expr(
+                "CAST(sum(CASE WHEN accept THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("accept_ppm"),
+        )
+    )
+
+
+ORACLE_Q142 = f"""
+WITH w AS (
+  SELECT doc_id, source, text, {_WORDS_SQL} AS w FROM documents
+),
+per AS (
+  SELECT doc_id,
+         CAST(floor((CASE WHEN len(w) > 0 AND length(text) > 0 THEN {_Q102_SCORE_SQL} END
+         ) * {QB_SCALE}) AS BIGINT) AS qb
+  FROM w
+),
+wt AS (
+  SELECT range AS b,
+         {h60_sql("'qw_' || CAST(range AS VARCHAR)")} % {2 * QC_W_RANGE + 1} - {QC_W_RANGE} AS w
+  FROM range({QC_B})
+),
+tok AS (
+  SELECT doc_id, {h60_sql("tok")} % {QC_B} AS b
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+scored AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+  FROM tok JOIN wt USING (b)
+  GROUP BY 1
+)
+SELECT CAST(least(9, p.qb // 100) AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       CAST(sum(CASE WHEN s.score > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS accept_ppm
+FROM per p JOIN scored s USING (doc_id)
+WHERE p.qb IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -898,6 +986,7 @@ QUERIES = {
     "q125_source_divergence": q125_source_divergence,
     "q126_dsir_resample": q126_dsir_resample,
     "q132_doremi_mixture": q132_doremi_mixture,
+    "q142_gate_agreement": q142_gate_agreement,
 }
 
 ORACLES = {
@@ -911,4 +1000,5 @@ ORACLES = {
     "q125_source_divergence": ORACLE_Q125,
     "q126_dsir_resample": ORACLE_Q126,
     "q132_doremi_mixture": ORACLE_Q132,
+    "q142_gate_agreement": ORACLE_Q142,
 }
