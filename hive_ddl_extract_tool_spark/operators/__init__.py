@@ -81,6 +81,7 @@ _PRIORITY = [
     "q140_stream_outer_join",
     "q141_khop_neighborhood",
     "q142_gate_agreement",
+    "q143_waiting_suppliers",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

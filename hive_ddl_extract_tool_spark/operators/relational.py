@@ -790,6 +790,71 @@ WHERE bal_cents = (SELECT min(bal_cents) FROM j j2 WHERE j2.p_partkey = j.p_part
 """
 
 
+# --------------------------------------------------------------------------
+# q143: TPC-H Q21 shape -- EXISTS + NOT-EXISTS against the same fact table
+# --------------------------------------------------------------------------
+
+LATE_DAYS = 60  # 'late' proxy: shipped > 60 days after the order date
+
+
+def q143_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape -- the hardest correlated-subquery pattern in the
+    suite: count, per supplier, the late lineitems on multi-supplier
+    orders where NO OTHER supplier was late (EXISTS + NOT EXISTS both
+    correlated against the same fact table). The textbook form is a
+    quadruple self-join of lineitem; the scalable reformulation aggregates
+    FIRST: one pass computes per-order distinct-supplier and distinct-
+    late-supplier counts, the qualifying orders (n_supp > 1 AND
+    n_late_supp = 1) are a tiny survivor set, and the late lines join
+    back against it -- two scans of the fact table, one order-keyed
+    exchange each, no self-join explosion. 'Late' is shipdate > orderdate
+    + LATE_DAYS (this schema has no receipt/commit dates); counting is
+    per late LINE, exactly matching the oracle's literal EXISTS/NOT
+    EXISTS formulation. Top-20 ties break on s_name
+    (TakeOrderedAndProject)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    target = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)).select(
+        "l_orderkey"
+    )
+    return (
+        lines.filter(F.col("late"))
+        .join(target, "l_orderkey")
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q143 = f"""
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -810,6 +875,7 @@ QUERIES = {
     "q134_volume_shipping": q134_volume_shipping,
     "q135_market_share": q135_market_share,
     "q139_cheapest_supplier": q139_cheapest_supplier,
+    "q143_waiting_suppliers": q143_waiting_suppliers,
 }
 
 ORACLES = {
@@ -831,5 +897,6 @@ ORACLES = {
     "q134_volume_shipping": ORACLE_Q134,
     "q135_market_share": ORACLE_Q135,
     "q139_cheapest_supplier": ORACLE_Q139,
+    "q143_waiting_suppliers": ORACLE_Q143,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }
