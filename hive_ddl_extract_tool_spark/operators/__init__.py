@@ -82,6 +82,7 @@ _PRIORITY = [
     "q141_khop_neighborhood",
     "q142_gate_agreement",
     "q143_waiting_suppliers",
+    "q144_dup_ngram_chars",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -772,6 +772,99 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# q144: duplicate-n-gram character fraction (the remaining Gopher rep rule)
+# --------------------------------------------------------------------------
+
+DUPG_N = 3           # word n-gram order
+DUPG_MAX_PPM = 100_000  # gate: docs above 10% duplicated-gram mass fail
+
+
+def q144_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram rule (Rae et al. 2021 §A1.1): the
+    fraction of text mass sitting in word 3-grams that repeat WITHIN the
+    document -- the signal that catches looping boilerplate q71's
+    distinct-word ratio and top-bigram mode both miss (a doc can have high
+    lexical diversity and still loop a 40-word paragraph). Mass is
+    measured in gram characters (standard approximation of 'characters in
+    duplicated n-grams': overlapping-span bookkeeping is not worth a
+    shuffle): dup_ppm = sum over grams with count >= 2 of count*len(gram)
+    * 1e6 DIV sum over all grams of count*len(gram). Exact integers end
+    to end. Per source: docs, mean ppm, worst ppm, gate failures.
+
+    Plan shape: one explode -> (doc, gram) map-side-combined count ->
+    per-doc integer masses -> per-source rollup; both shuffles are keyed
+    by doc (bounded by token count, never pairwise)."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", _words(F.lower("text")).alias("w"))
+    n = F.size("w")
+    grams = F.when(
+        n >= DUPG_N,
+        F.transform(
+            F.sequence(F.lit(1), n - DUPG_N + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + j) for j in range(DUPG_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        w.select("doc_id", "source", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "source", "g")
+        .agg(F.count(F.lit(1)).alias("c"), F.length(F.first("g")).alias("glen"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("glen")).alias("total_mass"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("glen")).otherwise(0)).alias(
+                "dup_mass"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(dup_mass * 1000000 DIV total_mass AS BIGINT)").alias("dup_ppm"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(dup_ppm) DIV count(*) AS BIGINT)").alias("mean_dup_ppm"),
+        F.max("dup_ppm").alias("max_dup_ppm"),
+        F.sum((F.col("dup_ppm") > DUPG_MAX_PPM).cast("bigint")).alias("n_gate_fail"),
+    )
+
+
+ORACLE_Q144 = f"""
+WITH w AS (
+  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(w) >= {DUPG_N}
+         THEN list_transform(range(1, len(w) - {DUPG_N} + 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END) AS gram
+  FROM w
+),
+gc AS (
+  SELECT doc_id, source, gram, count(*) AS c, length(gram) AS glen
+  FROM g GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, source,
+         CAST(sum(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) * 1000000
+              // sum(c * glen) AS BIGINT) AS dup_ppm
+  FROM gc GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(dup_ppm) // count(*) AS BIGINT) AS mean_dup_ppm,
+       max(dup_ppm) AS max_dup_ppm,
+       CAST(sum(CASE WHEN dup_ppm > {DUPG_MAX_PPM} THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_fail
+FROM per
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
@@ -781,6 +874,7 @@ QUERIES = {
     "q35_tfidf_topterms": q35_tfidf_topterms,
     "q36_hash_split": q36_hash_split,
     "q71_repetition_metrics": q71_repetition_metrics,
+    "q144_dup_ngram_chars": q144_dup_ngram_chars,
     "q73_stratified_sample": q73_stratified_sample,
     "q76_heavy_hitters": q76_heavy_hitters,
     "q90_sequence_packing": q90_sequence_packing,
@@ -797,6 +891,7 @@ ORACLES = {
     "q35_tfidf_topterms": ORACLE_Q35,
     "q36_hash_split": ORACLE_Q36,
     "q71_repetition_metrics": ORACLE_Q71,
+    "q144_dup_ngram_chars": ORACLE_Q144,
     "q73_stratified_sample": ORACLE_Q73,
     "q76_heavy_hitters": ORACLE_Q76,
     "q90_sequence_packing": ORACLE_Q90,
