@@ -573,25 +573,30 @@ def _classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score row -- excluded identically on both engines."""
     from ._cache import cached_df
 
-    def build() -> DataFrame:
-        weights = spark.range(QC_B).select(
-            F.col("id").alias("b"),
-            (
-                h60(F.concat(F.lit("qw_"), F.col("id").cast("string"))) % (2 * QC_W_RANGE + 1)
-                - QC_W_RANGE
-            ).alias("w"),
-        )
-        docs = load(spark, sf_dir, "documents")
-        toks = docs.select(
-            "doc_id", "source", F.explode(_words(F.lower("text"))).alias("tok")
-        ).select("doc_id", "source", (h60("tok") % F.lit(QC_B)).alias("b"))
-        return (
-            toks.join(F.broadcast(weights), "b")
-            .groupBy("doc_id", "source")
-            .agg(F.sum("w").alias("score"))
-        )
+    return cached_df(
+        spark, f"qc_scores:{sf_dir}", lambda: _build_classifier_scores(spark, sf_dir)
+    )
 
-    return cached_df(spark, f"qc_scores:{sf_dir}", build)
+
+def _build_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unstaged inference pipeline (exposed for the plan audit: one
+    documents scan, broadcast weight join)."""
+    weights = spark.range(QC_B).select(
+        F.col("id").alias("b"),
+        (
+            h60(F.concat(F.lit("qw_"), F.col("id").cast("string"))) % (2 * QC_W_RANGE + 1)
+            - QC_W_RANGE
+        ).alias("w"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_words(F.lower("text"))).alias("tok")
+    ).select("doc_id", "source", (h60("tok") % F.lit(QC_B)).alias("b"))
+    return (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("score"))
+    )
 
 
 def q123_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

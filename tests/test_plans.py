@@ -418,10 +418,15 @@ def test_dsir_weight_table_is_broadcast(spark, sf_dir):
 
 
 def test_quality_classifier_weights_broadcast_no_scan(spark, sf_dir):
-    """q123's weight table is generated (spark.range), so the plan must
-    show EXACTLY one parquet scan (the corpus) and a broadcast join for
-    the 512-row weight side."""
-    df = QUERIES["q123_quality_classifier"](spark, sf_dir)
+    """The classifier inference BUILD pipeline (staged once, shared by
+    q123/q142) must show EXACTLY one parquet scan (the corpus) and a
+    broadcast join for the generated 512-row weight side; the registered
+    q123 then reads only the staged score table."""
+    from hive_ddl_extract_tool_spark.operators.selection import (
+        _build_classifier_scores,
+    )
+
+    df = _build_classifier_scores(spark, sf_dir)
     assert_broadcast_join(df)
     plan = formatted_plan(df)
     import re
@@ -429,6 +434,8 @@ def test_quality_classifier_weights_broadcast_no_scan(spark, sf_dir):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1, f"expected exactly one parquet scan:\n{plan}"
     assert "documents.parquet" in plan, plan
+    final = formatted_plan(QUERIES["q123_quality_classifier"](spark, sf_dir))
+    assert "qc_scores" in final, f"q123 should read the staged scores:\n{final}"
 
 
 def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
