@@ -83,6 +83,8 @@ _PRIORITY = [
     "q142_gate_agreement",
     "q143_waiting_suppliers",
     "q144_dup_ngram_chars",
+    "q145_decontam_dashboard",
+    "q146_source_embedding_drift",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

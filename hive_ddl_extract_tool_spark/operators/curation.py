@@ -252,14 +252,115 @@ GROUP BY source, {split_case}
 ORACLE_Q112 = _oracle_q112()
 
 
+# --------------------------------------------------------------------------
+# q145: decontamination dashboard -- all three probes, one method-tagged table
+# --------------------------------------------------------------------------
+
+def q145_decontam_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page decontamination report an eval release publishes: each
+    detection method's candidate population, flagged count, and flag rate
+    -- lexical word-8-grams (q104), verified near-dup pairs crossing the
+    split (q86), and embedding cosine inside k-means cells (q133). The
+    three probes catch different leaks (verbatim spans, whole-document
+    copies, paraphrases), so the dashboard is the union, not a
+    replacement; verifying it jointly also pins the COMPOSITION of three
+    staged artifacts (split grams, pair set, cell assignment) the way q112
+    does for the curation funnel. Denominators differ by construction and
+    are part of the contract: gram-eligible test docs / all test docs /
+    embedded test vectors. All integers; zero new corpus scans in a
+    session that ran the constituents."""
+    from .dedup import q86_decontamination
+    from .selection import q104_ngram_decontam
+    from .similarity import q133_semantic_decontam
+    from .text import SPLIT_SEED
+
+    m1 = (
+        q104_ngram_decontam(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("n_hit") > 0).cast("bigint")).alias("n_flagged"),
+        )
+        .select(F.lit("lexical_8gram").alias("method"), "n_candidates", "n_flagged")
+    )
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    n_test = docs.filter(bucket >= 90).agg(F.count(F.lit(1)).alias("n_candidates"))
+    flagged2 = (
+        q86_decontamination(spark, sf_dir)
+        .select("test_doc")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    m2 = n_test.crossJoin(flagged2).select(
+        F.lit("neardup_pair").alias("method"), "n_candidates", "n_flagged"
+    )
+    m3 = (
+        q133_semantic_decontam(spark, sf_dir)
+        .agg(
+            F.sum("n_test").alias("n_candidates"),
+            F.sum("n_contam").alias("n_flagged"),
+        )
+        .select(F.lit("semantic_cosine").alias("method"), "n_candidates", "n_flagged")
+    )
+    return (
+        m1.unionByName(m2)
+        .unionByName(m3)
+        .select(
+            "method",
+            "n_candidates",
+            "n_flagged",
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN CAST(n_flagged * 1000000 DIV n_candidates AS BIGINT) END"
+            ).alias("flagged_ppm"),
+        )
+    )
+
+
+def _oracle_q145() -> str:
+    from .dedup import ORACLE_Q86
+    from .selection import ORACLE_Q104
+    from .similarity import ORACLE_Q133
+    from .text import SPLIT_SEED
+
+    hk = h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH u AS (
+  SELECT 'lexical_8gram' AS method,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+  FROM ({ORACLE_Q104}) q104
+  UNION ALL
+  SELECT 'neardup_pair',
+         (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE {hk} % 100 >= 90),
+         (SELECT CAST(count(DISTINCT test_doc) AS BIGINT) FROM ({ORACLE_Q86}) q86)
+  UNION ALL
+  SELECT 'semantic_cosine',
+         CAST(sum(n_test) AS BIGINT),
+         CAST(sum(n_contam) AS BIGINT)
+  FROM ({ORACLE_Q133}) q133
+)
+SELECT method, n_candidates, n_flagged,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_flagged * 1000000 // n_candidates AS BIGINT) END AS flagged_ppm
+FROM u
+"""
+
+
+ORACLE_Q145 = _oracle_q145()
+
+
 QUERIES = {
     "q94_source_overlap": q94_source_overlap,
     "q95_curation_report": q95_curation_report,
     "q112_training_manifest": q112_training_manifest,
+    "q145_decontam_dashboard": q145_decontam_dashboard,
 }
 
 ORACLES = {
     "q94_source_overlap": ORACLE_Q94,
     "q95_curation_report": ORACLE_Q95,
     "q112_training_manifest": ORACLE_Q112,
+    "q145_decontam_dashboard": ORACLE_Q145,
 }

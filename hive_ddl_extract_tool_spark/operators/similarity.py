@@ -1331,6 +1331,121 @@ ORACLE_Q133 = _oracle_q133()
 
 
 # --------------------------------------------------------------------------
+# q146: per-source embedding drift (cosine of source mean to corpus mean)
+# --------------------------------------------------------------------------
+
+Q12C = 10**12  # fixed-point scale for the cosine's per-dim contributions
+
+
+def q146_source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per source shard: the cosine between each
+    source's MEAN embedding and the corpus mean -- the vector-space twin
+    of q125's token-space divergence matrix (a shard whose centroid swings
+    away from the corpus is changing topic/style even if its vocabulary
+    looks stable). Joins documents to embeddings on the shared id space
+    (vec_id = doc_id; embeddings lag ingest, so the inner join scopes the
+    report to embedded docs identically in both engines).
+
+    Plan shape: ONE corpus join + one grouped aggregate with DIM exact
+    fixed-point sum columns (q87's wide-aggregate discipline -- the
+    shuffle carries per-partition partials, never a DIM-fold explode);
+    the S-row result unpivots via stack() and everything after runs on
+    S x DIM rows. Exactness: means derive from exact integer sums; each
+    per-dim cosine contribution is floor-quantized to 1e-12 before the
+    integer sum (q92's order-free discipline), and the final
+    dot/sqrt/round formula text is identical in both engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = emb.join(docs, "vec_id")
+    aggs = [F.count(F.lit(1)).alias("n_s")] + [
+        F.sum(
+            F.floor(F.element_at("embedding", k + 1).cast("double") * F.lit(float(Q20)))
+            .cast("decimal(18,0)")
+        ).alias(f"s{k}")
+        for k in range(DIM)
+    ]
+    wide = j.groupBy("source").agg(*aggs)
+    stack_args = ", ".join(f"{k}, s{k}" for k in range(DIM))
+    long = wide.select(
+        "source", "n_s", F.expr(f"stack({DIM}, {stack_args}) AS (dim, s)")
+    )
+    wd = W.partitionBy("dim")
+    per = long.select(
+        "source",
+        "n_s",
+        "dim",
+        (F.col("s").cast("double") / F.col("n_s") / F.lit(float(Q20))).alias("a"),
+        (
+            F.sum("s").over(wd).cast("double")
+            / F.sum("n_s").over(wd)
+            / F.lit(float(Q20))
+        ).alias("b"),
+    ).select(
+        "source",
+        "n_s",
+        F.floor(F.col("a") * F.col("b") * F.lit(float(Q12C))).cast("bigint").alias("ab"),
+        F.floor(F.col("a") * F.col("a") * F.lit(float(Q12C))).cast("bigint").alias("aa"),
+        F.floor(F.col("b") * F.col("b") * F.lit(float(Q12C))).cast("bigint").alias("bb"),
+    )
+    g = per.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_vecs"),
+        F.sum("ab").alias("dotq"),
+        F.sum("aa").alias("naq"),
+        F.sum("bb").alias("nbq"),
+    )
+    drift = F.when(
+        (F.col("naq") > 0) & (F.col("nbq") > 0),
+        F.round(
+            F.col("dotq")
+            / (F.sqrt(F.col("naq").cast("double")) * F.sqrt(F.col("nbq").cast("double"))),
+            6,
+        ),
+    )
+    return g.select("source", "n_vecs", drift.alias("drift_cos6"))
+
+
+ORACLE_Q146 = f"""
+WITH m AS (
+  SELECT d.source, p.i AS dim, count(*) AS n_s,
+         sum(CAST(floor(CAST(e.embedding[p.i] AS DOUBLE) * {Q20}.0) AS DECIMAL(18,0))) AS s
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id,
+       (SELECT unnest(range(1, {DIM} + 1)) AS i) p
+  GROUP BY 1, 2
+),
+ab AS (
+  SELECT source, n_s,
+         CAST(s AS DOUBLE) / n_s / {Q20}.0 AS a,
+         CAST(sum(s) OVER (PARTITION BY dim) AS DOUBLE)
+           / sum(n_s) OVER (PARTITION BY dim) / {Q20}.0 AS b
+  FROM m
+),
+per AS (
+  SELECT source, n_s,
+         CAST(floor(a * b * {Q12C}.0) AS BIGINT) AS ab,
+         CAST(floor(a * a * {Q12C}.0) AS BIGINT) AS aa,
+         CAST(floor(b * b * {Q12C}.0) AS BIGINT) AS bb
+  FROM ab
+),
+g AS (
+  SELECT source,
+         CAST(max(n_s) AS BIGINT) AS n_vecs,
+         CAST(sum(ab) AS BIGINT) AS dotq,
+         CAST(sum(aa) AS BIGINT) AS naq,
+         CAST(sum(bb) AS BIGINT) AS nbq
+  FROM per GROUP BY source
+)
+SELECT source, n_vecs,
+       CASE WHEN naq > 0 AND nbq > 0
+            THEN round(dotq / (sqrt(CAST(naq AS DOUBLE)) * sqrt(CAST(nbq AS DOUBLE))), 6)
+       END AS drift_cos6
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # q117: PCA top component via power iteration on exact sufficient statistics
 # --------------------------------------------------------------------------
 
@@ -1479,6 +1594,7 @@ QUERIES = {
     "q99_label_purity": q99_label_purity,
     "q103_semdedup": q103_semdedup,
     "q133_semantic_decontam": q133_semantic_decontam,
+    "q146_source_embedding_drift": q146_source_embedding_drift,
     "q117_pca_power_iteration": q117_pca_power_iteration,
 }
 
@@ -1496,6 +1612,7 @@ ORACLES = {
     "q87_embed_dim_stats": ORACLE_Q87,
     "q103_semdedup": ORACLE_Q103,
     "q133_semantic_decontam": ORACLE_Q133,
+    "q146_source_embedding_drift": ORACLE_Q146,
     "q117_pca_power_iteration": ORACLE_Q117,
     # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
 }
