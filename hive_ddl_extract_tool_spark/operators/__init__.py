@@ -85,6 +85,7 @@ _PRIORITY = [
     "q144_dup_ngram_chars",
     "q145_decontam_dashboard",
     "q146_source_embedding_drift",
+    "q147_sql_udf_chunks",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

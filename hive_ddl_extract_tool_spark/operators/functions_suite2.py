@@ -886,6 +886,66 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q147: SQL-defined functions (scalar UDF + table function) -- pure-SQL reuse
+# --------------------------------------------------------------------------
+
+SQLF_CHUNK = 100  # words per chunk
+
+
+def q147_sql_udf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-DEFINED functions -- the reuse surface that needs no
+    Python at all: a scalar SQL UDF (`CREATE TEMPORARY FUNCTION ...
+    RETURN expr`, here the shared-whitespace word count) and a SQL TABLE
+    function (`RETURNS TABLE ... RETURN SELECT`, here the fixed-width
+    chunk expansion) compose via a correlated LATERAL join into q78's
+    chunk-manifest semantics with zero UDTF machinery. Catalyst INLINES
+    both definitions, so the plan is identical to hand-written SQL --
+    the abstraction is free (no Python boundary, no black-box function
+    call); the DuckDB oracle states the same arithmetic inline, which is
+    exactly what the inliner produces. All integer outputs."""
+    from .text import WS
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q147_docs")
+    ws = WS.replace("\\", "\\\\")
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION q147_wc(t STRING) RETURNS BIGINT "
+        f"RETURN size(filter(split(t, '{ws}'), x -> x <> ''))"
+    )
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION q147_chunk_ix(n BIGINT)
+RETURNS TABLE(ci BIGINT, chunk_words BIGINT)
+RETURN SELECT i AS ci, least(i * {SQLF_CHUNK}, n) - (i - 1) * {SQLF_CHUNK} AS chunk_words
+FROM (SELECT explode(CASE WHEN n >= 1
+                          THEN sequence(1L, (n + {SQLF_CHUNK - 1}) DIV {SQLF_CHUNK})
+                          ELSE array() END) AS i)"""
+    )
+    # the scalar UDF resolves in a subquery, not as the TVF argument --
+    # nesting a SQL UDF call inside a SQL table function's argument is
+    # rejected (UNSUPPORTED_SQL_UDF_USAGE)
+    return spark.sql(
+        """SELECT d.doc_id, c.ci AS chunk_ix, c.chunk_words
+FROM (SELECT doc_id, q147_wc(text) AS n FROM q147_docs) d,
+     LATERAL q147_chunk_ix(d.n) c"""
+    )
+
+
+def _oracle_q147() -> str:
+    from .text import LOWER_WORDS_SQL  # noqa: F401 (documents the shared class)
+
+    wc = "len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))"
+    return f"""
+WITH d AS (SELECT doc_id, CAST({wc} AS BIGINT) AS n FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+       CAST(least(i * {SQLF_CHUNK}, n) - (i - 1) * {SQLF_CHUNK} AS BIGINT) AS chunk_words
+FROM d, LATERAL (SELECT unnest(range(1, CAST((n + {SQLF_CHUNK - 1}) // {SQLF_CHUNK} AS BIGINT) + 1)) AS i)
+WHERE n >= 1
+"""
+
+
+ORACLE_Q147 = _oracle_q147()
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -907,6 +967,7 @@ QUERIES = {
     "q77_variant_json": q77_variant_json,
     "q78_udtf_chunk": q78_udtf_chunk,
     "q138_cogroup_reconcile": q138_cogroup_reconcile,
+    "q147_sql_udf_chunks": q147_sql_udf_chunks,
 }
 
 ORACLES = {
@@ -929,5 +990,6 @@ ORACLES = {
     "q77_variant_json": ORACLE_Q77,
     "q78_udtf_chunk": ORACLE_Q78,
     "q138_cogroup_reconcile": ORACLE_Q138,
+    "q147_sql_udf_chunks": ORACLE_Q147,
     # q15b: rows-only (sketch-based)
 }
