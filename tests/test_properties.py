@@ -245,3 +245,35 @@ def test_doremi_weight_invariants(spark, sf_dir):
     by_excess = sorted(rows, key=lambda r: r["excess9"])
     for a, b in zip(by_excess, by_excess[1:]):
         assert a["w3"] <= b["w3"] + 1  # +1: independent floor-div slack
+
+
+def test_mround_epsilon_agrees_cross_engine_on_decimal_ties(spark):
+    """The money-rounding contract: for 2dp-quantized inputs (and the
+    derived x*(1-d) 1e-4-quantized products that land exactly on .xx5
+    boundaries), Spark's mround and the oracle's `round(1.37e-6 + x, 2)`
+    must agree value-for-value. Runs ONE batch of hostile values through
+    both engines instead of per-example sessions: every .005-tie in
+    [0, 20), plus scaled magnitudes where shortest-decimal vs binary
+    rounding historically diverged."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from hive_ddl_extract_tool_spark.operators._rounding import mround
+
+    vals = []
+    for k in range(0, 4000):  # 0.005, 0.015, ... 39.995 — every 2dp tie
+        vals.append((k * 10 + 5) / 1000.0)
+    for mag in (1.0, 1e3, 1e5, 3.11582535e5):  # known divergent magnitude
+        for k in range(50):
+            vals.append(mag + k * 0.005)
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in sdf.select("i", mround(F.col("x"), 2).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    exp = dict(con.sql("SELECT i, round(1.37e-6 + x, 2) AS y FROM t").fetchall())
+    diffs = {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
+    assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:5]}"
