@@ -86,6 +86,8 @@ _PRIORITY = [
     "q145_decontam_dashboard",
     "q146_source_embedding_drift",
     "q147_sql_udf_chunks",
+    "q148_top_supplier",
+    "q149_important_parts",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -855,6 +855,122 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q148: TPC-H Q15 shape -- global argmax over an aggregated view
+# --------------------------------------------------------------------------
+
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"  # one quarter of ship dates
+
+
+def q148_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape: aggregate a quarter's revenue per supplier, find
+    the maximum, and return the supplier(s) achieving it -- the
+    view + scalar-subquery-equality pattern. Revenue accumulates exact
+    integer 1e-4-dollar units, so the max-equality is an INTEGER compare:
+    ties are real ties, not float accidents, and the result set is
+    cross-engine identical by construction. Plan: one supplier-keyed
+    aggregate; the 1-row max broadcasts back over the tiny aggregate
+    (never the fact table); supplier names join onto the survivor set."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+    )
+    rev4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).cast("decimal(30,0)")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev4).cast("decimal(38,0)").alias("rev4")
+    )
+    top = per_supp.agg(F.max("rev4").alias("max_rev4"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("rev4") == F.col("max_rev4"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            mround(F.col("rev4").cast("double") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q148 = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT) AS rev4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}' AND l_shipdate < TIMESTAMP '{Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(1.37e-6 + CAST(rev4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev4 = (SELECT max(rev4) FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# q149: TPC-H Q11 shape -- share-of-total HAVING (important parts)
+# --------------------------------------------------------------------------
+
+Q11_MULT_NUM, Q11_MULT_DEN = 3, 2  # keep parts above 1.5x the average part value
+
+
+def q149_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: per-group value totals filtered by a HAVING
+    against a fraction of the GLOBAL total (a scalar subquery over the
+    same aggregate). The threshold is self-normalizing -- value > 1.5x
+    the AVERAGE part's value -- so the survivor set stays meaningful at
+    every scale factor (a fixed ppm share goes empty as the part universe
+    grows; Q11's own 0.0001/SF scaling makes the same point; 4 / 49 / 514
+    survivors at sf0.001/0.01/0.1). The predicate runs as exact integer
+    cross-multiplication (val4 * n_parts * DEN > NUM * total4): no float
+    division, so boundary
+    parts resolve identically cross-engine. Plan: one part-keyed
+    aggregate; the 1-row global total broadcasts back over the aggregate,
+    never the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    val4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity")).cast("bigint")
+    ).cast("decimal(30,0)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(val4).cast("decimal(38,0)").alias("val4")
+    )
+    total = per_part.agg(
+        F.sum("val4").cast("decimal(38,0)").alias("total4"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.expr(f"val4 * n_parts * {Q11_MULT_DEN} > {Q11_MULT_NUM} * total4"))
+        .select(
+            "l_partkey",
+            mround(F.col("val4").cast("double") / 100.0, 2).alias("part_value"),
+            F.expr("CAST(val4 * 1000000 DIV total4 AS BIGINT)").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_Q149 = f"""
+WITH p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS val4
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(val4) AS HUGEINT) AS total4, count(*) AS n_parts FROM p)
+SELECT l_partkey,
+       round(1.37e-6 + CAST(val4 AS DOUBLE) / 100.0, 2) AS part_value,
+       CAST(val4 * 1000000 // total4 AS BIGINT) AS share_ppm
+FROM p, t
+WHERE val4 * n_parts * {Q11_MULT_DEN} > {Q11_MULT_NUM} * total4
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -876,6 +992,8 @@ QUERIES = {
     "q135_market_share": q135_market_share,
     "q139_cheapest_supplier": q139_cheapest_supplier,
     "q143_waiting_suppliers": q143_waiting_suppliers,
+    "q148_top_supplier": q148_top_supplier,
+    "q149_important_parts": q149_important_parts,
 }
 
 ORACLES = {
@@ -898,5 +1016,7 @@ ORACLES = {
     "q135_market_share": ORACLE_Q135,
     "q139_cheapest_supplier": ORACLE_Q139,
     "q143_waiting_suppliers": ORACLE_Q143,
+    "q148_top_supplier": ORACLE_Q148,
+    "q149_important_parts": ORACLE_Q149,
     # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }
