@@ -193,6 +193,19 @@ SHOW = {
         "join to broadcast when the candidate set is small); both vector "
         "joins carry a near-dup-sized row set, never the corpus."
     ),
+    "q143_waiting_suppliers": (
+        "TPC-H Q21 without the quadruple self-join: ONE per-order "
+        "aggregate derives distinct-supplier and late-supplier counts, "
+        "the qualifying orders are a tiny survivor set (AQE broadcasts "
+        "it), and the late lines join back against it -- two fact scans, "
+        "no pair explosion."
+    ),
+    "q146_source_embedding_drift": (
+        "Embedding drift: one corpus join + a grouped aggregate carrying "
+        "DIM fixed-point decimal partial sums (no posexplode fan-out); "
+        "stack() unpivots the S-row result and the cosine math runs on "
+        "S x DIM rows."
+    ),
 }
 
 
