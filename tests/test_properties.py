@@ -277,3 +277,41 @@ def test_mround_epsilon_agrees_cross_engine_on_decimal_ties(spark):
     exp = dict(con.sql("SELECT i, round(1.37e-6 + x, 2) AS y FROM t").fetchall())
     diffs = {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
     assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:5]}"
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "qname",
+    [
+        "q01_pricing_summary",   # money sums
+        "q69_regression_stats",  # sufficient-statistic moments
+        "q92_bigram_lm_score",   # fixed-point log accumulation
+        "q113_zipf_fit",         # fixed-point OLS over top tokens
+        "q122_dsir_weights",     # fixed-point log-likelihood sums
+        "q132_doremi_mixture",   # integer multiplicative rounds
+        "q146_source_embedding_drift",  # 1e-12 quantized cosine terms
+    ],
+)
+def test_results_invariant_to_shuffle_partitioning(qname, spark, sf_dir):
+    """The order-free-accumulation claim, tested directly: changing
+    spark.sql.shuffle.partitions changes how partial aggregates combine,
+    so any result that survives 5-vs-default partitioning bit-identically
+    cannot depend on summation order. Every query above accumulates
+    through exact integers / fixed-point quantization precisely to earn
+    this property."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    q = all_queries()[qname]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {tuple(r) for r in q(spark, sf_dir).collect()}
+    clear_cache()  # staged artifacts must rebuild under the new partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        alt = {tuple(r) for r in q(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        clear_cache()
+    assert base == alt
