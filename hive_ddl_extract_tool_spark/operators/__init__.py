@@ -88,6 +88,14 @@ _PRIORITY = [
     "q147_sql_udf_chunks",
     "q148_top_supplier",
     "q149_important_parts",
+    "q150_shipping_priority",
+    "q151_small_qty_revenue",
+    "q152_predicate_bands",
+    "q153_promo_share",
+    "q154_returned_items",
+    "q155_nation_profit",
+    "q156_bpe_merge_rounds",
+    "q157_dataset_profile",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",
@@ -159,10 +167,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, relational, retrieval, selection, similarity, text
+    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer
     from ..streaming import windows
 
-    return (relational, functions_suite, functions_suite2, dedup, similarity, text, retrieval, curation, selection, multimodal, advanced, physical, windows)
+    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, profiling, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

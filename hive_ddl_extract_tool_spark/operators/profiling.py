@@ -1,0 +1,126 @@
+"""Dataset profiling (SURVEY.md §2B X57): one-pass per-table column
+statistics — the deequ/TFDV-style profile a 100 TB ingest runs before any
+curation decision (null fractions, cardinalities, value ranges feed schema
+checks, partition-key choice, and skew planning; q116 does the same for
+join keys specifically).
+
+One aggregation pass per table computes every profiled column's metrics
+(count / nulls / exact distinct / min / max) in a single scan — Spark
+plans the multi-distinct aggregate with one Expand over the scan, which
+is the honest distributed one-pass plan; the per-table 1-row result is
+then unpivoted to (table, column) rows with ``stack`` (driver never sees
+data). Min/max are emitted as engine-neutral canonical strings chosen per
+column kind — raw strings compare in binary order on both engines, money
+doubles quantize to integer cents BEFORE the min (the 2dp fixture quanta
+are not all exactly representable as doubles, so comparing raw casts
+would hit shortest-repr-vs-binary formatting divergence), timestamps
+become epoch microseconds — so the DuckDB oracle (generated from the SAME
+column spec, one SELECT per column) is hash-exact by construction.
+
+events.ts is deliberately NOT profiled: its parquet encoding rotates
+between NANOS and MICROS across data drops and only the Spark-side loader
+normalizes it (tables.py probe); o_orderdate covers the timestamp kind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# (table, column, kind): kind picks the canonical min/max representation.
+#   str   -> raw string, binary collation on both engines
+#   int   -> integer cast to string
+#   cents -> round(x*100) as bigint, then string (2dp-quantized doubles)
+#   ts    -> epoch microseconds as string (MICROS-encoded columns only)
+PROFILE_SPEC = [
+    ("orders", "o_orderstatus", "str"),
+    ("orders", "o_orderpriority", "str"),
+    ("orders", "o_totalprice", "cents"),
+    ("orders", "o_orderdate", "ts"),
+    ("documents", "lang", "str"),
+    ("documents", "source", "str"),
+    ("documents", "n_chars", "int"),
+    ("events", "event_type", "str"),
+    ("events", "user_id", "int"),
+    ("events", "value", "cents"),
+]
+
+
+def _repr_col(col: str, kind: str) -> Column:
+    c = F.col(col)
+    if kind == "cents":
+        return F.round(c * 100).cast("bigint")
+    if kind == "ts":
+        # Parquet MICROS columns read as timestamp_ntz; the loader pins the
+        # session to UTC (tables.py), so the ntz->ltz cast is the identity
+        # and unix_micros recovers the raw physical value.
+        return F.unix_micros(c.cast("timestamp"))
+    return c
+
+
+def _repr_sql(col: str, kind: str) -> str:
+    if kind == "cents":
+        return f"CAST(round({col} * 100) AS BIGINT)"
+    if kind == "ts":
+        return f"epoch_us({col})"
+    return col
+
+
+def q157_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders / documents / events: one aggregation pass
+    per table, unpivoted to a (tbl, col_name) metrics row per column."""
+    frames = []
+    for tbl in ("orders", "documents", "events"):
+        cols = [(c, k) for t, c, k in PROFILE_SPEC if t == tbl]
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c, k in cols:
+            aggs.append(F.count(c).alias(f"{c}__nn"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+            aggs.append(F.min(_repr_col(c, k)).cast("string").alias(f"{c}__mi"))
+            aggs.append(F.max(_repr_col(c, k)).cast("string").alias(f"{c}__ma"))
+        one = load(spark, sf_dir, tbl).agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', {c}__nn, {c}__nd, {c}__mi, {c}__ma" for c, _ in cols
+        )
+        frames.append(
+            one.select(
+                F.lit(tbl).alias("tbl"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS (col_name, nn, n_distinct, min_repr, max_repr)"
+                ),
+                "n_rows",
+            ).select(
+                "tbl",
+                "col_name",
+                "n_rows",
+                (F.col("n_rows") - F.col("nn")).alias("n_null"),
+                "n_distinct",
+                "min_repr",
+                "max_repr",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _profile_col_sql(tbl: str, col: str, kind: str) -> str:
+    rep = _repr_sql(col, kind)
+    return f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(min({rep}) AS VARCHAR) AS min_repr,
+       CAST(max({rep}) AS VARCHAR) AS max_repr
+FROM {tbl}"""
+
+
+ORACLE_Q157 = "\nUNION ALL".join(_profile_col_sql(t, c, k) for t, c, k in PROFILE_SPEC)
+
+
+QUERIES = {"q157_dataset_profile": q157_dataset_profile}
+ORACLES = {"q157_dataset_profile": ORACLE_Q157}

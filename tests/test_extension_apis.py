@@ -106,3 +106,17 @@ def test_run_cli_check_mode(capsys, sf_dir):
     assert main(["q05_distinct_users", sf_dir, "--check"]) == 0
     assert "OK: q05_distinct_users" in capsys.readouterr().out
     assert main(["q06_approx_distinct_users", sf_dir, "--check"]) == 2
+
+
+def test_bpe_merge_rounds_are_monotone(spark, sf_dir):
+    """Greedy BPE invariants on the real corpus: round 2's winning pair
+    count can never exceed round 1's (merging only removes or re-labels
+    pair occurrences -- every post-merge pair occurrence maps to at most
+    one pre-merge occurrence), and round 1 merges two single chars."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+
+    rows = {r["round"]: r for r in all_queries()["q156_bpe_merge_rounds"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["pair_count"] >= rows[2]["pair_count"] > 0
+    assert len(rows[1]["left_sym"]) == 1 and len(rows[1]["right_sym"]) == 1
+    assert rows[1]["merged"] == rows[1]["left_sym"] + rows[1]["right_sym"]

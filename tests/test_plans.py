@@ -515,3 +515,72 @@ def test_hybrid_audit_semi_filters_embeddings(spark, sf_dir):
     plan = formatted_plan(QUERIES["q137_hybrid_dedup_audit"](spark, sf_dir))
     assert "LeftSemi" in plan, f"no semi filter in plan:\n{plan[:2000]}"
     assert_no_cartesian(QUERIES["q137_hybrid_dedup_audit"](spark, sf_dir))
+
+
+def test_shipping_priority_topk_uses_heap(spark, sf_dir):
+    """q150's top-10 must run as TakeOrderedAndProject over the per-order
+    aggregate (a heap), never a global sort of all orders; both date
+    filters must reach their parquet scans."""
+    df = QUERIES["q150_shipping_priority"](spark, sf_dir)
+    assert_top_k_plan(df)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_small_qty_revenue_single_shuffle_no_self_join(spark, sf_dir):
+    """q151 decorrelates TPC-H Q17 as ONE window over l_partkey: the plan
+    must broadcast the filtered part set and contain exactly one data
+    shuffle (the window partitioning) -- a self-join formulation would
+    show a second lineitem scan."""
+    df = QUERIES["q151_small_qty_revenue"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, f"lineitem scanned twice:\n{plan[:2000]}"
+
+
+def test_predicate_bands_push_part_disjunction(spark, sf_dir):
+    """q152's OR-of-ANDs must split by side: the brand disjunction reaches
+    the part parquet scan as a pushed filter (Catalyst factors the
+    per-side disjuncts out of the join predicate)."""
+    df = QUERIES["q152_predicate_bands"](spark, sf_dir)
+    assert_pushed_filter(df, "p_brand")
+    assert_no_cartesian(df)
+
+
+def test_returned_items_topk_uses_heap(spark, sf_dir):
+    """q154's top-20 customers must run as a heap over the aggregate, and
+    the quarter filter must prune the orders scan before its join."""
+    df = QUERIES["q154_returned_items"](spark, sf_dir)
+    assert_top_k_plan(df)
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_nation_profit_pushes_name_filter(spark, sf_dir):
+    """q155's p_name substring filter must reach the part parquet scan:
+    the join should only ever see qualifying parts."""
+    df = QUERIES["q155_nation_profit"](spark, sf_dir)
+    assert_pushed_filter(df, "p_name")
+    assert_no_cartesian(df)
+
+
+def test_bpe_merge_works_off_staged_vocabulary(spark, sf_dir):
+    """q156 must do all its work on the STAGED (word, freq, pos, char)
+    table: the corpus is scanned once at stage time, and the final plan's
+    three consumers (round-1 count, merge, round-2 count) all read the
+    vocabulary-sized stage -- zero documents scans in the query plan."""
+    plan = formatted_plan(QUERIES["q156_bpe_merge_rounds"](spark, sf_dir))
+    n = plan.count("documents.parquet")
+    assert n == 0, f"unstaged corpus scan x{n}:\n{plan[:2000]}"
+    assert "stage_bpe_chars" in plan, f"staged char table not in plan:\n{plan[:2000]}"
+
+
+def test_dataset_profile_one_pass_per_table(spark, sf_dir):
+    """q157 computes every column's metrics in ONE aggregation pass per
+    table: each profiled parquet file appears exactly once in the plan
+    (the multi-distinct aggregate plans as a single scan + Expand, never
+    one scan per column)."""
+    plan = formatted_plan(QUERIES["q157_dataset_profile"](spark, sf_dir))
+    for tbl in ("orders", "documents", "events"):
+        n = plan.count(f"{tbl}.parquet")
+        assert n == 1, f"{tbl} scanned {n}x:\n{plan[:3000]}"
+    assert "Expand" in plan, f"multi-distinct agg lost its one-pass Expand plan:\n{plan[:2000]}"
