@@ -96,6 +96,14 @@ _PRIORITY = [
     "q155_nation_profit",
     "q156_bpe_merge_rounds",
     "q157_dataset_profile",
+    "q158_pq_distortion",
+    "q159_hard_negatives",
+    "q160_truncation_recall",
+    "q161_char_coverage",
+    "q162_negative_sampling_table",
+    "q163_ann_rank_quality",
+    "q164_source_ablation",
+    "q165_format_roundtrip",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",
@@ -167,10 +175,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer
+    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
     from ..streaming import windows
 
-    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, profiling, windows)
+    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, profiling, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -23,9 +23,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ._hashing import h60, h60_sql
 from ._rounding import mround
 from .skew import salted_join
-from ..sources.io import write_bucketed
+from ..sources.io import read_table, write_bucketed, write_table
 from ..tables import load
 
 
@@ -202,14 +203,78 @@ FROM (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS nk
 ORACLE_Q116 = _skew_stats_sql("user_id") + "\nUNION ALL" + _skew_stats_sql("event_type")
 
 
+# --------------------------------------------------------------------------
+# q165: sink/read-back parity across every core format
+# --------------------------------------------------------------------------
+
+ROUNDTRIP_FORMATS = ("parquet", "orc", "json", "csv")
+_FP_MOD = 1_000_000_007
+
+
+def q165_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table through every core sink format and read
+    each copy back with an explicit schema; report per-format row count,
+    an order-free text fingerprint, and the n_chars sum. The ORACLE
+    computes the same aggregates from the ORIGINAL parquet — so a format
+    that mangles any value (CSV quoting, JSON escaping, ORC nulls) is a
+    hash mismatch, making the whole sink surface driver-verified rather
+    than pytest-only. Paths are deterministic per sf and overwritten in
+    place (q58's rule: a mkdtemp per invocation would leak a corpus copy
+    per sweep). Fingerprint sums run in decimal(38,0) then reduce mod
+    1e9+7 — order-free and overflow-safe at any corpus size. The text
+    fingerprint routes through a CASE that maps NULL and '' to one
+    sentinel: CSV cannot represent the difference (its reader sees both
+    as null), so the contract collapses them identically on both sides."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q165_roundtrip_{sf_tag}")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    canon_text = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), F.lit("<empty>")
+    ).otherwise(F.col("text"))
+    out = None
+    for fmt in ROUNDTRIP_FORMATS:
+        path = f"{base}/{fmt}"
+        write_table(docs, path, fmt=fmt)
+        rb = read_table(spark, path, fmt=fmt, schema=schema)
+        agg = rb.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum((h60(canon_text) % _FP_MOD).cast("decimal(38,0)")) % _FP_MOD)
+            .cast("bigint")
+            .alias("text_fp"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "text_fp", "sum_chars")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _oracle_q165() -> str:
+    canon = "CASE WHEN text IS NULL OR text = '' THEN '<empty>' ELSE text END"
+    return f"""
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(CAST({h60_sql(canon)} % {_FP_MOD} AS HUGEINT)) AS HUGEINT)
+              % {_FP_MOD} AS BIGINT) AS text_fp,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents
+)
+SELECT f.fmt, a.n_rows, a.text_fp, a.sum_chars
+FROM a, (VALUES {", ".join(f"('{f}')" for f in ROUNDTRIP_FORMATS)}) f(fmt)
+"""
+
+
 QUERIES = {
     "q56_salted_join": q56_salted_join,
     "q58_bucketed_join": q58_bucketed_join,
     "q116_skew_report": q116_skew_report,
+    "q165_format_roundtrip": q165_format_roundtrip,
 }
 
 ORACLES = {
     "q116_skew_report": ORACLE_Q116,
+    "q165_format_roundtrip": _oracle_q165(),
     "q56_salted_join": ORACLE_Q56,
     "q58_bucketed_join": ORACLE_Q58,
 }

@@ -980,6 +980,86 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q164: leave-one-source-out divergence -- source ablation impact
+# --------------------------------------------------------------------------
+
+def q164_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much would REMOVING each source shift the corpus token
+    distribution? Jeffreys divergence between the corpus unigram
+    distribution and the corpus-minus-source distribution, per source --
+    the ablation twin of q125's pairwise matrix (a source can be close to
+    every other source yet still dominate the mixture by volume; this is
+    the statistic that says so). Derived entirely from q122's staged
+    tokenize pass: per-source bucket counts subtract from the corpus
+    bucket counts, so NO second corpus scan and no per-ablation job --
+    all S ablations come from one S*B-row grid. Same exactness discipline
+    as q125: each bucket term floor-quantizes to 1e-9 before the integer
+    sum."""
+    toks = _dsir_toks(spark, sf_dir)
+    counts = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus_b = counts.groupBy("b").agg(F.sum("c").alias("cb"))
+    buckets = spark.range(DSIR_B).select(F.col("id").cast("bigint").alias("b"))
+    grid = (
+        totals.crossJoin(buckets)
+        .join(counts, ["source", "b"], "left")
+        .na.fill(0, ["c"])
+        .join(F.broadcast(corpus_b), "b", "left")
+        .na.fill(0, ["cb"])
+        .crossJoin(F.broadcast(totals.agg(F.sum("n").alias("nt"))))
+        .select("source", "b", "c", "n", "cb", "nt")
+    )
+    p = lambda c, n: (c + 1.0) / (n + DSIR_B)
+    p_abl = p(F.col("cb") - F.col("c"), F.col("nt") - F.col("n"))
+    p_cor = p(F.col("cb"), F.col("nt"))
+    term9 = F.floor((p_abl - p_cor) * (F.log(p_abl) - F.log(p_cor)) * F.lit(float(Q9DS))).cast(
+        "bigint"
+    )
+    return (
+        grid.groupBy("source")
+        .agg(F.sum(term9).alias("jeffreys9"), F.min("n").alias("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            "jeffreys9",
+            mround(F.col("jeffreys9") / F.lit(float(Q9DS)), 6).alias("jeffreys"),
+        )
+    )
+
+
+ORACLE_Q164 = f"""
+WITH tok AS (
+  SELECT doc_id, source, {h60_sql("tok")} % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+counts AS (SELECT source, b, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+corpus_b AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM counts GROUP BY 1),
+nt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM totals),
+buckets AS (SELECT CAST(range AS BIGINT) AS b FROM range({DSIR_B})),
+grid AS (
+  SELECT t.source, bk.b, CAST(coalesce(c.c, 0) AS BIGINT) AS c, t.n,
+         CAST(coalesce(co.cb, 0) AS BIGINT) AS cb, nt.nt
+  FROM totals t CROSS JOIN buckets bk
+  LEFT JOIN counts c ON c.source = t.source AND c.b = bk.b
+  LEFT JOIN corpus_b co ON co.b = bk.b
+  CROSS JOIN nt
+)
+SELECT source, CAST(min(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor(
+         ((cb - c + 1.0) / (nt - n + {DSIR_B}) - (cb + 1.0) / (nt + {DSIR_B}))
+         * (ln((cb - c + 1.0) / (nt - n + {DSIR_B})) - ln((cb + 1.0) / (nt + {DSIR_B})))
+         * {Q9DS}.0) AS BIGINT)) AS BIGINT) AS jeffreys9,
+       round(1.37e-6 + CAST(sum(CAST(floor(
+         ((cb - c + 1.0) / (nt - n + {DSIR_B}) - (cb + 1.0) / (nt + {DSIR_B}))
+         * (ln((cb - c + 1.0) / (nt - n + {DSIR_B})) - ln((cb + 1.0) / (nt + {DSIR_B})))
+         * {Q9DS}.0) AS BIGINT)) AS BIGINT) / {Q9DS}.0, 6) AS jeffreys
+FROM grid
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -992,6 +1072,7 @@ QUERIES = {
     "q126_dsir_resample": q126_dsir_resample,
     "q132_doremi_mixture": q132_doremi_mixture,
     "q142_gate_agreement": q142_gate_agreement,
+    "q164_source_ablation": q164_source_ablation,
 }
 
 ORACLES = {
@@ -1006,4 +1087,5 @@ ORACLES = {
     "q126_dsir_resample": ORACLE_Q126,
     "q132_doremi_mixture": ORACLE_Q132,
     "q142_gate_agreement": ORACLE_Q142,
+    "q164_source_ablation": ORACLE_Q164,
 }

@@ -167,5 +167,195 @@ SELECT CAST(2 AS BIGINT), l, r, l || r, c FROM top2
 """
 
 
-QUERIES = {"q156_bpe_merge_rounds": q156_bpe_merge_rounds}
-ORACLES = {"q156_bpe_merge_rounds": ORACLE_Q156}
+# --------------------------------------------------------------------------
+# q161: character coverage — SentencePiece-style vocab prep
+# --------------------------------------------------------------------------
+
+COVERAGE_BP = [9000, 9900, 9995]  # basis points: 90%, 99%, 99.95%
+
+
+def q161_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece's character_coverage statistic (its --character_coverage
+    knob, default 0.9995): for each coverage target, the minimal number of
+    distinct characters (most frequent first) whose cumulative frequency
+    reaches the target, plus the exact character mass covered. The census
+    explodes non-whitespace chars and map-side-combines to an
+    alphabet-sized table; the cumulative window and threshold tests run on
+    that tiny table, as integer cross-multiplications (cum * 10000 >=
+    bp * total) so boundary characters resolve identically cross-engine.
+    Ties in frequency break on the character itself."""
+    docs = load(spark, sf_dir, "documents")
+    census = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"[^ \t\n\x0B\f\r]"), 0)
+            ).alias("ch")
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), F.col("ch")).rowsBetween(W.unboundedPreceding, 0)
+    # total as a full-frame window over the SAME (alphabet-sized, already
+    # single-partition) table -- a broadcast-aggregate crossJoin would
+    # re-derive the census subtree and scan the corpus a second time.
+    w_all = W.orderBy(F.col("c").desc(), F.col("ch")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = census.select(
+        "ch", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.row_number().over(W.orderBy(F.col("c").desc(), F.col("ch"))).alias("rk"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    # ONE conditional aggregate answers all three thresholds (a filter+agg
+    # per threshold would re-derive the census subtree -- three corpus
+    # scans), then stack unpivots the 1-row result.
+    aggs = []
+    for bp in COVERAGE_BP:
+        cond = F.col("cum") * 10000 >= F.lit(bp) * F.col("total")
+        aggs.append(F.min(F.when(cond, F.col("rk"))).cast("bigint").alias(f"n{bp}"))
+        aggs.append(F.min(F.when(cond, F.struct("rk", "cum"))).getField("cum").alias(f"m{bp}"))
+    aggs.append(F.min("total").alias("total_mass"))
+    one = ranked.agg(*aggs)
+    stack_args = ", ".join(f"CAST({bp} AS BIGINT), n{bp}, m{bp}" for bp in COVERAGE_BP)
+    return one.select(
+        F.expr(
+            f"stack({len(COVERAGE_BP)}, {stack_args}) AS (coverage_bp, n_chars_needed, covered_mass)"
+        ),
+        "total_mass",
+    )
+
+
+_CHAR_CENSUS_SQL = """
+  SELECT ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]')) AS ch
+        FROM documents)
+  GROUP BY ch
+"""
+
+ORACLE_Q161 = f"""
+WITH census AS ({_CHAR_CENSUS_SQL}),
+ranked AS (
+  SELECT ch, c,
+         sum(c) OVER (ORDER BY c DESC, ch ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY c DESC, ch) AS rk,
+         (SELECT sum(c) FROM census) AS total
+  FROM census
+)
+{" UNION ALL ".join(f'''
+SELECT CAST({bp} AS BIGINT) AS coverage_bp,
+       CAST(min(rk) AS BIGINT) AS n_chars_needed,
+       CAST(min_by(cum, rk) AS BIGINT) AS covered_mass,
+       CAST(min(total) AS BIGINT) AS total_mass
+FROM ranked WHERE cum * 10000 >= {bp} * total''' for bp in COVERAGE_BP)}
+"""
+
+
+# --------------------------------------------------------------------------
+# q162: negative-sampling weight table (unigram^0.75, exact integers)
+# --------------------------------------------------------------------------
+
+NEG_V = 200  # vocabulary rows kept for the sampling table
+
+
+def _pow34_steps(c: str, dialect: str) -> list[tuple[str, str]]:
+    """floor(c^(3/4)) = isqrt(isqrt(c^3)) as (column, small-expr) steps
+    ending in column ``b_r``. NAMED intermediates, not textual nesting:
+    substituting each sub-expression everywhere it appears quintuples the
+    tree per level (the one-expression version compiled to a 1.1 MB task
+    binary). Each isqrt: seed from the double sqrt (+1 so the seed sits
+    at/above the true root), ONE exact integer Newton step, then a ±1
+    correction CASE with exact integer compares — no float comparison
+    anywhere, valid at any magnitude the wide type holds (Mikolov et al.
+    2013's 0.75 negative-sampling exponent)."""
+    wide = "HUGEINT" if dialect == "duckdb" else "DECIMAL(38,0)"
+
+    def idiv(a: str, b: str) -> str:
+        # DuckDB's // is exact on HUGEINT; Spark's DIV rejects decimals,
+        # but decimal division keeps enough precision (38,6) at these
+        # magnitudes for floor() to be the exact quotient.
+        if dialect == "duckdb":
+            return f"(({a}) // ({b}))"
+        return f"CAST(floor(({a}) / ({b})) AS DECIMAL(38,0))"
+
+    def isqrt_steps(pfx: str, x: str) -> list[tuple[str, str]]:
+        s0, s1, r = f"{pfx}_s0", f"{pfx}_s1", f"{pfx}_r"
+        return [
+            (s0, f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1"),
+            (s1, idiv(f"{s0} + {idiv(x, s0)}", "2")),
+            (r,
+             f"CASE WHEN ({s1} + 1) * ({s1} + 1) <= {x} THEN {s1} + 1 "
+             f"WHEN {s1} * {s1} > {x} THEN {s1} - 1 ELSE {s1} END"),
+        ]
+
+    return [
+        ("cube", f"CAST({c} AS {wide}) * ({c}) * ({c})"),
+        *isqrt_steps("a", "cube"),
+        ("cube2", f"CAST(a_r AS {wide})"),
+        *isqrt_steps("b", "cube2"),
+    ]
+
+
+def q162_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling distribution: the top NEG_V tokens
+    by frequency with weight = floor(count^0.75) and the weight's share of
+    the table in integer ppm. The 3/4 power runs as exact integer
+    arithmetic (cube in wide decimal, two exact integer square roots), so
+    weights and shares are engine-identical at any count magnitude — no
+    float pow anywhere. Token census map-side-combines; the table is a
+    top-k heap; the weight total broadcasts back over NEG_V rows."""
+    docs = load(spark, sf_dir, "documents")
+    census = (
+        docs.select(F.explode(_words(F.lower("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = census.orderBy(F.col("cnt").desc(), F.col("token")).limit(NEG_V)
+    for name, expr in _pow34_steps("cnt", "spark"):
+        top = top.withColumn(name, F.expr(expr))
+    top = top.select("token", "cnt", F.col("b_r").cast("bigint").alias("weight"))
+    # the weight total rides a full-frame window over the NEG_V-row result
+    # of the heap -- an aggregate crossJoin would recompute the census +
+    # top-k subtree (a second corpus scan).
+    w_all = W.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return top.withColumn(
+        "tw", F.sum(F.col("weight").cast("decimal(38,0)")).over(w_all)
+    ).select(
+        "token",
+        "cnt",
+        "weight",
+        F.expr("CAST(CAST(weight AS DECIMAL(38,0)) * 1000000 DIV tw AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )
+
+
+ORACLE_Q162 = f"""
+WITH census AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({LOWER_WORDS_SQL}) AS token FROM documents)
+  GROUP BY token
+),
+topv AS (SELECT token, cnt FROM census ORDER BY cnt DESC, token LIMIT {NEG_V}),
+{", ".join(f'''st{i} AS (SELECT *, {expr} AS {name} FROM {"topv" if i == 0 else f"st{i - 1}"})'''
+           for i, (name, expr) in enumerate(_pow34_steps("cnt", "duckdb")))},
+top AS (SELECT token, cnt, CAST(b_r AS BIGINT) AS weight FROM st{len(_pow34_steps("cnt", "duckdb")) - 1}),
+t AS (SELECT CAST(sum(weight) AS HUGEINT) AS tw FROM top)
+SELECT token, cnt, weight,
+       CAST(CAST(weight AS HUGEINT) * 1000000 // tw AS BIGINT) AS weight_ppm
+FROM top, t
+"""
+
+
+QUERIES = {
+    "q156_bpe_merge_rounds": q156_bpe_merge_rounds,
+    "q161_char_coverage": q161_char_coverage,
+    "q162_negative_sampling_table": q162_negative_sampling_table,
+}
+ORACLES = {
+    "q156_bpe_merge_rounds": ORACLE_Q156,
+    "q161_char_coverage": ORACLE_Q161,
+    "q162_negative_sampling_table": ORACLE_Q162,
+}

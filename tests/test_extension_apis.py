@@ -120,3 +120,14 @@ def test_bpe_merge_rounds_are_monotone(spark, sf_dir):
     assert rows[1]["pair_count"] >= rows[2]["pair_count"] > 0
     assert len(rows[1]["left_sym"]) == 1 and len(rows[1]["right_sym"]) == 1
     assert rows[1]["merged"] == rows[1]["left_sym"] + rows[1]["right_sym"]
+
+
+def test_format_roundtrip_formats_agree(spark, sf_dir):
+    """Every sink format must round-trip the identical corpus: all four
+    rows of q165 carry the same row count, text fingerprint, and n_chars
+    sum (the oracle separately pins them to the original parquet)."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+
+    rows = all_queries()["q165_format_roundtrip"](spark, sf_dir).collect()
+    assert {r["fmt"] for r in rows} == {"parquet", "orc", "json", "csv"}
+    assert len({(r["n_rows"], r["text_fp"], r["sum_chars"]) for r in rows}) == 1

@@ -584,3 +584,77 @@ def test_dataset_profile_one_pass_per_table(spark, sf_dir):
         n = plan.count(f"{tbl}.parquet")
         assert n == 1, f"{tbl} scanned {n}x:\n{plan[:3000]}"
     assert "Expand" in plan, f"multi-distinct agg lost its one-pass Expand plan:\n{plan[:2000]}"
+
+
+def test_pq_assignment_is_pure_projection(spark, sf_dir):
+    """q158's PQ assignment must be projection arithmetic: no join anywhere
+    in the plan (the codebook is a literal), one embeddings scan, and the
+    only exchange is the final 128-group aggregate."""
+    plan = formatted_plan(QUERIES["q158_pq_distortion"](spark, sf_dir))
+    assert "Join" not in plan, f"unexpected join in PQ plan:\n{plan[:2000]}"
+    assert plan.count("embeddings.parquet") == 1
+
+
+def test_hard_negatives_join_is_cell_local(spark, sf_dir):
+    """q159 must join anchors to candidates ON THE CELL KEY from the staged
+    assignment table (cell-local candidate generation, q103's scale shape):
+    the final plan reads the stage, not raw embeddings, and the join is a
+    broadcast of the bounded anchor set."""
+    df = QUERIES["q159_hard_negatives"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "stage_hardneg_cells" in plan, f"staged cells not in plan:\n{plan[:2000]}"
+    assert plan.count("embeddings.parquet") == 0, f"unstaged embeddings scan:\n{plan[:2000]}"
+
+
+def test_truncation_recall_single_corpus_scan(spark, sf_dir):
+    """q160 computes both cosines on the same candidate row: the corpus
+    side appears once (plus the bounded broadcast query side), and both
+    rankings share the query-keyed window exchange."""
+    plan = formatted_plan(QUERIES["q160_truncation_recall"](spark, sf_dir))
+    n = plan.count("embeddings.parquet")
+    assert n == 2, f"embeddings scanned {n}x (want query side + ONE corpus side):\n{plan[:2000]}"
+
+
+def test_char_coverage_scans_corpus_once(spark, sf_dir):
+    """q161's census feeds both the cumulative ranking and the total: the
+    corpus must be scanned once (totals ride a full-frame window over the
+    alphabet-sized census, never an aggregate crossJoin that re-derives
+    the census subtree)."""
+    plan = formatted_plan(QUERIES["q161_char_coverage"](spark, sf_dir))
+    n = plan.count("documents.parquet")
+    assert n == 1, f"documents scanned {n}x:\n{plan[:2000]}"
+
+
+def test_negative_sampling_scans_corpus_once_and_heaps(spark, sf_dir):
+    """q162: one corpus scan (the weight total rides a window over the
+    top-k result, not a recomputing crossJoin) and the vocabulary cut is
+    a TakeOrderedAndProject heap, not a global sort."""
+    df = QUERIES["q162_negative_sampling_table"](spark, sf_dir)
+    plan = formatted_plan(df)
+    n = plan.count("documents.parquet")
+    assert n == 1, f"documents scanned {n}x:\n{plan[:2000]}"
+    # heap semantics: either TakeOrderedAndProject, or (when a window
+    # consumes the limit) per-partition sort + LocalLimit BEFORE the
+    # single-partition exchange -- each partition ships at most NEG_V rows.
+    assert "TakeOrderedAndProject" in plan or "LocalLimit" in plan, (
+        f"vocabulary cut is a global sort:\n{plan[:2000]}"
+    )
+
+
+def test_ann_rank_quality_composes_staged_buckets(spark, sf_dir):
+    """q163 composes the registered exact and LSH pipelines: the LSH side
+    must read the STAGED bucket table (one signature build per session),
+    and the report must cover the full query set even when a query has no
+    ANN candidates."""
+    plan = formatted_plan(QUERIES["q163_ann_rank_quality"](spark, sf_dir))
+    assert "stage_ann_buckets" in plan, f"LSH side not riding staged buckets:\n{plan[:2000]}"
+
+
+def test_source_ablation_rides_staged_tokens(spark, sf_dir):
+    """q164 derives every ablation from the staged DSIR tokenize pass: no
+    raw documents scan, no per-source job — one S*B grid feeds all S
+    ablations."""
+    plan = formatted_plan(QUERIES["q164_source_ablation"](spark, sf_dir))
+    assert "stage_dsir_toks" in plan, f"staged tokens not in plan:\n{plan[:2000]}"
+    assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan[:2000]}"

@@ -315,3 +315,35 @@ def test_results_invariant_to_shuffle_partitioning(qname, spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         clear_cache()
     assert base == alt
+
+
+def test_pow34_steps_exact_on_both_engines(spark):
+    """q162's integer c^0.75 (isqrt(isqrt(c^3)) via double-seeded Newton +
+    ±1 correction) must equal Python's exact math.isqrt chain on BOTH
+    engines, including magnitudes where c^3 exceeds double precision and a
+    naive floor(sqrt(double)) is off."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.tokenizer import _pow34_steps
+
+    cs = list(range(1, 300)) + [10**3, 10**4 + 7, 10**5 + 3, 10**6 + 9,
+                                2**31 - 1, 10**10 + 19, 10**12 + 39]
+    want = {c: math.isqrt(math.isqrt(c * c * c)) for c in cs}
+
+    sdf = spark.createDataFrame([(c,) for c in cs], "cnt long")
+    for name, expr in _pow34_steps("cnt", "spark"):
+        sdf = sdf.withColumn(name, F.expr(expr))
+    got_spark = {r["cnt"]: int(r["b_r"]) for r in sdf.select("cnt", "b_r").collect()}
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS cnt", [cs])
+    sql = "SELECT cnt FROM t"
+    for name, expr in _pow34_steps("cnt", "duckdb"):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    got_duck = {row[0]: int(row[1]) for row in
+                con.sql(f"SELECT cnt, b_r FROM ({sql})").fetchall()}
+    assert got_duck == want

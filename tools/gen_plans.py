@@ -200,6 +200,40 @@ SHOW = {
         "it), and the late lines join back against it -- two fact scans, "
         "no pair explosion."
     ),
+    "q151_small_qty_revenue": (
+        "TPC-H Q17 decorrelated: ONE lineitem scan (broadcast-joined to the "
+        "filtered part set), per-part (sum, count) from a single window over "
+        "l_partkey -- no self-join, no second scan; the threshold compares "
+        "cross-multiplied integers."
+    ),
+    "q156_bpe_merge_rounds": (
+        "BPE merge rounds off the STAGED (word, freq, pos, char) table: zero "
+        "documents scans in the final plan; every consumer (round-1 pairs, "
+        "merge, round-2 pairs) reads the vocabulary-sized stage; the winning "
+        "pair is a 1-row broadcast."
+    ),
+    "q157_dataset_profile": (
+        "One aggregation pass per profiled table: each parquet appears once; "
+        "the multi-distinct aggregate plans as a single scan + Expand "
+        "(count/nulls/distinct/min/max for every column in one job)."
+    ),
+    "q158_pq_distortion": (
+        "Product quantization as pure projection: the codebook is a literal, "
+        "so the plan has NO join -- one embeddings scan, per-row argmin over "
+        "16 integer distances per subspace, then the only exchange is the "
+        "128-group aggregate."
+    ),
+    "q159_hard_negatives": (
+        "Cell-local contrastive mining: both sides read the staged "
+        "(vec, label, cell) table; the bounded anchor set broadcasts and the "
+        "candidate join is keyed by cell -- pairs never go corpus x corpus."
+    ),
+    "q164_source_ablation": (
+        "All S leave-one-source-out ablations from ONE SxB bucket grid off "
+        "the staged DSIR tokenize pass: no raw documents scan, no "
+        "per-ablation job; corpus-minus-source counts are derived by "
+        "subtraction inside the grid."
+    ),
     "q146_source_embedding_drift": (
         "Embedding drift: one corpus join + a grouped aggregate carrying "
         "DIM fixed-point decimal partial sums (no posexplode fan-out); "
