@@ -104,6 +104,11 @@ _PRIORITY = [
     "q163_ann_rank_quality",
     "q164_source_ablation",
     "q165_format_roundtrip",
+    "q166_deletion_manifest",
+    "q167_cluster_split",
+    "q168_incremental_stats_merge",
+    "q169_python_datasource",
+    "q170_stream_file_sink",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",
@@ -175,10 +180,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, curation, dedup, functions_suite, functions_suite2, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
+    from . import advanced, curation, custom_source, dedup, functions_suite, functions_suite2, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
     from ..streaming import windows
 
-    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, profiling, windows)
+    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, profiling, custom_source, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

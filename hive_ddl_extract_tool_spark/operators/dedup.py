@@ -1321,6 +1321,166 @@ GROUP BY src
 """
 
 
+# --------------------------------------------------------------------------
+# q166: targeted-deletion manifest (right-to-be-forgotten over clusters)
+# --------------------------------------------------------------------------
+
+DELETE_MOD = 97  # deterministic delete set: doc_id % DELETE_MOD == 0
+
+
+def q166_deletion_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style targeted deletion over a DEDUPED corpus: when a deleted
+    document was its near-dup cluster's canonical representative, the
+    cluster must re-elect (next-lowest surviving id) or go extinct — naive
+    per-row deletion would silently orphan every alias that pointed at the
+    canonical. Per source (of the cluster's canonical): docs/chars
+    deleted, canonicals deleted, clusters re-elected, clusters extinct.
+    Rides the session-staged CC labels (no re-banding); the cluster rollup
+    is one canonical-keyed aggregate; at 100 TB the delete set arrives as
+    a broadcast id list instead of the modular predicate."""
+    labels = _neardup_labels(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    mapped = docs.join(labels, "doc_id", "left").select(
+        "doc_id", "source", "n_chars",
+        F.coalesce("lbl", F.col("doc_id")).alias("canonical_id"),
+        (F.col("doc_id") % DELETE_MOD == 0).alias("del"),
+    )
+    cl = mapped.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("del"), 1).otherwise(0)).alias("n_del"),
+        F.sum(F.when(F.col("del"), F.col("n_chars")).otherwise(0)).alias("chars_del"),
+        F.min(F.when(~F.col("del"), F.col("doc_id"))).alias("new_canonical"),
+        # source of the canonical doc (canonical_id is the min doc_id, so
+        # exactly one member row has doc_id == canonical_id)
+        F.min(F.when(F.col("doc_id") == F.col("canonical_id"), F.col("source"))).alias(
+            "can_source"
+        ),
+    )
+    can_del = F.col("canonical_id") % DELETE_MOD == 0
+    return cl.groupBy(F.col("can_source").alias("source")).agg(
+        F.sum("n_del").cast("bigint").alias("n_docs_deleted"),
+        F.sum("chars_del").cast("bigint").alias("chars_deleted"),
+        F.sum(F.when(can_del, 1).otherwise(0)).cast("bigint").alias("n_canonicals_deleted"),
+        F.sum(F.when(can_del & F.col("new_canonical").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reelected"),
+        F.sum(F.when(F.col("new_canonical").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_extinct"),
+    )
+
+
+ORACLE_Q166 = f"""
+WITH RECURSIVE
+{_CC_MAPPED_SQL},
+m AS (
+  SELECT mp.doc_id, mp.source, d.n_chars, mp.canonical_id,
+         mp.doc_id % {DELETE_MOD} = 0 AS del
+  FROM mapped mp JOIN documents d USING (doc_id)
+),
+cl AS (
+  SELECT canonical_id,
+         sum(CASE WHEN del THEN 1 ELSE 0 END) AS n_del,
+         sum(CASE WHEN del THEN n_chars ELSE 0 END) AS chars_del,
+         min(CASE WHEN NOT del THEN doc_id END) AS new_canonical,
+         min(CASE WHEN doc_id = canonical_id THEN source END) AS can_source
+  FROM m GROUP BY canonical_id
+)
+SELECT can_source AS source,
+       CAST(sum(n_del) AS BIGINT) AS n_docs_deleted,
+       CAST(sum(chars_del) AS BIGINT) AS chars_deleted,
+       CAST(sum(CASE WHEN canonical_id % {DELETE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals_deleted,
+       CAST(sum(CASE WHEN canonical_id % {DELETE_MOD} = 0 AND new_canonical IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reelected,
+       CAST(sum(CASE WHEN new_canonical IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extinct
+FROM cl GROUP BY can_source
+"""
+
+
+# --------------------------------------------------------------------------
+# q167: cluster-keyed leakage-free split (+ naive-split straddle audit)
+# --------------------------------------------------------------------------
+
+CLSPLIT_SEED = "clsplit_v1"
+
+
+def q167_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the hash split keys on the
+    CLUSTER canonical, not the document, so near-duplicates can never
+    straddle a split boundary (the leakage q36's per-doc split permits —
+    quantified here as naive_straddle_clusters, the number of clusters the
+    per-doc hash would scatter across splits). One pass: per-cluster
+    aggregate off the staged labels, per-split rollup, and the global
+    straddle count rides a full-frame window over the 3-row rollup."""
+    labels = _neardup_labels(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mapped = docs.join(labels, "doc_id", "left").select(
+        "doc_id", "n_chars", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
+    )
+
+    def bucket(col):
+        return F.pmod(h60(F.concat(F.lit(CLSPLIT_SEED + ":"), col.cast("string"))), F.lit(10))
+
+    split_of = lambda b: F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    cl = mapped.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(split_of(bucket(F.col("doc_id")))).alias("n_naive_splits"),
+    )
+    per_split = cl.groupBy(
+        split_of(bucket(F.col("canonical_id"))).alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.when(F.col("n_naive_splits") > 1, 1).otherwise(0)).alias("straddle_part"),
+    )
+    w_all = Window.orderBy("split").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_split.select(
+        "split",
+        "n_clusters",
+        "n_docs",
+        "sum_chars",
+        F.sum("straddle_part").over(w_all).cast("bigint").alias("naive_straddle_clusters"),
+    )
+
+
+ORACLE_Q167 = f"""
+WITH RECURSIVE
+{_CC_MAPPED_SQL},
+m AS (
+  SELECT mp.doc_id, d.n_chars, mp.canonical_id
+  FROM mapped mp JOIN documents d USING (doc_id)
+),
+cl AS (
+  SELECT canonical_id,
+         count(*) AS n_docs,
+         sum(n_chars) AS sum_chars,
+         count(DISTINCT CASE
+           WHEN {h60_sql(f"'{CLSPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+           WHEN {h60_sql(f"'{CLSPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 10 < 9 THEN 'val'
+           ELSE 'test' END) AS n_naive_splits
+  FROM m GROUP BY canonical_id
+),
+per_split AS (
+  SELECT CASE
+           WHEN {h60_sql(f"'{CLSPLIT_SEED}:' || CAST(canonical_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+           WHEN {h60_sql(f"'{CLSPLIT_SEED}:' || CAST(canonical_id AS VARCHAR)")} % 10 < 9 THEN 'val'
+           ELSE 'test' END AS split,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+         sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS straddle_part
+  FROM cl GROUP BY 1
+)
+SELECT split, n_clusters, n_docs, sum_chars,
+       CAST(sum(straddle_part) OVER () AS BIGINT) AS naive_straddle_clusters
+FROM per_split
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1339,6 +1499,8 @@ QUERIES = {
     "q130_canonical_election": q130_canonical_election,
     "q137_hybrid_dedup_audit": q137_hybrid_dedup_audit,
     "q141_khop_neighborhood": q141_khop_neighborhood,
+    "q166_deletion_manifest": q166_deletion_manifest,
+    "q167_cluster_split": q167_cluster_split,
 }
 
 ORACLES = {
@@ -1359,4 +1521,6 @@ ORACLES = {
     "q130_canonical_election": ORACLE_Q130,
     "q137_hybrid_dedup_audit": ORACLE_Q137,
     "q141_khop_neighborhood": ORACLE_Q141,
+    "q166_deletion_manifest": ORACLE_Q166,
+    "q167_cluster_split": ORACLE_Q167,
 }

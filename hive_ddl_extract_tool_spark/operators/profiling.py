@@ -122,5 +122,63 @@ FROM {tbl}"""
 ORACLE_Q157 = "\nUNION ALL".join(_profile_col_sql(t, c, k) for t, c, k in PROFILE_SPEC)
 
 
-QUERIES = {"q157_dataset_profile": q157_dataset_profile}
-ORACLES = {"q157_dataset_profile": ORACLE_Q157}
+# --------------------------------------------------------------------------
+# q168: incremental statistics maintenance — partial-aggregate composition
+# --------------------------------------------------------------------------
+
+N_SHARDS = 4  # deterministic ingest "days": doc_id % N_SHARDS
+
+
+def q168_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance pattern behind every per-shard compose
+    claim in SCALE.md, executed and oracle-proved: per-source statistics
+    are computed as PER-SHARD partials (count, sum, sum-of-squares, min,
+    max over deterministic doc_id%N ingest batches) and then MERGED by
+    pure algebra — never re-touching the rows. The oracle computes the
+    same statistics DIRECTLY from the corpus, so the hash compare is the
+    proof that the merge is lossless. All moments are exact integers
+    (n_chars is integral; squares sum in decimal(38,0)), so the identity
+    is bit-exact, not approximate. At 100 TB the partial table is the
+    artifact each daily ingest writes; corpus stats are a shard-count-
+    sized re-aggregation."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "n_chars", (F.col("doc_id") % N_SHARDS).alias("shard")
+    )
+    partials = docs.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("ss"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("s").cast("bigint").alias("sum_chars"),
+        F.sum("ss").cast("decimal(38,0)").cast("double").alias("sumsq_chars"),
+        F.min("mn").cast("bigint").alias("min_chars"),
+        F.max("mx").cast("bigint").alias("max_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards_seen"),
+    )
+
+
+ORACLE_Q168 = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS DOUBLE) AS sumsq_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(count(DISTINCT doc_id % {N_SHARDS}) AS BIGINT) AS n_shards_seen
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "q157_dataset_profile": q157_dataset_profile,
+    "q168_incremental_stats_merge": q168_incremental_stats_merge,
+}
+ORACLES = {
+    "q157_dataset_profile": ORACLE_Q157,
+    "q168_incremental_stats_merge": ORACLE_Q168,
+}

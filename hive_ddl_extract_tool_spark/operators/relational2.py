@@ -80,7 +80,9 @@ def q150_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             mround(F.col("rev4").cast("double") / 10000.0, 2).alias("revenue"),
-            "o_orderdate",
+            # date STRING, not timestamp: TIMESTAMP is outside the
+            # driver-safe oracle type allowlist (tests/test_oracle_types.py)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
     )
@@ -89,7 +91,7 @@ def q150_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q150 = f"""
 SELECT l_orderkey,
        round(1.37e-6 + CAST(rev4 AS DOUBLE) / 10000.0, 2) AS revenue,
-       o_orderdate, o_orderpriority
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
 FROM (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
          CAST(sum({_REV4_SQL}) AS HUGEINT) AS rev4

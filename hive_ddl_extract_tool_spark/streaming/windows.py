@@ -719,6 +719,95 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --------------------------------------------------------------------------
+# q170: exactly-once streaming FILE SINK (parquet + checkpoint + replay)
+# --------------------------------------------------------------------------
+
+def q170_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming SINK path, end-to-end: watermarked tumbling
+    aggregation in APPEND mode written to a parquet file sink with a
+    checkpoint — Spark's transactional _spark_metadata log is what makes
+    the sink exactly-once (the batch reader lists files through the log,
+    so a torn write is invisible). Every other streaming query here drains
+    to a memory sink; this one verifies durable output.
+
+    Append mode only emits a window once the watermark CLOSES it, and a
+    drained finite source never closes the tail — so after the replayed
+    log, one heartbeat file (a day late, q140's machinery) ticks the
+    watermark past every real window; the heartbeat's own window stays
+    open and is never emitted, keeping sentinel rows out of the sink by
+    construction. Sink + checkpoint live at deterministic per-sf paths and
+    are RESET per invocation: a reused checkpoint would replay zero new
+    batches and the query would return the previous run's output — the
+    reproducible-test inverse of production, where the checkpoint is
+    exactly what you must keep."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    name = "q170_sink_query"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q170_sink_{sf_tag}")
+    src_dir, sink_dir, ckpt_dir = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    events_file, max_ts = _staged_events_file(spark, sf_dir)
+    shutil.copy(events_file, f"{src_dir}/events.parquet")
+    _write_sentinel(spark, src_dir, "heartbeat1", max_ts + datetime.timedelta(days=1))
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    # batch read THROUGH the sink's _spark_metadata transaction log — the
+    # exactly-once read path (no sentinel filter needed: the heartbeat's
+    # window never closed, so it was never emitted)
+    return spark.read.parquet(sink_dir)
+
+
+# the sink holds exactly the closed real windows = the full batch
+# aggregation (heartbeat lifts the watermark past every real window; its
+# own window never closes), so q63's oracle is q170's oracle verbatim
+ORACLE_Q170 = ORACLE_Q63
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -730,6 +819,7 @@ QUERIES = {
     "q107_stream_interval_join": q107_stream_interval_join,
     "q131_stream_dedup_gate": q131_stream_dedup_gate,
     "q140_stream_outer_join": q140_stream_outer_join,
+    "q170_stream_file_sink": q170_stream_file_sink,
 }
 
 ORACLES = {
@@ -743,4 +833,5 @@ ORACLES = {
     "q107_stream_interval_join": ORACLE_Q107,
     "q131_stream_dedup_gate": _oracle_q131(),
     "q140_stream_outer_join": ORACLE_Q140,
+    "q170_stream_file_sink": ORACLE_Q170,
 }

@@ -34,9 +34,10 @@ PYTHON_OK = {
     "q67_pandas_udf_scalar",
     "q78_udtf_chunk",
     "q138_cogroup_reconcile",
+    "q169_python_datasource",  # the custom source IS a Python scan
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink"}
 
 
 def test_priority_names_exist():
@@ -658,3 +659,65 @@ def test_source_ablation_rides_staged_tokens(spark, sf_dir):
     plan = formatted_plan(QUERIES["q164_source_ablation"](spark, sf_dir))
     assert "stage_dsir_toks" in plan, f"staged tokens not in plan:\n{plan[:2000]}"
     assert plan.count("documents.parquet") == 0, f"unstaged corpus scan:\n{plan[:2000]}"
+
+
+def test_deletion_manifest_rides_staged_labels(spark, sf_dir):
+    """q166 composes the staged CC labels with one canonical-keyed cluster
+    rollup: no re-banding (single documents scan for the doc attributes),
+    no cartesian."""
+    df = QUERIES["q166_deletion_manifest"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") <= 1, f"re-derived corpus scans:\n{plan[:2000]}"
+
+
+def test_cluster_split_single_pass_with_window_total(spark, sf_dir):
+    """q167: per-cluster aggregate -> per-split rollup in one pass; the
+    global straddle count rides a full-frame window over the 3-row rollup
+    (an aggregate crossJoin would re-derive the cluster subtree)."""
+    df = QUERIES["q167_cluster_split"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") <= 1, f"re-derived corpus scans:\n{plan[:2000]}"
+    assert "Window" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning (the 100 TB selective
+    fact-fact join story): with a selective build side, the probe scan
+    gains a might_contain() filter fed by a bloom_filter_agg subquery --
+    rows that cannot join are dropped AT THE SCAN, before the exchange.
+    Silent at test SF only because applicationSideScanSizeThreshold
+    defaults to 10GB; production defaults fire on a 100 TB fact. Results
+    must equal the plain join (the filter is purely reductive)."""
+    from hive_ddl_extract_tool_spark.plans.explain import formatted_plan as fp
+    from hive_ddl_extract_tool_spark.tables import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+
+    def q():
+        orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 90000)
+        li = load(spark, sf_dir, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = fp(q())
+        assert "might_contain" in plan, f"no runtime bloom filter injected:\n{plan[:2000]}"
+        assert "bloom_filter_agg" in plan
+        with_bloom = {tuple(r) for r in q().collect()}
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    plain = {tuple(r) for r in q().collect()}
+    assert with_bloom == plain

@@ -292,6 +292,10 @@ import pytest as _pytest
         "q122_dsir_weights",     # fixed-point log-likelihood sums
         "q132_doremi_mixture",   # integer multiplicative rounds
         "q146_source_embedding_drift",  # 1e-12 quantized cosine terms
+        "q156_bpe_merge_rounds",  # staged greedy merge, integer pair counts
+        "q158_pq_distortion",    # integer milli-unit argmin + distortion sums
+        "q162_negative_sampling_table",  # exact integer c^0.75 + ppm shares
+        "q164_source_ablation",  # 1e-9 floor-quantized divergence terms
     ],
 )
 def test_results_invariant_to_shuffle_partitioning(qname, spark, sf_dir):
