@@ -109,6 +109,7 @@ _PRIORITY = [
     "q168_incremental_stats_merge",
     "q169_python_datasource",
     "q170_stream_file_sink",
+    "q171_polymorphic_udtf",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -946,6 +946,79 @@ WHERE n >= 1
 ORACLE_Q147 = _oracle_q147()
 
 
+# --------------------------------------------------------------------------
+# q171: POLYMORPHIC Python UDTF -- output schema computed by analyze()
+# --------------------------------------------------------------------------
+
+POLY_N = 3
+
+
+def q171_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's polymorphic UDTF: the table function's OUTPUT SCHEMA is
+    computed at plan time by a static ``analyze()`` from the literal
+    arguments (here: n-gram width -> columns w1..wN), completing the
+    Python-function surface next to q78's static-schema UDTF. The kernel
+    tokenizes with the shared explicit whitespace class compiled in Python
+    (str.split() would split on ALL Unicode whitespace -- broader than the
+    cross-engine contract). Counts are integers, so the LATERAL expansion
+    is hash-exact against the oracle's list-slice 3-grams."""
+    import re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from .text import WS
+
+    ws_re = re.compile(WS)
+
+    class PolyNGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"w{i + 1}", StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, text, n):
+            if text is None:
+                return
+            ws = [w for w in ws_re.split(text) if w]
+            for i in range(len(ws) - n + 1):
+                yield tuple(ws[i : i + n])
+
+    spark.udtf.register("poly_ngrams", udtf(PolyNGrams))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q171_docs")
+    gram = " || ' ' || ".join(f"w{i + 1}" for i in range(POLY_N))
+    return spark.sql(f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT {gram}) AS BIGINT) AS n_distinct_grams
+        FROM q171_docs, LATERAL poly_ngrams(lower(text), {POLY_N}) t
+        GROUP BY source
+    """)
+
+
+def _oracle_q171() -> str:
+    from .text import LOWER_WORDS_SQL
+
+    gram = " || ' ' || ".join(f"ws[i + {i}]" for i in range(POLY_N))
+    return f"""
+WITH w AS (SELECT source, {LOWER_WORDS_SQL} AS ws FROM documents),
+pe AS (
+  SELECT source, ws,
+         unnest(generate_series(1, greatest(len(ws) - {POLY_N - 1}, 0))) AS i
+  FROM w
+),
+g AS (SELECT source, {gram} AS gram FROM pe)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams
+FROM g GROUP BY source
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -968,6 +1041,7 @@ QUERIES = {
     "q78_udtf_chunk": q78_udtf_chunk,
     "q138_cogroup_reconcile": q138_cogroup_reconcile,
     "q147_sql_udf_chunks": q147_sql_udf_chunks,
+    "q171_polymorphic_udtf": q171_polymorphic_udtf,
 }
 
 ORACLES = {
@@ -991,5 +1065,6 @@ ORACLES = {
     "q78_udtf_chunk": ORACLE_Q78,
     "q138_cogroup_reconcile": ORACLE_Q138,
     "q147_sql_udf_chunks": ORACLE_Q147,
+    "q171_polymorphic_udtf": _oracle_q171(),
     # q15b: rows-only (sketch-based)
 }

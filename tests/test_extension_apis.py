@@ -131,3 +131,54 @@ def test_format_roundtrip_formats_agree(spark, sf_dir):
     rows = all_queries()["q165_format_roundtrip"](spark, sf_dir).collect()
     assert {r["fmt"] for r in rows} == {"parquet", "orc", "json", "csv"}
     assert len({(r["n_rows"], r["text_fp"], r["sum_chars"]) for r in rows}) == 1
+
+
+def test_deletion_manifest_consistent_with_delete_set_and_clusters(spark, sf_dir):
+    """q166 must agree with first principles: total deleted docs equals the
+    modular delete set's size, and per source every deleted canonical
+    either re-elected or went extinct (an extinct cluster's canonical is
+    necessarily deleted, since the canonical is a member)."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.operators.dedup import DELETE_MOD
+    from hive_ddl_extract_tool_spark.tables import load
+
+    rows = all_queries()["q166_deletion_manifest"](spark, sf_dir).collect()
+    n_del_expected = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % DELETE_MOD == 0).count()
+    )
+    assert sum(r["n_docs_deleted"] for r in rows) == n_del_expected
+    for r in rows:
+        assert r["n_reelected"] + r["n_extinct"] == r["n_canonicals_deleted"], r
+
+
+def test_cluster_split_partitions_the_corpus_exactly(spark, sf_dir):
+    """q167's splits must partition the corpus: doc counts sum to the
+    corpus size and cluster counts sum to q68's distinct canonical count
+    (the same staged labels, independently aggregated)."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators import all_queries
+
+    qs = all_queries()
+    rows = qs["q167_cluster_split"](spark, sf_dir).collect()
+    n_docs_corpus = qs["q68_dup_clusters"](spark, sf_dir).count()
+    n_clusters = (
+        qs["q68_dup_clusters"](spark, sf_dir).select("canonical_id").distinct().count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs_corpus
+    assert sum(r["n_clusters"] for r in rows) == n_clusters
+    assert len({r["naive_straddle_clusters"] for r in rows}) == 1
+
+
+def test_ann_rank_quality_bounded_by_ideal(spark, sf_dir):
+    """q163's per-query gains are bounded by the ideal: at most K hits and
+    dcg_x6 never above the ideal 11 (= 6/1 + 6/2 + 6/3)."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.operators.vectors import NDCG_K, _IDCG_X
+
+    for r in all_queries()["q163_ann_rank_quality"](spark, sf_dir).collect():
+        assert 0 <= r["n_hits"] <= NDCG_K
+        assert 0 <= r["dcg_x6"] <= _IDCG_X
+        assert r["ndcg_ppm"] <= 1_000_000

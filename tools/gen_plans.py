@@ -228,6 +228,16 @@ SHOW = {
         "(vec, label, cell) table; the bounded anchor set broadcasts and the "
         "candidate join is keyed by cell -- pairs never go corpus x corpus."
     ),
+    "q166_deletion_manifest": (
+        "Targeted deletion over clusters: the plan reads the STAGED CC "
+        "labels (no re-banding), one canonical-keyed rollup computes "
+        "deletion, re-election, and extinction in a single aggregate."
+    ),
+    "q167_cluster_split": (
+        "Leakage-free split: per-cluster aggregate off the staged labels, "
+        "3-row split rollup, and the global straddle audit rides a "
+        "full-frame window over the rollup -- one pass end to end."
+    ),
     "q164_source_ablation": (
         "All S leave-one-source-out ablations from ONE SxB bucket grid off "
         "the staged DSIR tokenize pass: no raw documents scan, no "
