@@ -110,6 +110,9 @@ _PRIORITY = [
     "q169_python_datasource",
     "q170_stream_file_sink",
     "q171_polymorphic_udtf",
+    "q172_zorder_layout",
+    "q173_bloom_prune_audit",
+    "q174_equidepth_histogram",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",
@@ -181,10 +184,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, curation, custom_source, dedup, functions_suite, functions_suite2, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
+    from . import advanced, curation, custom_source, dedup, functions_suite, functions_suite2, layout, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
     from ..streaming import windows
 
-    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, profiling, custom_source, windows)
+    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, layout, profiling, custom_source, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

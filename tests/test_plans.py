@@ -722,3 +722,34 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
             spark.conf.set(k, v)
     plain = {tuple(r) for r in q().collect()}
     assert with_bloom == plain
+
+
+def test_zorder_audit_single_pass_no_cartesian_blowup(spark, sf_dir):
+    """q172 must compare both layouts from ONE pass over the quantized
+    rows: the fact appears at most twice in the plan (the stats pass that
+    derives the key-domain max, plus the single audit scan -- never a
+    third scan for the second layout), and the only nested-loop is the
+    1-row domain-max broadcast."""
+    plan = formatted_plan(QUERIES["q172_zorder_layout"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_audit_bit_joins_are_broadcast(spark, sf_dir):
+    """q173's bit set (<= m rows) and build keys must broadcast against
+    the probe positions; the audit never shuffles the probe stream by
+    position."""
+    df = QUERIES["q173_bloom_prune_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_equidepth_histogram_window_rides_cell_table(spark, sf_dir):
+    """q174 computes rank boundaries on the bounded CELL table, not the
+    fact: one orders scan feeds a hash aggregate, and the cumulative
+    window runs after that aggregate (SinglePartition over ~500 rows is
+    the design, not a leak of the corpus into one task)."""
+    plan = formatted_plan(QUERIES["q174_equidepth_histogram"](spark, sf_dir))
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Window" in plan, plan

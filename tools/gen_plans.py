@@ -238,6 +238,22 @@ SHOW = {
         "3-row split rollup, and the global straddle audit rides a "
         "full-frame window over the rollup -- one pass end to end."
     ),
+    "q172_zorder_layout": (
+        "Both layouts audited from ONE quantized pass: a 1-row domain-max "
+        "broadcast, an explode doubling each row into its two file "
+        "assignments, then two hash aggregates -- z-prefix grouping, no "
+        "global sort anywhere."
+    ),
+    "q173_bloom_prune_audit": (
+        "The bit set and build keys broadcast against the probe positions; "
+        "the only wide op is the distinct over probe keys -- the filter "
+        "itself costs one dim-side pass at any fact size."
+    ),
+    "q174_equidepth_histogram": (
+        "One map-side-combined aggregate per value cell, then the "
+        "cumulative window rides the bounded cell table (SinglePartition "
+        "over ~500 rows by design, never the fact)."
+    ),
     "q164_source_ablation": (
         "All S leave-one-source-out ablations from ONE SxB bucket grid off "
         "the staged DSIR tokenize pass: no raw documents scan, no "
