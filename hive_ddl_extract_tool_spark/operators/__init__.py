@@ -113,6 +113,7 @@ _PRIORITY = [
     "q172_zorder_layout",
     "q173_bloom_prune_audit",
     "q174_equidepth_histogram",
+    "q175_stream_upsert_sink",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -808,6 +808,113 @@ def q170_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q170 = ORACLE_Q63
 
 
+# --------------------------------------------------------------------------
+# q175: foreachBatch upsert sink -- the manual exactly-once merge pattern
+# --------------------------------------------------------------------------
+
+UPSERT_SRC_FILES = 4  # one micro-batch per file under maxFilesPerTrigger=1
+
+
+def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` -- the sink API production jobs use to merge a
+    stream into a table no native sink supports (JDBC upsert, Delta MERGE,
+    key-value stores). The events log replays as 4 micro-batches
+    (maxFilesPerTrigger=1 over a 4-file staging of the source); each batch
+    runs a latest-wins SCD-1 merge into a parquet state table: per user,
+    keep the row with max (ts, event_id) and accumulate the event count.
+    The merge is max/sum algebra -- commutative and associative -- so the
+    final state is independent of batch order AND of replays: re-running a
+    batch after a crash re-derives the same state, which is exactly the
+    idempotent-write discipline foreachBatch demands for exactly-once (the
+    sink itself offers none). The per-user reduce is max(struct(ts,
+    event_id, ...)) -- no window, no sort, one hash aggregate per batch;
+    (ts, event_id) is a total order so struct-max never compares the
+    payload fields. n_events proves EVERY batch merged (a lost batch
+    undercounts; a replayed one, by idempotence, cannot overcount).
+    State/checkpoint live at deterministic per-sf paths, reset per
+    invocation (q170's rule)."""
+    import os
+    import shutil
+    import tempfile
+
+    name = "q175_upsert_query"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q175_upsert_{sf_tag}")
+    src_dir, state_dir, ckpt_dir = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    events.repartition(UPSERT_SRC_FILES, "user_id").write.parquet(src_dir)
+
+    def reduce_latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"),
+            F.sum("n").alias("n"),
+        ).select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value", "n")
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        latest = reduce_latest(bdf.withColumn("n", F.lit(1).cast("bigint")))
+        if os.path.exists(state_dir):
+            latest = reduce_latest(spark.read.parquet(state_dir).unionByName(latest))
+        tmp = f"{base}/state_v{batch_id}"
+        latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.parquet(state_dir)
+    return state.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+# rank by epoch_us, not raw ts: on a NANOS-encoded drop the loader
+# truncates to micros, so sub-microsecond order must not decide the argmax
+# (the q88 rule)
+ORACLE_Q175 = f"""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       event_type AS last_event_type,
+       value AS last_value,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -820,6 +927,7 @@ QUERIES = {
     "q131_stream_dedup_gate": q131_stream_dedup_gate,
     "q140_stream_outer_join": q140_stream_outer_join,
     "q170_stream_file_sink": q170_stream_file_sink,
+    "q175_stream_upsert_sink": q175_stream_upsert_sink,
 }
 
 ORACLES = {
@@ -834,4 +942,5 @@ ORACLES = {
     "q131_stream_dedup_gate": _oracle_q131(),
     "q140_stream_outer_join": ORACLE_Q140,
     "q170_stream_file_sink": ORACLE_Q170,
+    "q175_stream_upsert_sink": ORACLE_Q175,
 }

@@ -400,3 +400,30 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_upsert_sink_ran_multiple_batches_and_counts_every_event(spark, sf_dir):
+    """q175's exactly-once claim is only meaningful if the merge really ran
+    across SEVERAL micro-batches: the checkpoint must show one committed
+    batch per staged source file, and the accumulated per-user counts must
+    sum to the full event count (a lost batch undercounts; a double-applied
+    one would overcount -- idempotence is what keeps it exact)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.streaming.windows import (
+        UPSERT_SRC_FILES,
+        q175_stream_upsert_sink,
+    )
+    from hive_ddl_extract_tool_spark.tables import load
+
+    out = q175_stream_upsert_sink(spark, sf_dir)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load(spark, sf_dir, "events").count()
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    ckpt = os.path.join(tempfile.gettempdir(), f"q175_upsert_{sf_tag}", "ckpt", "commits")
+    commits = [f for f in os.listdir(ckpt) if f.isdigit()]
+    assert len(commits) >= UPSERT_SRC_FILES, commits
