@@ -611,6 +611,91 @@ FROM embeddings
 
 
 # --------------------------------------------------------------------------
+# q176: GROUPED-AGGREGATE pandas UDF -- in groupBy().agg AND as a window fn
+# --------------------------------------------------------------------------
+
+def q176_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-aggregate pandas UDF surface, both places Spark accepts
+    it: inside ``groupBy().agg`` (AggregateInPandas) and OVER an unbounded
+    window (WindowInPandas -- a distinct execution path where the UDF
+    result is joined back to every row of the partition). The statistic is
+    one builtins cannot express: the LOW MEDIAN (the sorted element at
+    index (n-1)//2 -- an actual data element, no interpolation, so it is
+    cross-engine exact where percentile_approx/quantile_cont are not) of
+    the milli-quantized first embedding component, plus the median
+    absolute deviation around it. The window application computes each
+    row's partition median so rows strictly above it can be counted --
+    robust-statistics gating, the shape a quality pipeline uses to clip
+    outliers per group. floor(x*1000) quantizes: floor has no tie
+    semantics to pin, unlike round."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _lowmed(col):
+        a = np.asarray(col, dtype=np.int64)
+        k = (len(a) - 1) // 2
+        return int(np.partition(a, k)[k])
+
+    # explicit GROUPED_AGG: this module defers annotations (PEP 563), so
+    # hint-based inference would silently produce a SCALAR UDF -- which the
+    # window form then rejects (q67's constraint, aggregate edition)
+    gagg = lambda fn: pandas_udf(fn, "long", PandasUDFType.GROUPED_AGG)  # noqa: E731
+    lowmed = gagg(_lowmed)
+    mad = gagg(lambda col: _lowmed(np.abs(np.asarray(col, dtype=np.int64) - _lowmed(col))))
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT), so the count and the
+    # above-median tally are pandas aggregates too
+    pcount = gagg(lambda col: int(len(col)))
+    psum = gagg(lambda col: int(np.asarray(col, dtype=np.int64).sum()))
+
+    # cast to double BEFORE the multiply: float32 * 1000 rounds in float32
+    # (Spark promotes the literal to float), while DuckDB's arithmetic
+    # promotes to double -- quantize in double on both sides
+    v = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000).alias("v"),
+    )
+    w = W.partitionBy("label").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    per_row = v.withColumn("med", lowmed("v").over(w)).withColumn(
+        "above", (F.col("v") > F.col("med")).cast("bigint")
+    )
+    return per_row.groupBy("label").agg(
+        pcount("v").alias("n_vecs"),
+        lowmed("v").alias("med_milli"),
+        mad("v").alias("mad_milli"),
+        psum("above").alias("n_above_med"),
+    )
+
+
+ORACLE_Q176 = """
+WITH v AS (
+  SELECT label, CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings
+),
+r AS (
+  SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM v
+),
+med AS (SELECT label, v AS med FROM r WHERE rn = (n + 1) // 2),
+d AS (SELECT v.label, v.v, abs(v.v - m.med) AS ad, m.med FROM v JOIN med m USING (label)),
+r2 AS (
+  SELECT label, ad, row_number() OVER (PARTITION BY label ORDER BY ad) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM d
+),
+mads AS (SELECT label, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.label,
+       count(*) AS n_vecs,
+       min(d.med) AS med_milli,
+       min(mads.mad) AS mad_milli,
+       CAST(sum(CASE WHEN d.v > d.med THEN 1 ELSE 0 END) AS BIGINT) AS n_above_med
+FROM d JOIN mads USING (label)
+GROUP BY d.label
+"""
+
+
+# --------------------------------------------------------------------------
 # q69: correlation / OLS regression via exact sufficient statistics
 # --------------------------------------------------------------------------
 
@@ -1042,6 +1127,7 @@ QUERIES = {
     "q138_cogroup_reconcile": q138_cogroup_reconcile,
     "q147_sql_udf_chunks": q147_sql_udf_chunks,
     "q171_polymorphic_udtf": q171_polymorphic_udtf,
+    "q176_grouped_agg_udf": q176_grouped_agg_udf,
 }
 
 ORACLES = {
@@ -1066,5 +1152,6 @@ ORACLES = {
     "q138_cogroup_reconcile": ORACLE_Q138,
     "q147_sql_udf_chunks": ORACLE_Q147,
     "q171_polymorphic_udtf": _oracle_q171(),
+    "q176_grouped_agg_udf": ORACLE_Q176,
     # q15b: rows-only (sketch-based)
 }

@@ -36,6 +36,7 @@ PYTHON_OK = {
     "q138_cogroup_reconcile",
     "q169_python_datasource",  # the custom source IS a Python scan
     "q171_polymorphic_udtf",   # the polymorphic UDTF IS a Python stage
+    "q176_grouped_agg_udf",    # grouped-agg pandas UDF + WindowInPandas
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
 SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink"}
