@@ -115,6 +115,7 @@ _PRIORITY = [
     "q174_equidepth_histogram",
     "q175_stream_upsert_sink",
     "q176_grouped_agg_udf",
+    "q177_join_cardinality_audit",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -340,14 +340,78 @@ FROM cum GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q177: join-cardinality estimation audit (System-R formula vs exact)
+# --------------------------------------------------------------------------
+
+CARD_CELL = 64  # partkey range per histogram cell
+
+
+def q177_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate a cost-based optimizer makes before picking a join
+    strategy, audited against ground truth -- on the case where estimation
+    actually errs. A PK-FK join makes the containment formula trivially
+    exact (d = n on the key side collapses n_l*n_o/d to the true count; a
+    first cut measured err_ppm = 0 and proved nothing), so the audit
+    targets the fact-fact SELF-join on partkey: per partkey-range cell,
+    |L ⋈ L| is estimated as n²/d (System-R's uniform-frequency assumption
+    over q174-style histogram cells) and compared to the exact
+    sum-of-squared-counts. Within-cell frequency skew makes the formula
+    undershoot by Jensen's inequality -- ~3% on this corpus, and that gap
+    is the number a CBO needs to know its histogram resolution. All
+    integer: one map-side-combined per-key count, a ~hundreds-row cell
+    rollup, one squared-count aggregate -- the audit costs far less than
+    the join it predicts, which is the point of having the statistic."""
+    li_k = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    actual = li_k.agg(F.sum(F.col("c") * F.col("c")).alias("actual_rows"))
+    est = (
+        li_k.groupBy(F.expr(f"k DIV {CARD_CELL}").alias("cell"))
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.expr("(n * n) DIV d")).alias("est_rows"),
+        )
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "n_cells",
+        "est_rows",
+        "actual_rows",
+        F.expr("abs(est_rows - actual_rows) * 1000000 DIV actual_rows").alias("err_ppm"),
+    )
+
+
+ORACLE_Q177 = f"""
+WITH k AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+actual AS (SELECT CAST(sum(c * c) AS BIGINT) AS actual_rows FROM k),
+cells AS (
+  SELECT k // {CARD_CELL} AS cell, CAST(sum(c) AS BIGINT) AS n, count(*) AS d
+  FROM k GROUP BY 1
+),
+est AS (
+  SELECT count(*) AS n_cells,
+         CAST(sum((n * n) // d) AS BIGINT) AS est_rows
+  FROM cells
+)
+SELECT n_cells, est_rows, actual_rows,
+       CAST(abs(est_rows - actual_rows) * 1000000 // actual_rows AS BIGINT) AS err_ppm
+FROM est, actual
+"""
+
+
 QUERIES = {
     "q172_zorder_layout": q172_zorder_layout,
     "q173_bloom_prune_audit": q173_bloom_prune_audit,
     "q174_equidepth_histogram": q174_equidepth_histogram,
+    "q177_join_cardinality_audit": q177_join_cardinality_audit,
 }
 
 ORACLES = {
     "q172_zorder_layout": _oracle_q172(),
     "q173_bloom_prune_audit": _oracle_q173(),
     "q174_equidepth_histogram": ORACLE_Q174,
+    "q177_join_cardinality_audit": ORACLE_Q177,
 }
