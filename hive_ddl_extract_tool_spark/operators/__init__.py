@@ -116,6 +116,7 @@ _PRIORITY = [
     "q175_stream_upsert_sink",
     "q176_grouped_agg_udf",
     "q177_join_cardinality_audit",
+    "q178_state_store_reader",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -809,6 +809,91 @@ ORACLE_Q170 = ORACLE_Q63
 
 
 # --------------------------------------------------------------------------
+# q178: state-store reader -- introspect a checkpoint's live state
+# --------------------------------------------------------------------------
+
+def q178_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``statestore`` data source: read a streaming checkpoint's
+    STATE as a DataFrame -- the observability path for debugging a
+    production job's memory (what is this query still holding, and why)
+    without stopping it. The pipeline under inspection is a watermarked
+    5-minute window aggregate drained from a single-file replay; what its
+    checkpoint retains afterwards is precisely the windows the final
+    watermark (max event time - 10 min) has NOT closed, each carrying the
+    FULL count/sum for its group (the drain was one batch, so no row was
+    late-dropped before eviction ran). That retention rule is the oracle:
+    DuckDB selects the same tail windows by epoch-microsecond arithmetic
+    (raw-nanos drops floor to micros identically on both sides -- the q88
+    rule) and aggregates them from the raw events. The state sum is a
+    partition-order double accumulation, so it crosses the oracle boundary
+    through the shared mround/epsilon money contract like every other
+    2dp sum."""
+    import os
+    import shutil
+    import tempfile
+
+    name = "q178_state_query"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q178_state_{sf_tag}")
+    src_dir, ckpt_dir = f"{base}/src", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+    events_file, _ = _staged_events_file(spark, sf_dir)
+    shutil.copy(events_file, f"{src_dir}/events.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt_dir)
+    return state.select(
+        F.date_format("key.window.start", TS_FMT_SPARK).alias("win_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        mround(F.col("value.sum"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_Q178 = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS mus FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, value
+  FROM events
+)
+SELECT strftime(tb, '{TS_FMT_DUCK}')   AS win_start,
+       event_type,
+       count(*)                        AS n_events,
+       round(1.37e-6 + sum(value), 2)  AS sum_value
+FROM w, mx
+WHERE epoch_us(tb) + 300000000 > mus - 600000000
+GROUP BY tb, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q175: foreachBatch upsert sink -- the manual exactly-once merge pattern
 # --------------------------------------------------------------------------
 
@@ -928,6 +1013,7 @@ QUERIES = {
     "q140_stream_outer_join": q140_stream_outer_join,
     "q170_stream_file_sink": q170_stream_file_sink,
     "q175_stream_upsert_sink": q175_stream_upsert_sink,
+    "q178_state_store_reader": q178_state_store_reader,
 }
 
 ORACLES = {
@@ -943,4 +1029,5 @@ ORACLES = {
     "q140_stream_outer_join": ORACLE_Q140,
     "q170_stream_file_sink": ORACLE_Q170,
     "q175_stream_upsert_sink": ORACLE_Q175,
+    "q178_state_store_reader": ORACLE_Q178,
 }
