@@ -351,3 +351,41 @@ def test_pow34_steps_exact_on_both_engines(spark):
     got_duck = {row[0]: int(row[1]) for row in
                 con.sql(f"SELECT cnt, b_r FROM ({sql})").fetchall()}
     assert got_duck == want
+
+
+def test_z_interleave_agrees_cross_engine_and_with_python(spark):
+    """q172's Morton code is generated expression text in two dialects; this
+    pins both against a Python bit-interleave on hostile inputs (all-ones,
+    alternating masks, single bits, boundaries)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.layout import Z_BITS, z_interleave_expr
+
+    def py_z(x, y):
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [0, 1, 2, 3, 0xAAA, 0x555, 0xFFF, 0x800, 0x7FF, 1365, 2730, 4095]
+    pairs = [(x, y) for x in vals for y in vals]
+    want = {(x, y): py_z(x, y) for x, y in pairs}
+
+    sdf = spark.createDataFrame(pairs, "xq long, yq long").withColumn(
+        "z", F.expr(z_interleave_expr("spark"))
+    )
+    got_spark = {(r["xq"], r["yq"]): r["z"] for r in sdf.collect()}
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (xq BIGINT, yq BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    got_duck = {
+        (x, y): z
+        for x, y, z in con.sql(
+            f"SELECT xq, yq, {z_interleave_expr('duckdb')} AS z FROM t"
+        ).fetchall()
+    }
+    assert got_duck == want
