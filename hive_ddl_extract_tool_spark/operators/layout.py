@@ -55,6 +55,25 @@ DATE_PROBE = (1200, 1206)  # one-week day-bucket probe (within fixture range)
 KEY_PROBE = (256, 511)     # quantized-key band: 1/16th of the key domain
 
 
+def z_interleave_expr(dialect: str) -> str:
+    """Morton-code expression over columns ``xq``/``yq`` (12 bits each) in
+    either engine's dialect -- one generator so the two can never drift
+    (property-tested against a Python bit-interleave in
+    tests/test_properties.py)."""
+    if dialect == "spark":
+        terms = (
+            f"shiftleft(shiftright(xq, {i}) & 1, {2 * i})"
+            f" + shiftleft(shiftright(yq, {i}) & 1, {2 * i + 1})"
+            for i in range(Z_BITS)
+        )
+    else:
+        terms = (
+            f"(((xq >> {i}) & 1) << {2 * i}) + (((yq >> {i}) & 1) << {2 * i + 1})"
+            for i in range(Z_BITS)
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 def q172_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit Z-order clustering against a date-sorted layout. One lineitem
     scan quantizes two dims (day number, partkey cell), interleaves their
@@ -68,11 +87,6 @@ def q172_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point. Grouping by key prefix (not global rank) keeps the job a
     pair of hash aggregates: no global sort, no single-task window, scales
     like any groupBy. Integer bit arithmetic end to end -> hash-exact."""
-    z_terms = " + ".join(
-        f"shiftleft(shiftright(xq, {i}) & 1, {2 * i})"
-        f" + shiftleft(shiftright(yq, {i}) & 1, {2 * i + 1})"
-        for i in range(Z_BITS)
-    )
     li = load(spark, sf_dir, "lineitem")
     base = (
         li.crossJoin(F.broadcast(li.agg(F.max("l_partkey").alias("mxp"))))
@@ -83,7 +97,7 @@ def q172_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xq"),
             F.expr("CAST((l_partkey * 4096) DIV (mxp + 1) AS BIGINT)").alias("yq"),
         )
-        .withColumn("z", F.expr(f"CAST({z_terms} AS BIGINT)"))
+        .withColumn("z", F.expr(z_interleave_expr("spark")))
     )
     both = base.select(
         "xq",
@@ -125,10 +139,6 @@ def q172_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_q172() -> str:
-    z_terms = " + ".join(
-        f"(((xq >> {i}) & 1) << {2 * i}) + (((yq >> {i}) & 1) << {2 * i + 1})"
-        for i in range(Z_BITS)
-    )
     d0, d1 = DATE_PROBE
     k0, k1 = KEY_PROBE
     return f"""
@@ -138,7 +148,7 @@ WITH b AS (
          CAST((l_partkey * 4096) // ((SELECT max(l_partkey) FROM lineitem) + 1) AS BIGINT) AS yq
   FROM lineitem
 ),
-bz AS (SELECT xq, yq, CAST({z_terms} AS BIGINT) AS z FROM b),
+bz AS (SELECT xq, yq, {z_interleave_expr("duckdb")} AS z FROM b),
 fl AS (
   SELECT 'zorder' AS layout, z >> {Z_FILE_SHIFT} AS f, xq, yq FROM bz
   UNION ALL
