@@ -117,6 +117,7 @@ _PRIORITY = [
     "q176_grouped_agg_udf",
     "q177_join_cardinality_audit",
     "q178_state_store_reader",
+    "q179_schema_evolution_merge",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

@@ -265,11 +265,76 @@ FROM a, (VALUES {", ".join(f"('{f}')" for f in ROUNDTRIP_FORMATS)}) f(fmt)
 """
 
 
+# --------------------------------------------------------------------------
+# q179: schema evolution -- mergeSchema over heterogeneous file generations
+# --------------------------------------------------------------------------
+
+def q179_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Years of ingest never share one schema; this drives Spark's
+    mergeSchema read over three deliberately divergent parquet
+    generations of the documents corpus -- v0 an "old writer" missing
+    lang and n_chars, v1 the full schema PLUS a quality column later
+    generations added, v2 with columns in a different physical order and
+    lang dropped again -- and verifies the reconciled semantics: merged
+    schema is the union, missing columns surface as NULLs (never as
+    misaligned values: parquet resolves by NAME, so v2's reordering must
+    be invisible), and per-source aggregates over the union are exact.
+    The oracle regenerates all three generations from the original table
+    with CASE on doc_id % 3, so any column misalignment, dropped row, or
+    type widening slip is a hash mismatch. Scratch paths are
+    deterministic per sf and overwritten (q165's rule)."""
+    docs = load(spark, sf_dir, "documents")
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q179_evolve_{sf_tag}")
+    gen = F.pmod("doc_id", F.lit(3))
+    v0 = docs.filter(gen == 0).select("doc_id", "text", "source")
+    v1 = docs.filter(gen == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.pmod("n_chars", F.lit(100)).alias("quality"),
+    )
+    v2 = docs.filter(gen == 2).select("n_chars", "source", "text", "doc_id")
+    for i, part in enumerate((v0, v1, v2)):
+        part.write.mode("overwrite").parquet(f"{base}/gen={i}")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=0", f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("lang").isNull().cast("bigint")).alias("n_null_lang"),
+        F.sum(F.col("n_chars").isNull().cast("bigint")).alias("n_null_chars"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+        F.sum(F.coalesce("quality", F.lit(-1))).alias("sum_quality"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+ORACLE_Q179 = """
+WITH m AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 1 THEN lang END AS lang,
+         CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS n_chars,
+         CASE WHEN doc_id % 3 = 1 THEN n_chars % 100 END AS quality,
+         text
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)    AS n_null_lang,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_chars,
+       CAST(sum(coalesce(n_chars, 0)) AS BIGINT)                        AS sum_chars,
+       CAST(sum(coalesce(quality, -1)) AS BIGINT)                       AS sum_quality,
+       CAST(sum(length(text)) AS BIGINT)                                AS sum_text_len
+FROM m
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q56_salted_join": q56_salted_join,
     "q58_bucketed_join": q58_bucketed_join,
     "q116_skew_report": q116_skew_report,
     "q165_format_roundtrip": q165_format_roundtrip,
+    "q179_schema_evolution_merge": q179_schema_evolution_merge,
 }
 
 ORACLES = {
@@ -277,4 +342,5 @@ ORACLES = {
     "q165_format_roundtrip": _oracle_q165(),
     "q56_salted_join": ORACLE_Q56,
     "q58_bucketed_join": ORACLE_Q58,
+    "q179_schema_evolution_merge": ORACLE_Q179,
 }
