@@ -118,6 +118,8 @@ _PRIORITY = [
     "q177_join_cardinality_audit",
     "q178_state_store_reader",
     "q179_schema_evolution_merge",
+    "q180_stream_update_mode",
+    "q181_arrow_python_udf",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

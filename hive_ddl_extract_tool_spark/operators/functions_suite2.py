@@ -696,6 +696,50 @@ GROUP BY d.label
 
 
 # --------------------------------------------------------------------------
+# q181: Arrow-OPTIMIZED Python UDF (useArrow=True) -- the row UDF done right
+# --------------------------------------------------------------------------
+
+def q181_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``udf(..., useArrow=True)``: row-at-a-time Python semantics over
+    Arrow-serialized batches (ArrowEvalPython) -- the migration path for
+    legacy per-row UDFs that cannot be vectorized, ~an order cheaper than
+    pickled BatchEvalPython on the wire. Kept OUT of every hot path (the
+    plan audit bans Python stages by default); this query exists to pin
+    the mode's correctness: per-document md5-60 fingerprint, byte length,
+    and an 'a'-occurrence count -- each reproducible in DuckDB (the count
+    via length-difference, no regex), so even the per-row Python path is
+    value-hash verified."""
+    import hashlib
+
+    from pyspark.sql.functions import udf
+
+    fp60 = udf(
+        lambda t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) if t is not None else None,
+        "long",
+        useArrow=True,
+    )
+    count_a = udf(
+        lambda t: t.count("a") if t is not None else None, "long", useArrow=True
+    )
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fp60("text").alias("fp60"),
+        F.octet_length("text").alias("n_bytes"),
+        count_a("text").alias("n_a"),
+    )
+
+
+ORACLE_Q181 = """
+SELECT doc_id,
+       (('0x' || substr(md5(text), 1, 15))::BIGINT) AS fp60,
+       CAST(octet_length(encode(text)) AS BIGINT)   AS n_bytes,
+       CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS n_a
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # q69: correlation / OLS regression via exact sufficient statistics
 # --------------------------------------------------------------------------
 
@@ -1128,6 +1172,7 @@ QUERIES = {
     "q147_sql_udf_chunks": q147_sql_udf_chunks,
     "q171_polymorphic_udtf": q171_polymorphic_udtf,
     "q176_grouped_agg_udf": q176_grouped_agg_udf,
+    "q181_arrow_python_udf": q181_arrow_python_udf,
 }
 
 ORACLES = {
@@ -1153,5 +1198,6 @@ ORACLES = {
     "q147_sql_udf_chunks": ORACLE_Q147,
     "q171_polymorphic_udtf": _oracle_q171(),
     "q176_grouped_agg_udf": ORACLE_Q176,
+    "q181_arrow_python_udf": ORACLE_Q181,
     # q15b: rows-only (sketch-based)
 }

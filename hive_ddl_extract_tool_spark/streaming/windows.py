@@ -894,6 +894,92 @@ GROUP BY tb, event_type
 
 
 # --------------------------------------------------------------------------
+# q180: UPDATE output mode -- the changelog the other modes don't emit
+# --------------------------------------------------------------------------
+
+UPDATE_SRC_BUCKETS = 4
+
+
+def q180_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the output-mode matrix (complete: q63; append: q170/q178):
+    UPDATE mode re-emits a group every micro-batch in which it changed,
+    carrying the current running aggregate -- the changelog a downstream
+    upsert consumer reads. The events log is split into 4 files by
+    user_id % 4 (an EXPLICIT split: repartition's murmur hash would be
+    unreproducible in the oracle) and replayed one file per micro-batch,
+    so for each (window, event_type) group the number of emitted updates
+    equals the number of user-buckets that touch it -- count(DISTINCT
+    user_id % 4) in SQL -- independent of batch ORDER, and the final
+    running count is the max over its updates because counts only grow.
+    Both facts are hash-checked, which pins the two things UPDATE mode
+    promises: no missed change, no spurious re-emission of unchanged
+    groups."""
+    import os
+    import shutil
+    import tempfile
+
+    name = "q180_update_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q180_update_{sf_tag}")
+    src_dir = f"{base}/src"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+    events = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type",
+    )
+    for b in range(UPDATE_SRC_BUCKETS):
+        part = events.filter(F.pmod("user_id", F.lit(UPDATE_SRC_BUCKETS)) == b).coalesce(1)
+        tmp = f"{base}/_tmp_{b}"
+        part.write.mode("overwrite").parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(f"{tmp}/{pf}", f"{src_dir}/b{b}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    updates = spark.table(name)
+    return updates.groupBy(
+        F.date_format("w.start", TS_FMT_SPARK).alias("win_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_updates"),
+        F.max("n").alias("n_events"),
+    )
+
+
+ORACLE_Q180 = f"""
+SELECT strftime(tb, '{TS_FMT_DUCK}') AS win_start,
+       event_type,
+       CAST(count(DISTINCT user_id % {UPDATE_SRC_BUCKETS}) AS BIGINT) AS n_updates,
+       count(*) AS n_events
+FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, event_type, user_id
+      FROM events)
+GROUP BY tb, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q175: foreachBatch upsert sink -- the manual exactly-once merge pattern
 # --------------------------------------------------------------------------
 
@@ -1014,6 +1100,7 @@ QUERIES = {
     "q170_stream_file_sink": q170_stream_file_sink,
     "q175_stream_upsert_sink": q175_stream_upsert_sink,
     "q178_state_store_reader": q178_state_store_reader,
+    "q180_stream_update_mode": q180_stream_update_mode,
 }
 
 ORACLES = {
@@ -1030,4 +1117,5 @@ ORACLES = {
     "q170_stream_file_sink": ORACLE_Q170,
     "q175_stream_upsert_sink": ORACLE_Q175,
     "q178_state_store_reader": ORACLE_Q178,
+    "q180_stream_update_mode": ORACLE_Q180,
 }
