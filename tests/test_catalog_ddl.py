@@ -309,3 +309,40 @@ def test_lakehouse_ddl_roundtrip(spark, tmp_path, fmt, provider):
         assert "id" in ddl and "v" in ddl
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]: the catalog-side
+    statistics pipeline the CBO reads (the managed-table analogue of what
+    q174/q177 compute in-query). Verifies the stats round-trip: table
+    rowCount matches the actual count, and the column stats carry the true
+    min/max/null-count for doc_id -- so a CBO decision made from them is
+    made from the truth."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    try:
+        docs.write.saveAsTable("stats_probe")
+        spark.sql("ANALYZE TABLE stats_probe COMPUTE STATISTICS FOR COLUMNS doc_id")
+        desc = {r["col_name"]: r["data_type"] for r in spark.sql("DESC EXTENDED stats_probe").collect()}
+        assert f"{n} rows" in desc["Statistics"], desc["Statistics"]
+        col = {r["info_name"]: r["info_value"] for r in spark.sql("DESC EXTENDED stats_probe doc_id").collect()}
+        assert col["min"] == str(lo) and col["max"] == str(hi), col
+        assert col["num_nulls"] == "0", col
+        # the optimizer actually SEES the stats: with CBO on, the optimized
+        # plan's row count equals the analyzed count (without cbo.enabled
+        # the plan only carries sizeInBytes -- rowCount stays None)
+        prev = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = spark.table("stats_probe")._jdf.queryExecution().optimizedPlan().stats()
+            assert stats.rowCount().get() == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
