@@ -120,6 +120,7 @@ _PRIORITY = [
     "q179_schema_evolution_merge",
     "q180_stream_update_mode",
     "q181_arrow_python_udf",
+    "q182_stream_session_window",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

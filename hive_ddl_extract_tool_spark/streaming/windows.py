@@ -894,6 +894,77 @@ GROUP BY tb, event_type
 
 
 # --------------------------------------------------------------------------
+# q182: STREAMING session windows -- the merging-sessions state operator
+# --------------------------------------------------------------------------
+
+def q182_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q62's session_window run as a REAL stream: unlike fixed windows,
+    session state must MERGE when a new event bridges two open sessions
+    (MergingSessionsExec) -- a state operator none of the other streaming
+    queries touch. Append mode emits a session only once the watermark
+    passes its end+gap, and a drained finite source never proves that for
+    any session -- so after the replayed log, one heartbeat file (a day
+    late, q140's machinery) lifts the watermark past every real session's
+    horizon; the heartbeat's own session never closes, so the sentinel
+    stays out of the sink by construction and the drained result is
+    exactly the batch sessionization -- ORACLE_Q62 verbatim."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    name = "q182_session_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q182_session_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    events_file, max_ts = _staged_events_file(spark, sf_dir)
+    shutil.copy(events_file, f"{base}/events.parquet")
+    _write_sentinel(spark, base, "heartbeat1", max_ts + datetime.timedelta(days=1))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), mround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_US_SPARK).alias("win_start"),
+            F.date_format("w.end", TS_US_SPARK).alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_partitions(spark, STREAM_JOIN_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# the heartbeat closed every real session and its own never closed, so the
+# drained sink equals batch sessionization exactly
+ORACLE_Q182 = ORACLE_Q62
+
+
+# --------------------------------------------------------------------------
 # q180: UPDATE output mode -- the changelog the other modes don't emit
 # --------------------------------------------------------------------------
 
@@ -1101,6 +1172,7 @@ QUERIES = {
     "q175_stream_upsert_sink": q175_stream_upsert_sink,
     "q178_state_store_reader": q178_state_store_reader,
     "q180_stream_update_mode": q180_stream_update_mode,
+    "q182_stream_session_window": q182_stream_session_window,
 }
 
 ORACLES = {
@@ -1118,4 +1190,5 @@ ORACLES = {
     "q175_stream_upsert_sink": ORACLE_Q175,
     "q178_state_store_reader": ORACLE_Q178,
     "q180_stream_update_mode": ORACLE_Q180,
+    "q182_stream_session_window": ORACLE_Q182,
 }
