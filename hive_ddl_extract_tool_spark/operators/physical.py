@@ -207,7 +207,7 @@ ORACLE_Q116 = _skew_stats_sql("user_id") + "\nUNION ALL" + _skew_stats_sql("even
 # q165: sink/read-back parity across every core format
 # --------------------------------------------------------------------------
 
-ROUNDTRIP_FORMATS = ("parquet", "orc", "json", "csv")
+ROUNDTRIP_FORMATS = ("parquet", "orc", "json", "csv", "xml")
 _FP_MOD = 1_000_000_007
 
 

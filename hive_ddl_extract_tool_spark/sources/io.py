@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 
-CORE_FORMATS = ("parquet", "orc", "json", "csv")
+CORE_FORMATS = ("parquet", "orc", "json", "csv", "xml")  # xml is core in Spark 4
 
 
 def write_table(
@@ -37,6 +37,8 @@ def write_table(
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        writer = writer.option("rowTag", "row")
     for k, v in options.items():
         writer = writer.option(k, v)
     if partition_by:
@@ -54,11 +56,13 @@ def read_table(
     reader: DataFrameReader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("csv", "json"):
+    elif fmt in ("csv", "json", "xml"):
         raise ValueError(f"{fmt} requires an explicit schema (inference is a full extra scan)")
     return reader.load(path)
 

@@ -129,7 +129,7 @@ def test_format_roundtrip_formats_agree(spark, sf_dir):
     from hive_ddl_extract_tool_spark.operators import all_queries
 
     rows = all_queries()["q165_format_roundtrip"](spark, sf_dir).collect()
-    assert {r["fmt"] for r in rows} == {"parquet", "orc", "json", "csv"}
+    assert {r["fmt"] for r in rows} == {"parquet", "orc", "json", "csv", "xml"}
     assert len({(r["n_rows"], r["text_fp"], r["sum_chars"]) for r in rows}) == 1
 
 
