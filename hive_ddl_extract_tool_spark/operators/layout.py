@@ -201,8 +201,11 @@ def q173_bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("k"))
         .distinct()
     )
+    # greatest(1, ...): an empty build set must degrade to a 1-bit filter,
+    # not a modulo-by-zero NULL cascade (both engines return NULL for % 0,
+    # but NULL-position join semantics are not a contract worth relying on)
     mrow = build.agg(
-        (F.count(F.lit(1)) * BLOOM_BITS_PER_KEY).alias("m_bits")
+        F.greatest(F.lit(1), F.count(F.lit(1)) * BLOOM_BITS_PER_KEY).alias("m_bits")
     )
 
     def positions(df: DataFrame) -> DataFrame:
@@ -261,7 +264,7 @@ def _oracle_q173() -> str:
 WITH build AS (
   SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey % 3 = 0
 ),
-mm AS (SELECT CAST({BLOOM_BITS_PER_KEY} * count(*) AS BIGINT) AS m_bits FROM build),
+mm AS (SELECT CAST(greatest(1, {BLOOM_BITS_PER_KEY} * count(*)) AS BIGINT) AS m_bits FROM build),
 js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
 bbits AS (
   SELECT DISTINCT ({pos}) % (SELECT m_bits FROM mm) AS pos FROM build, js

@@ -254,6 +254,16 @@ SHOW = {
         "cumulative window rides the bounded cell table (SinglePartition "
         "over ~500 rows by design, never the fact)."
     ),
+    "q177_join_cardinality_audit": (
+        "Exact answer from the per-key COUNT table (sum of squared counts), "
+        "never the join itself; the estimate rides a bounded cell rollup -- "
+        "the audit is strictly cheaper than the join it predicts."
+    ),
+    "q179_schema_evolution_merge": (
+        "mergeSchema reconciles three generations at planning time; the "
+        "scan resolves columns BY NAME per file, missing ones surface as "
+        "NULL -- one union-schema scan, one per-source rollup."
+    ),
     "q164_source_ablation": (
         "All S leave-one-source-out ablations from ONE SxB bucket grid off "
         "the staged DSIR tokenize pass: no raw documents scan, no "
