@@ -121,6 +121,8 @@ _PRIORITY = [
     "q180_stream_update_mode",
     "q181_arrow_python_udf",
     "q182_stream_session_window",
+    "q183_bitmap_distinct",
+    "q184_listagg",
     # (2) newest green row is round 1 -- oldest evidence in the registry
     "q15_percentiles",
     "q16_window_extras",

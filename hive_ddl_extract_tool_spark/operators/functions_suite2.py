@@ -740,6 +740,91 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# q183: bitmap aggregates -- EXACT distinct counting that composes by OR
+# --------------------------------------------------------------------------
+
+def q183_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's bitmap aggregate family (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count): EXACT distinct counting whose partial state is a
+    bitmap per 32k-id bucket -- unlike count(DISTINCT), the partials
+    compose by OR, so per-shard artifacts merge without re-reading rows
+    (the q168 composition story, for cardinalities). Keys are the raw
+    user_ids, not hashes: a hash collision would silently undercount,
+    id bits cannot. Two claims are hash-verified: per-type distinct
+    users summed over bucket bitmaps equals count(DISTINCT), and OR-ing
+    the per-type bucket bitmaps and THEN counting equals the global
+    distinct -- the merge is lossless."""
+    events = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = events.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    merged = (
+        per_bucket.groupBy("bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("cnt"))
+        .agg(
+            F.lit("__all__").alias("event_type"),
+            F.sum("cnt").alias("n_users"),
+        )
+    )
+    return per_type.unionByName(merged)
+
+
+ORACLE_Q183 = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q184: listagg WITHIN GROUP -- ordered string aggregation
+# --------------------------------------------------------------------------
+
+def q184_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ANSI listagg: order-sensitive string aggregation, the one
+    aggregate whose RESULT depends on a declared ordering (everything
+    else in the registry is order-free by design). Per nation: the top-3
+    customers by account balance (rank tie-broken by custkey so the set
+    is unique), then listagg'd WITHIN GROUP (ORDER BY name) -- the inner
+    ordering picks the rows, the aggregation ordering fixes the string,
+    so the concatenation is deterministic on both engines (DuckDB:
+    string_agg(... ORDER BY ...))."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top = cust.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    top.createOrReplaceTempView("q184_top")
+    return spark.sql("""
+        SELECT c_nationkey,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS top_names,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q184_top GROUP BY c_nationkey
+    """)
+
+
+ORACLE_Q184 = """
+WITH top AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+)
+SELECT c_nationkey,
+       string_agg(c_name, '|' ORDER BY c_name) AS top_names,
+       CAST(count(*) AS BIGINT) AS n
+FROM top WHERE rk <= 3
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # q69: correlation / OLS regression via exact sufficient statistics
 # --------------------------------------------------------------------------
 
@@ -1173,6 +1258,8 @@ QUERIES = {
     "q171_polymorphic_udtf": q171_polymorphic_udtf,
     "q176_grouped_agg_udf": q176_grouped_agg_udf,
     "q181_arrow_python_udf": q181_arrow_python_udf,
+    "q183_bitmap_distinct": q183_bitmap_distinct,
+    "q184_listagg": q184_listagg,
 }
 
 ORACLES = {
@@ -1199,5 +1286,7 @@ ORACLES = {
     "q171_polymorphic_udtf": _oracle_q171(),
     "q176_grouped_agg_udf": ORACLE_Q176,
     "q181_arrow_python_udf": ORACLE_Q181,
+    "q183_bitmap_distinct": ORACLE_Q183,
+    "q184_listagg": ORACLE_Q184,
     # q15b: rows-only (sketch-based)
 }
