@@ -182,3 +182,66 @@ def test_ann_rank_quality_bounded_by_ideal(spark, sf_dir):
         assert 0 <= r["n_hits"] <= NDCG_K
         assert 0 <= r["dcg_x6"] <= _IDCG_X
         assert r["ndcg_ppm"] <= 1_000_000
+
+
+def test_bloom_audit_never_false_negative(spark, sf_dir):
+    """THE Bloom guarantee: every true member passes the filter, so
+    n_bloom_pass >= n_members and false positives account exactly for the
+    difference; the bit count never exceeds what the build could set."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.operators.layout import BLOOM_K
+
+    r = all_queries()["q173_bloom_prune_audit"](spark, sf_dir).collect()[0]
+    assert r["n_bloom_pass"] >= r["n_members"]
+    assert r["n_bloom_pass"] - r["n_members"] == r["n_false_pos"]
+    assert r["n_bits_set"] <= min(r["m_bits"], BLOOM_K * r["n_build_keys"])
+
+
+def test_zorder_audit_layouts_cover_identical_rows(spark, sf_dir):
+    """Both layouts partition the SAME rows: per layout the file row counts
+    sum to the lineitem count, and the z-order layout must prune at least
+    as many files on the key probe as the date-sorted layout (that
+    advantage is the operator's reason to exist)."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.tables import load
+
+    rows = {r["layout"]: r for r in all_queries()["q172_zorder_layout"](spark, sf_dir).collect()}
+    n = load(spark, sf_dir, "lineitem").count()
+    assert rows["zorder"]["n_rows"] == n and rows["linear"]["n_rows"] == n
+    assert rows["zorder"]["n_skip_key_probe"] >= rows["linear"]["n_skip_key_probe"]
+
+
+def test_equidepth_histogram_partitions_the_value_domain(spark, sf_dir):
+    """q174's buckets must partition the cells: ordered by bucket id, cell
+    ranges are disjoint and increasing, and row counts sum to the orders
+    count."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.tables import load
+
+    rows = sorted(
+        all_queries()["q174_equidepth_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert sum(r["n_rows"] for r in rows) == load(spark, sf_dir, "orders").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_cell"] < b["min_cell"]
+
+
+def test_bitmap_distinct_bounds(spark, sf_dir):
+    """q183: the global distinct is bounded by every per-type count below
+    and their sum above."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+
+    rows = {r["event_type"]: r["n_users"] for r in all_queries()["q183_bitmap_distinct"](spark, sf_dir).collect()}
+    total = rows.pop("__all__")
+    assert max(rows.values()) <= total <= sum(rows.values())
+
+
+def test_update_mode_emission_counts_bounded_by_batches(spark, sf_dir):
+    """q180: a group can emit at most one update per micro-batch, and must
+    emit at least one (it exists in the result)."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.streaming.windows import UPDATE_SRC_BUCKETS
+
+    for r in all_queries()["q180_stream_update_mode"](spark, sf_dir).collect():
+        assert 1 <= r["n_updates"] <= UPDATE_SRC_BUCKETS, r
