@@ -29,68 +29,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Queries that must reach the driver's correctness sweep first this round
-# (round 5): (1) the 17 queries red in the r4 sweep -- root-caused to DuckDB
-# HUGEINT outputs diverging under the driver's comparator, all oracles now
-# CAST to BIGINT (plus q116's p99 de-floated to an integer rank statistic);
-# these need the fresh driver verdict that adjudicates the fix. (2) Rows
-# whose newest green evidence is round 1 -- the oldest in the registry.
-# (3) r2-era verified-Python-path rows. (4) The dedup/similarity core,
-# newest green r2/r3. Everything verified green in the r4 sweep rotates to
-# the back (it carries the freshest evidence).
+# ROTATION RULE (mechanical, apply every round): the driver sweeps ~50
+# queries per round in this dict's order, so the priority prefix is rebuilt
+# each round from CORRECTNESS_r{N}.json history as:
+#
+#   1. queries with NO driver row ever (brand-new this round, or past the
+#      cutoff every prior round) -- they need their FIRST row;
+#   2. queries whose behavior changed this round (oracle upgraded, plan
+#      rewritten) -- the old green row no longer adjudicates them;
+#   3. every remaining green query ordered by STALEST latest-green round
+#      first (r2-era before r3-era before r4-era ...);
+#   4. queries green in the immediately-previous round rotate to the back
+#      (freshest evidence, fall through to module order below);
+#   5. rows-only queries last (the driver only records that they ran).
+#
+# Next round's prefix is therefore predictable from this round's
+# CORRECTNESS file: drop everything it turned green to the back, promote
+# whatever it still never reached.
+#
+# Round 6 instance: (1) q153-q184 -- the 32 queries past r5's 50-query
+# cutoff, never driver-checked (all pass the local sweep + the round-5
+# judge's independent re-run); (2) q06/q15b -- upgraded this round from
+# rows-only to oracle-backed (deterministic sketch-vs-exact bound booleans),
+# first oracle row needed; plus the round-6 additions; (3) stalest greens:
+# the r2-era block, then r3-era, then r4-era. Everything green in r5
+# carries the freshest evidence and falls through to module order.
 _PRIORITY = [
-    # (1) r4 red set -- divergence-proofed this round, must re-adjudicate
-    "q88_sessionize",
-    "q98_stream_sessionize",
-    "q83_dedup_purge",
-    "q85_inverted_index",
-    "q90_sequence_packing",
-    "q91_vocab_coverage",
-    "q92_bigram_lm_score",
-    "q95_curation_report",
-    "q100_gopher_rules",
-    "q101_source_mixing",
-    "q102_token_budget_select",
-    "q104_ngram_decontam",
-    "q105_length_buckets",
-    "q106_minhash_estimator_error",
-    "q110_malformed_quarantine",
-    "q112_training_manifest",
-    "q116_skew_report",
-    # round-5 new operators -- need their first row
-    "q120_window_dedup",
-    "q121_rrf_fusion",
-    "q122_dsir_weights",
-    "q123_quality_classifier",
-    "q124_dupgraph_pagerank",
-    "q125_source_divergence",
-    "q126_dsir_resample",
-    "q127_event_transitions",
-    "q128_incremental_dedup",
-    "q129_point_in_time_join",
-    "q130_canonical_election",
-    "q131_stream_dedup_gate",
-    "q132_doremi_mixture",
-    "q133_semantic_decontam",
-    "q134_volume_shipping",
-    "q135_market_share",
-    "q136_interarrival_histogram",
-    "q137_hybrid_dedup_audit",
-    "q138_cogroup_reconcile",
-    "q139_cheapest_supplier",
-    "q140_stream_outer_join",
-    "q141_khop_neighborhood",
-    "q142_gate_agreement",
-    "q143_waiting_suppliers",
-    "q144_dup_ngram_chars",
-    "q145_decontam_dashboard",
-    "q146_source_embedding_drift",
-    "q147_sql_udf_chunks",
-    "q148_top_supplier",
-    "q149_important_parts",
-    "q150_shipping_priority",
-    "q151_small_qty_revenue",
-    "q152_predicate_bands",
+    # (1) never driver-checked: past r5's cutoff
     "q153_promo_share",
     "q154_returned_items",
     "q155_nation_profit",
@@ -123,7 +88,32 @@ _PRIORITY = [
     "q182_stream_session_window",
     "q183_bitmap_distinct",
     "q184_listagg",
-    # (2) newest green row is round 1 -- oldest evidence in the registry
+    # (2) upgraded rows-only -> oracle-backed this round; first oracle row
+    "q06_approx_distinct_users",
+    "q15b_approx_percentiles",
+    # (3) stalest greens: latest green row is round 2
+    "q22_array_functions",
+    "q23_explode_tokens",
+    "q26_correlated_subquery",
+    "q27_range_frame_window",
+    "q35_tfidf_topterms",
+    "q36_hash_split",
+    "q49b_cosine_neardup_lsh",
+    "q59_asof_join",
+    "q65_frame_sample",
+    "q67_pandas_udf_scalar",
+    "q69_regression_stats",
+    "q71_repetition_metrics",
+    "q72_embed_quantize",
+    "q73_stratified_sample",
+    "q74_funnel",
+    "q75_cohort_retention",
+    "q76_heavy_hitters",
+    "q77_variant_json",
+    "q78_udtf_chunk",
+    "q79_resample_ffill",
+    "q80_rolling_anomaly",
+    # (3 cont.) latest green row is round 3
     "q15_percentiles",
     "q16_window_extras",
     "q17_conditional_aggs",
@@ -137,59 +127,69 @@ _PRIORITY = [
     "q32_langid",
     "q33_fingerprint",
     "q34_quality_score",
-    "q50_binary_metadata",
-    "q53_sql_ml_inference",
-    "q54_skyline",
-    "q55_range_join",
-    "q59_asof_join",
-    "q65_frame_sample",
-    # (3) r2-era verified-Python-path rows
-    "q67_pandas_udf_scalar",
-    "q78_udtf_chunk",
-    # (4) dedup/similarity core, newest green r2/r3
     "q40_exact_dedup",
     "q41_minhash_signatures",
     "q42_minhash_lsh_dedup",
-    "q43_ngram_jaccard",
     "q44_simhash",
     "q45_simhash_neardup",
     "q46_cosine_topk",
     "q47_ann_lsh",
-    "q49b_cosine_neardup_lsh",
     "q49c_lsh_recall",
+    "q50_binary_metadata",
+    "q53_sql_ml_inference",
+    "q54_skyline",
+    "q55_range_join",
+    "q56_salted_join",
+    "q58_bucketed_join",
     "q66_ivf_ann",
     "q66b_ivf_trained",
     "q68_dup_clusters",
-    "q72_embed_quantize",
-    "q86_decontamination",
-    "q96_custdist",
-    "q97_idle_rich_customers",
-    # past the expected ~50 budget: remaining stale r1-r3 text/analytics rows
-    "q35_tfidf_topterms",
-    "q36_hash_split",
-    "q71_repetition_metrics",
-    "q73_stratified_sample",
-    "q76_heavy_hitters",
     "q81_bm25_topk",
     "q82_collocations",
-    "q94_source_overlap",
-    "q69_regression_stats",
-    "q77_variant_json",
-    "q74_funnel",
-    "q75_cohort_retention",
-    "q79_resample_ffill",
-    "q80_rolling_anomaly",
-    "q56_salted_join",
-    "q58_bucketed_join",
-    "q22_array_functions",
-    "q23_explode_tokens",
-    "q26_correlated_subquery",
-    "q27_range_frame_window",
+    "q86_decontamination",
     "q87_embed_dim_stats",
     "q89_value_histogram",
     "q93_dim_correlations",
+    "q94_source_overlap",
+    "q96_custdist",
+    "q97_idle_rich_customers",
     "q99_label_purity",
+    "q43_ngram_jaccard",
     "q49_cosine_neardup",
+    # (3 cont.) latest green row is round 4
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_order_priority_semi",
+    "q04_customers_without_orders",
+    "q05_distinct_users",
+    "q07_rollup_orders",
+    "q08_cube_lineitem",
+    "q09_grouping_sets",
+    "q10_top_orders_per_customer",
+    "q11_running_revenue",
+    "q12_part_topk",
+    "q13_nation_set_ops",
+    "q14_pivot_status_year",
+    "q20_scalar_gauntlet",
+    "q21_json_extract",
+    "q51b_decode_features_checked",
+    "q52b_zscore_groups_checked",
+    "q60_tumbling_window",
+    "q61_sliding_window",
+    "q62_session_window",
+    "q63_stream_tumbling",
+    "q64_stream_dedup",
+    "q70_stream_static_join",
+    "q103_semdedup",
+    "q107_stream_interval_join",
+    "q108_scd2_merge",
+    "q109_audio_chunks",
+    "q111_big_orders",
+    "q113_zipf_fit",
+    "q114_arrow_batch_stats",
+    "q117_pca_power_iteration",
+    "q118_decayed_engagement",
+    "q119_edit_distance_verify",
 ]
 
 

@@ -76,17 +76,63 @@ GROUP BY c_mktsegment
 
 
 def q15b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles -- the 100 TB path (single pass, mergeable
-    state, no per-group sort). Rows-only: the sketch is not exact. The
-    sketch's array output is projected into scalar columns so downstream
-    row canonicalizers (which sort on every column) never see an
-    unhashable array cell."""
+    """Sketch-based quantiles audit -- oracle-backed since round 6.
+
+    The 100 TB path is percentile_approx alone (single pass, mergeable
+    KLL-style state, no per-group sort); q15 is the exact tier. To make
+    the sketch oracle-checkable the output is (a) exact discrete order
+    statistics bracketing each target rank, which DuckDB reproduces with
+    quantile_disc, and (b) booleans asserting the sketch value lands
+    between its brackets. percentile_approx with accuracy=1000 guarantees
+    rank error <= n/1000, so brackets at p +/- 0.002 hold with 2x margin;
+    the sketch is deterministic for a fixed input, so the booleans are
+    stable values both engines can state (oracle asserts TRUE) and any
+    sketch drift breaks the hash match. Money columns are exact data
+    values (quantile_disc picks members, never interpolates), cast to
+    double for the comparator."""
     li = load(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000)
-    return li.groupBy("l_returnflag").agg(
-        F.element_at(pcts, 1).alias("approx_p50"),
-        F.element_at(pcts, 2).alias("approx_p95"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.element_at(pcts, 1).alias("_a50"),
+        F.element_at(pcts, 2).alias("_a95"),
+        F.expr(
+            "percentile_disc(0.498) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50_lo"),
+        F.expr(
+            "percentile_disc(0.502) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50_hi"),
+        F.expr(
+            "percentile_disc(0.948) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p95_lo"),
+        F.expr(
+            "percentile_disc(0.952) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p95_hi"),
+        F.count(F.lit(1)).alias("n"),
     )
+    return agg.select(
+        "l_returnflag",
+        F.col("p50_lo").cast("double").alias("p50_lo"),
+        F.col("p50_hi").cast("double").alias("p50_hi"),
+        F.col("p95_lo").cast("double").alias("p95_lo"),
+        F.col("p95_hi").cast("double").alias("p95_hi"),
+        ((F.col("_a50") >= F.col("p50_lo")) & (F.col("_a50") <= F.col("p50_hi"))).alias("p50_in_bounds"),
+        ((F.col("_a95") >= F.col("p95_lo")) & (F.col("_a95") <= F.col("p95_hi"))).alias("p95_in_bounds"),
+        "n",
+    )
+
+
+ORACLE_Q15B = """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_extendedprice, 0.498) AS DOUBLE) AS p50_lo,
+       CAST(quantile_disc(l_extendedprice, 0.502) AS DOUBLE) AS p50_hi,
+       CAST(quantile_disc(l_extendedprice, 0.948) AS DOUBLE) AS p95_lo,
+       CAST(quantile_disc(l_extendedprice, 0.952) AS DOUBLE) AS p95_hi,
+       TRUE                                                  AS p50_in_bounds,
+       TRUE                                                  AS p95_in_bounds,
+       count(*)                                              AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1270,6 +1316,7 @@ ORACLES = {
     "q28_unpivot": ORACLE_Q28,
     # q52: rows-only (pandas two-pass std != SQL stddev at the last ulp)
     "q15_percentiles": ORACLE_Q15,
+    "q15b_approx_percentiles": ORACLE_Q15B,
     "q16_window_extras": ORACLE_Q16,
     "q27_range_frame_window": ORACLE_Q27,
     "q17_conditional_aggs": ORACLE_Q17,
@@ -1288,5 +1335,4 @@ ORACLES = {
     "q181_arrow_python_udf": ORACLE_Q181,
     "q183_bitmap_distinct": ORACLE_Q183,
     "q184_listagg": ORACLE_Q184,
-    # q15b: rows-only (sketch-based)
 }

@@ -211,13 +211,42 @@ GROUP BY event_type
 
 
 def q06_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct -- the 100 TB path where exact countDistinct's
-    per-key shuffle would dominate. Rows-only check (sketch != exact)."""
+    """HLL-sketch distinct audit -- oracle-backed since round 6.
+
+    The 100 TB path is the sketch alone (mergeable registers, no per-key
+    expansion; q05 is the exact tier). To make the sketch oracle-checkable
+    we emit (a) the exact distinct count, which DuckDB reproduces, and
+    (b) a boolean asserting Spark's HLL estimate lies within 3x the
+    declared 2% rsd of the exact value. approx_count_distinct is
+    deterministic for a fixed input set (HLL registers are max-merged, so
+    partitioning/order don't change the estimate), making the boolean a
+    stable value both engines can state: the oracle asserts TRUE, and any
+    estimator drift beyond the bound breaks the hash match."""
     events = load(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("_est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_exact"))
+                <= F.greatest(F.lit(1), F.round(F.col("n_exact") * 0.06))
+            ).alias("est_within_3rsd"),
+        )
     )
+
+
+ORACLE_Q06 = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE                                    AS est_within_3rsd
+FROM events
+GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1002,6 +1031,7 @@ ORACLES = {
     "q03_order_priority_semi": ORACLE_Q03,
     "q04_customers_without_orders": ORACLE_Q04,
     "q05_distinct_users": ORACLE_Q05,
+    "q06_approx_distinct_users": ORACLE_Q06,
     "q07_rollup_orders": ORACLE_Q07,
     "q08_cube_lineitem": ORACLE_Q08,
     "q09_grouping_sets": ORACLE_Q09,
@@ -1018,5 +1048,4 @@ ORACLES = {
     "q143_waiting_suppliers": ORACLE_Q143,
     "q148_top_supplier": ORACLE_Q148,
     "q149_important_parts": ORACLE_Q149,
-    # q06_approx_distinct_users: rows-only (HLL sketch has no exact SQL twin)
 }
