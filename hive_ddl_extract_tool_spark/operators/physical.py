@@ -214,26 +214,39 @@ _FP_MOD = 1_000_000_007
 def q165_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the documents table through every core sink format and read
     each copy back with an explicit schema; report per-format row count,
-    an order-free text fingerprint, and the n_chars sum. The ORACLE
+    an order-free WHOLE-ROW fingerprint, and the n_chars sum. The ORACLE
     computes the same aggregates from the ORIGINAL parquet — so a format
     that mangles any value (CSV quoting, JSON escaping, ORC nulls) is a
     hash mismatch, making the whole sink surface driver-verified rather
     than pytest-only. Paths are deterministic per sf and overwritten in
     place (q58's rule: a mkdtemp per invocation would leak a corpus copy
     per sweep). Fingerprint sums run in decimal(38,0) then reduce mod
-    1e9+7 — order-free and overflow-safe at any corpus size. The text
-    fingerprint routes through a CASE that maps NULL and '' to one
-    sentinel: CSV cannot represent the difference (its reader sees both
-    as null), so the contract collapses them identically on both sides."""
+    1e9+7 — order-free and overflow-safe at any corpus size. The row
+    fingerprint hashes EVERY column, joined on a unit separator the data
+    never contains; each string routes through a CASE that maps NULL and
+    '' to one sentinel: CSV cannot represent the difference (its reader
+    sees both as null), so the contract collapses them identically on
+    both sides."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
     sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"q165_roundtrip_{sf_tag}")
     schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    canon_text = F.when(
-        F.col("text").isNull() | (F.col("text") == ""), F.lit("<empty>")
-    ).otherwise(F.col("text"))
+
+    def canon_str(name: str):
+        return F.when(
+            F.col(name).isNull() | (F.col(name) == ""), F.lit("<empty>")
+        ).otherwise(F.col(name))
+
+    row_repr = F.concat_ws(
+        "\x1f",
+        F.col("doc_id").cast("string"),
+        canon_str("text"),
+        canon_str("lang"),
+        canon_str("source"),
+        F.col("n_chars").cast("string"),
+    )
     out = None
     for fmt in ROUNDTRIP_FORMATS:
         path = f"{base}/{fmt}"
@@ -241,26 +254,33 @@ def q165_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rb = read_table(spark, path, fmt=fmt, schema=schema)
         agg = rb.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            (F.sum((h60(canon_text) % _FP_MOD).cast("decimal(38,0)")) % _FP_MOD)
+            (F.sum((h60(row_repr) % _FP_MOD).cast("decimal(38,0)")) % _FP_MOD)
             .cast("bigint")
-            .alias("text_fp"),
+            .alias("row_fp"),
             F.sum("n_chars").alias("sum_chars"),
-        ).select(F.lit(fmt).alias("fmt"), "n_rows", "text_fp", "sum_chars")
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "row_fp", "sum_chars")
         out = agg if out is None else out.unionByName(agg)
     return out
 
 
 def _oracle_q165() -> str:
-    canon = "CASE WHEN text IS NULL OR text = '' THEN '<empty>' ELSE text END"
+    def canon(col: str) -> str:
+        return f"CASE WHEN {col} IS NULL OR {col} = '' THEN '<empty>' ELSE {col} END"
+
+    row_repr = (
+        "concat_ws(chr(31), CAST(doc_id AS VARCHAR), "
+        f"{canon('text')}, {canon('lang')}, {canon('source')}, "
+        "CAST(n_chars AS VARCHAR))"
+    )
     return f"""
 WITH a AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(CAST(sum(CAST({h60_sql(canon)} % {_FP_MOD} AS HUGEINT)) AS HUGEINT)
-              % {_FP_MOD} AS BIGINT) AS text_fp,
+         CAST(CAST(sum(CAST({h60_sql(row_repr)} % {_FP_MOD} AS HUGEINT)) AS HUGEINT)
+              % {_FP_MOD} AS BIGINT) AS row_fp,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
   FROM documents
 )
-SELECT f.fmt, a.n_rows, a.text_fp, a.sum_chars
+SELECT f.fmt, a.n_rows, a.row_fp, a.sum_chars
 FROM a, (VALUES {", ".join(f"('{f}')" for f in ROUNDTRIP_FORMATS)}) f(fmt)
 """
 

@@ -271,9 +271,13 @@ def _pow34_steps(c: str, dialect: str) -> list[tuple[str, str]]:
     wide = "HUGEINT" if dialect == "duckdb" else "DECIMAL(38,0)"
 
     def idiv(a: str, b: str) -> str:
-        # DuckDB's // is exact on HUGEINT; Spark's DIV rejects decimals,
-        # but decimal division keeps enough precision (38,6) at these
-        # magnitudes for floor() to be the exact quotient.
+        # DuckDB's // is exact on HUGEINT. Spark's DIV does accept decimal
+        # operands, but its result type is BIGINT, which silently wraps at
+        # the c^3 magnitudes these quotients reach (observed: a DECIMAL(38)
+        # div produced a negative long). floor() of the DECIMAL(38,6)
+        # quotient stays inside the wide type, and (38,6) keeps enough
+        # precision at these magnitudes for floor() to be the exact
+        # integer quotient.
         if dialect == "duckdb":
             return f"(({a}) // ({b}))"
         return f"CAST(floor(({a}) / ({b})) AS DECIMAL(38,0))"

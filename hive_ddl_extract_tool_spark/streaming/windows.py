@@ -595,10 +595,36 @@ def _staged_events_file(spark: SparkSession, sf_dir: str):
     return path, max_ts
 
 
-def _write_sentinel(spark: SparkSession, run_dir: str, name: str, ts) -> None:
+def _pin_mtime(path: str, mtime: float) -> None:
+    """FileStreamSource orders files by MODIFICATION time, and the
+    heartbeat protocol depends on the real events file draining before any
+    sentinel: on a coarse-mtime filesystem a copy and a sentinel written
+    in the same tick can tie (or invert), the sentinel lands in batch 0,
+    the watermark jumps a day ahead, and every real event is late-dropped.
+    So every staged source file gets an EXPLICIT, strictly increasing
+    mtime instead of whatever the filesystem assigned."""
+    import os
+
+    os.utime(path, (mtime, mtime))
+
+
+def _stage_events_copy(events_file: str, dst: str, mtime: float) -> None:
+    """Copy the staged events parquet into a live source dir with a pinned
+    mtime strictly older than any sentinel that follows."""
+    import shutil
+
+    shutil.copy(events_file, dst)
+    _pin_mtime(dst, mtime)
+
+
+def _write_sentinel(
+    spark: SparkSession, run_dir: str, name: str, ts, mtime: float | None = None
+) -> None:
     """One heartbeat file: a 'view' and a 'click' at `ts` with user_id -1,
     atomically moved into the live source directory so the running stream
-    picks it up as a new file."""
+    picks it up as a new file. ``mtime`` pins the file's modification time
+    (see _pin_mtime: source ordering must not depend on filesystem tick
+    granularity)."""
     import os
     import shutil
 
@@ -609,6 +635,8 @@ def _write_sentinel(spark: SparkSession, run_dir: str, name: str, ts) -> None:
     sdf.write.mode("overwrite").parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
     os.replace(f"{tmp}/{part}", f"{run_dir}/{name}.parquet")
+    if mtime is not None:
+        _pin_mtime(f"{run_dir}/{name}.parquet", mtime)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -634,6 +662,7 @@ def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
     import shutil
     import tempfile
+    import time
 
     name = "q140_soj_result"
     for q in spark.streams.active:
@@ -642,9 +671,10 @@ def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_file, max_ts = _staged_events_file(spark, sf_dir)
     run_dir = tempfile.mkdtemp(prefix="q140_src_")
-    shutil.copy(events_file, f"{run_dir}/events.parquet")
-    _write_sentinel(spark, run_dir, "heartbeat1", max_ts + datetime.timedelta(days=1))
-    _write_sentinel(spark, run_dir, "heartbeat2", max_ts + datetime.timedelta(days=2))
+    now = time.time()
+    _stage_events_copy(events_file, f"{run_dir}/events.parquet", now - 300)
+    _write_sentinel(spark, run_dir, "heartbeat1", max_ts + datetime.timedelta(days=1), mtime=now - 200)
+    _write_sentinel(spark, run_dir, "heartbeat2", max_ts + datetime.timedelta(days=2), mtime=now - 100)
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.TimestampType()),
@@ -745,6 +775,7 @@ def q170_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import time
 
     name = "q170_sink_query"
     for q in spark.streams.active:
@@ -758,8 +789,9 @@ def q170_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir)
 
     events_file, max_ts = _staged_events_file(spark, sf_dir)
-    shutil.copy(events_file, f"{src_dir}/events.parquet")
-    _write_sentinel(spark, src_dir, "heartbeat1", max_ts + datetime.timedelta(days=1))
+    now = time.time()
+    _stage_events_copy(events_file, f"{src_dir}/events.parquet", now - 300)
+    _write_sentinel(spark, src_dir, "heartbeat1", max_ts + datetime.timedelta(days=1), mtime=now - 200)
 
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -912,6 +944,7 @@ def q182_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import time
 
     name = "q182_session_result"
     for q in spark.streams.active:
@@ -923,8 +956,9 @@ def q182_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     events_file, max_ts = _staged_events_file(spark, sf_dir)
-    shutil.copy(events_file, f"{base}/events.parquet")
-    _write_sentinel(spark, base, "heartbeat1", max_ts + datetime.timedelta(days=1))
+    now = time.time()
+    _stage_events_copy(events_file, f"{base}/events.parquet", now - 300)
+    _write_sentinel(spark, base, "heartbeat1", max_ts + datetime.timedelta(days=1), mtime=now - 200)
 
     stream = (
         spark.readStream.schema(
@@ -1002,13 +1036,22 @@ def q180_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type",
     )
+    staged = 0
     for b in range(UPDATE_SRC_BUCKETS):
         part = events.filter(F.pmod("user_id", F.lit(UPDATE_SRC_BUCKETS)) == b).coalesce(1)
         tmp = f"{base}/_tmp_{b}"
         part.write.mode("overwrite").parquet(tmp)
-        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.replace(f"{tmp}/{pf}", f"{src_dir}/b{b}.parquet")
+        # a bucket empty on a tiny/hostile fixture stages no file (and a
+        # 0-row parquet part would just be a no-op micro-batch): the
+        # oracle's count(DISTINCT user_id % 4) only counts buckets that
+        # actually contain rows, so skipping keeps both sides aligned
+        pfs = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if pfs:
+            os.replace(f"{tmp}/{pfs[0]}", f"{src_dir}/b{b}.parquet")
+            staged += 1
         shutil.rmtree(tmp, ignore_errors=True)
+    if staged == 0:
+        raise ValueError(f"q180: no events staged from {sf_dir}; source is empty")
 
     stream = (
         spark.readStream.schema(
@@ -1057,6 +1100,49 @@ GROUP BY tb, event_type
 UPSERT_SRC_FILES = 4  # one micro-batch per file under maxFilesPerTrigger=1
 
 
+def _upsert_reduce_latest(df: DataFrame) -> DataFrame:
+    """Per-user latest-wins reduce: max(struct(ts, event_id, payload...))
+    picks the newest row ((ts, event_id) is a total order, so the payload
+    fields never decide the max) while sum(n) accumulates event counts."""
+    return df.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"),
+        F.sum("n").alias("n"),
+    ).select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value", "n")
+
+
+def _upsert_merge_batch(
+    spark: SparkSession, base: str, state_dir: str, bdf: DataFrame, batch_id: int
+) -> None:
+    """One foreachBatch merge into the parquet state table, exactly-once.
+
+    Replay guard: the latest-wins payload merge is idempotent under
+    crash-replay, but the count accumulation (sum of n) is ADDITIVE --
+    re-running a batch whose merge already landed (crash between os.rename
+    and the checkpoint commit) would double-count n_events. foreachBatch
+    replays reuse the same batch_id, so a ledger file written atomically
+    WITH the state (inside the dir the rename publishes; the leading
+    underscore hides it from the parquet reader) makes the whole merge
+    exactly-once: skip any batch at or below the last applied id.
+    Module-level (not a closure) so tests can drive a replay directly."""
+    import os
+    import shutil
+
+    ledger = f"{state_dir}/_applied_batch_id"
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return
+    latest = _upsert_reduce_latest(bdf.withColumn("n", F.lit(1).cast("bigint")))
+    if os.path.exists(state_dir):
+        latest = _upsert_reduce_latest(spark.read.parquet(state_dir).unionByName(latest))
+    tmp = f"{base}/state_v{batch_id}"
+    latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(f"{tmp}/_applied_batch_id", "w") as fh:
+        fh.write(str(batch_id))
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.rename(tmp, state_dir)
+
+
 def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``foreachBatch`` -- the sink API production jobs use to merge a
     stream into a table no native sink supports (JDBC upsert, Delta MERGE,
@@ -1065,10 +1151,12 @@ def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs a latest-wins SCD-1 merge into a parquet state table: per user,
     keep the row with max (ts, event_id) and accumulate the event count.
     The merge is max/sum algebra -- commutative and associative -- so the
-    final state is independent of batch order AND of replays: re-running a
-    batch after a crash re-derives the same state, which is exactly the
-    idempotent-write discipline foreachBatch demands for exactly-once (the
-    sink itself offers none). The per-user reduce is max(struct(ts,
+    final state is independent of batch ORDER; replay safety is separate:
+    the max payload is naturally idempotent but the count accumulation is
+    additive, so a batch-id ledger committed atomically with each state
+    version skips any replayed batch whose merge already landed -- the
+    idempotent-write discipline foreachBatch demands for exactly-once
+    (the sink itself offers none). The per-user reduce is max(struct(ts,
     event_id, ...)) -- no window, no sort, one hash aggregate per batch;
     (ts, event_id) is a total order so struct-max never compares the
     payload fields. n_events proves EVERY batch merged (a lost batch
@@ -1095,20 +1183,8 @@ def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events.repartition(UPSERT_SRC_FILES, "user_id").write.parquet(src_dir)
 
-    def reduce_latest(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"),
-            F.sum("n").alias("n"),
-        ).select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value", "n")
-
     def merge_batch(bdf: DataFrame, batch_id: int) -> None:
-        latest = reduce_latest(bdf.withColumn("n", F.lit(1).cast("bigint")))
-        if os.path.exists(state_dir):
-            latest = reduce_latest(spark.read.parquet(state_dir).unionByName(latest))
-        tmp = f"{base}/state_v{batch_id}"
-        latest.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(state_dir, ignore_errors=True)
-        os.rename(tmp, state_dir)
+        _upsert_merge_batch(spark, base, state_dir, bdf, batch_id)
 
     stream = (
         spark.readStream.schema(

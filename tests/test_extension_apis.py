@@ -124,14 +124,15 @@ def test_bpe_merge_rounds_are_monotone(spark, sf_dir):
 
 
 def test_format_roundtrip_formats_agree(spark, sf_dir):
-    """Every sink format must round-trip the identical corpus: all four
-    rows of q165 carry the same row count, text fingerprint, and n_chars
-    sum (the oracle separately pins them to the original parquet)."""
+    """Every sink format must round-trip the identical corpus: all five
+    rows of q165 carry the same row count, whole-row fingerprint, and
+    n_chars sum (the oracle separately pins them to the original
+    parquet)."""
     from hive_ddl_extract_tool_spark.operators import all_queries
 
     rows = all_queries()["q165_format_roundtrip"](spark, sf_dir).collect()
     assert {r["fmt"] for r in rows} == {"parquet", "orc", "json", "csv", "xml"}
-    assert len({(r["n_rows"], r["text_fp"], r["sum_chars"]) for r in rows}) == 1
+    assert len({(r["n_rows"], r["row_fp"], r["sum_chars"]) for r in rows}) == 1
 
 
 def test_deletion_manifest_consistent_with_delete_set_and_clusters(spark, sf_dir):

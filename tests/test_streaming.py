@@ -427,3 +427,43 @@ def test_upsert_sink_ran_multiple_batches_and_counts_every_event(spark, sf_dir):
     ckpt = os.path.join(tempfile.gettempdir(), f"q175_upsert_{sf_tag}", "ckpt", "commits")
     commits = [f for f in os.listdir(ckpt) if f.isdigit()]
     assert len(commits) >= UPSERT_SRC_FILES, commits
+
+
+def test_upsert_merge_replays_are_noops(spark, tmp_path):
+    """q175's crash-replay discipline, driven directly: foreachBatch can
+    re-deliver a batch with the SAME batch_id after a crash between the
+    state publish and the checkpoint commit. The payload max is naturally
+    idempotent but the count accumulation is additive, so the batch-id
+    ledger must turn the replay into a no-op -- and still apply a genuinely
+    NEW batch afterwards."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.streaming.windows import _upsert_merge_batch
+
+    base = str(tmp_path / "merge")
+    state_dir = f"{base}/state"
+    (tmp_path / "merge").mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b0 = spark.createDataFrame(
+        [(1, t0, 7, "view", 1.0), (2, t0 + datetime.timedelta(minutes=1), 7, "click", 2.0)],
+        schema,
+    )
+    _upsert_merge_batch(spark, base, state_dir, b0, 0)
+    first = spark.read.parquet(state_dir).collect()
+    assert len(first) == 1 and first[0]["n"] == 2 and first[0]["event_id"] == 2
+
+    # crash-replay of batch 0: same batch_id, must not double-count
+    _upsert_merge_batch(spark, base, state_dir, b0, 0)
+    replayed = spark.read.parquet(state_dir).collect()
+    assert len(replayed) == 1 and replayed[0]["n"] == 2
+
+    # a genuinely new batch still applies
+    b1 = spark.createDataFrame(
+        [(3, t0 + datetime.timedelta(minutes=2), 7, "view", 3.0)], schema
+    )
+    _upsert_merge_batch(spark, base, state_dir, b1, 1)
+    after = spark.read.parquet(state_dir).collect()
+    assert len(after) == 1 and after[0]["n"] == 3 and after[0]["event_id"] == 3
