@@ -193,24 +193,37 @@ def get_create_ddl(spark: SparkSession, db: str, table: str) -> str:
     return "\n".join(lines).rstrip() + ";"
 
 
-def get_partitions(spark: SparkSession, db: str, table: str) -> list[tuple[str, str]]:
+def get_partitions(
+    spark: SparkSession, db: str, table: str, max_workers: int = 8
+) -> list[tuple[str, str]]:
     """R7+R8: (partition-name, location) pairs. Names come from SHOW
     PARTITIONS (same ``k=v/k2=v2`` format the metastore returns); locations
     from DESCRIBE ... PARTITION. Non-partitioned tables -> empty list. No
-    32767 cap (reference: Short.MAX_VALUE, ExtractHiveDDL.java:199)."""
+    32767 cap (reference: Short.MAX_VALUE, ExtractHiveDDL.java:199).
+
+    The location fetch is one driver->metastore RPC per partition, so it
+    runs on a thread pool (R21's machinery): at the reference's own
+    32k-partition ceiling a serial loop is 32k sequential round-trips per
+    table, which dominates extraction wall-clock; concurrent DESCRIBEs
+    overlap the RPC latency exactly like the reference's 8-thread
+    ForkJoinPool overlapped its Thrift calls. Results keep the sorted
+    SHOW PARTITIONS order regardless of completion order."""
     try:
         names = sorted(r[0] for r in spark.sql(f"SHOW PARTITIONS `{db}`.`{table}`").collect())
     except Exception:
         return []  # not partitioned
-    out = []
-    for name in names:
+
+    def fetch_location(name: str) -> str:
         spec = format_partition_spec(name)
         rows = spark.sql(
             f"DESCRIBE FORMATTED `{db}`.`{table}` PARTITION ({spec})"
         ).collect()
-        loc = next((r["data_type"] for r in rows if r["col_name"] == "Location"), "")
-        out.append((name, loc))
-    return out
+        return next((r["data_type"] for r in rows if r["col_name"] == "Location"), "")
+
+    if len(names) <= 1 or max_workers <= 1:
+        return [(name, fetch_location(name)) for name in names]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(zip(names, pool.map(fetch_location, names)))
 
 
 def get_table_location(spark: SparkSession, db: str, table: str) -> str:
@@ -226,7 +239,7 @@ def partition_restore_sql(
     spark: SparkSession, db: str, table: str, cfg: ExtractConfig
 ) -> list[str]:
     """R9-R17: the partition-restore block for one table."""
-    parts = get_partitions(spark, db, table)
+    parts = get_partitions(spark, db, table, max_workers=cfg.max_workers)
     if not parts:
         return []  # R9: empty short-circuit (ExtractHiveDDL.java:200-203)
     table_path = get_table_location(spark, db, table)

@@ -91,6 +91,10 @@ _PRIORITY = [
     # (2) upgraded rows-only -> oracle-backed this round; first oracle row
     "q06_approx_distinct_users",
     "q15b_approx_percentiles",
+    # (2 cont.) round-6 additions -- need their first row
+    "q185_pii_scan",
+    "q186_concurrent_sessions",
+    "q187_weighted_sample",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

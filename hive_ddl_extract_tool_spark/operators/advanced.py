@@ -1011,6 +1011,114 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q186: interval concurrency -- distributed sweep line over session intervals
+# --------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+
+def q186_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour -- the load-curve operator behind
+    capacity planning and concurrency SLAs: how many user sessions were
+    simultaneously open, hour by hour.
+
+    Classic sweep line, made distributed with a TWO-LEVEL prefix sum
+    instead of one global ordering (a single-partition running sum is the
+    textbook scale-killer): sessions (q88's 30-minute-gap rule; end =
+    last event + gap) emit +-1 boundary events; each boundary lands in an
+    epoch-hour bucket; the running sum WITHIN a bucket is a window
+    partitioned by bucket (bounded rows per hour), and the carry-in BASE
+    per bucket is a prefix sum over the tiny per-bucket delta totals
+    (calendar-bounded row count -- at 100 TB it is still just one row per
+    hour). Peak-per-hour = greatest(carry-in, carry-in + max in-bucket
+    running sum). Ordering ties resolve by (t, d) with ends (-1) before
+    starts (+1), so back-to-back sessions never double-count; the running
+    sum uses the default RANGE frame (peers included), which makes every
+    emitted value a complete tie-group sum -- deterministic in both
+    engines regardless of physical tie order. Exact integers end to end;
+    hours emitted as epoch-hour indexes (TZ-proof). Encoding-proof micros
+    per q88's rule."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", F.unix_micros("ts").alias("tus"))
+    w = W.partitionBy("user_id").orderBy("tus")
+    prev = F.lag("tus").over(w)
+    is_new = F.when(prev.isNull() | (F.col("tus") - prev > SESSION_GAP_US), 1).otherwise(0)
+    w2 = W.partitionBy("user_id").orderBy("tus").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select("user_id", "tus", F.sum(is_new).over(w2).alias("sid"))
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("s"), (F.max("tus") + SESSION_GAP_US).alias("e")
+    )
+    b = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    bb = b.select(
+        F.expr(f"t DIV {HOUR_US}").alias("hb"),
+        "t",
+        "d",
+        F.sum("d").over(W.partitionBy(F.expr(f"t DIV {HOUR_US}")).orderBy("t", "d")).alias("run"),
+    )
+    hourly = bb.groupBy("hb").agg(
+        F.count(F.lit(1)).alias("n_boundaries"),
+        F.max("run").alias("peak_in"),
+        F.sum("d").alias("delta"),
+    )
+    wh = W.orderBy("hb").rowsBetween(W.unboundedPreceding, -1)
+    base = F.coalesce(F.sum("delta").over(wh), F.lit(0))
+    return hourly.select(
+        F.col("hb").alias("hour_idx"),
+        "n_boundaries",
+        F.greatest(base, base + F.col("peak_in")).cast("bigint").alias("max_concurrency"),
+        (base + F.col("delta")).cast("bigint").alias("end_concurrency"),
+    )
+
+
+ORACLE_Q186 = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+m AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+s AS (
+  SELECT user_id, tus,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+iv AS (
+  SELECT user_id, sid, min(tus) AS st, max(tus) + {SESSION_GAP_US} AS en
+  FROM s GROUP BY 1, 2
+),
+b AS (
+  SELECT st AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT en AS t, -1 AS d FROM iv
+),
+bb AS (
+  SELECT t // {HOUR_US} AS hb, t, d,
+         sum(d) OVER (PARTITION BY t // {HOUR_US} ORDER BY t, d) AS run
+  FROM b
+),
+h AS (
+  SELECT hb, count(*) AS n_boundaries, max(run) AS peak_in, sum(d) AS delta
+  FROM bb GROUP BY hb
+),
+f AS (
+  SELECT hb, n_boundaries, peak_in, delta,
+         COALESCE(sum(delta) OVER (ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS base
+  FROM h
+)
+SELECT CAST(hb AS BIGINT)                              AS hour_idx,
+       CAST(n_boundaries AS BIGINT)                    AS n_boundaries,
+       CAST(greatest(base, base + peak_in) AS BIGINT)  AS max_concurrency,
+       CAST(base + delta AS BIGINT)                    AS end_concurrency
+FROM f
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -1027,6 +1135,7 @@ QUERIES = {
     "q127_event_transitions": q127_event_transitions,
     "q129_point_in_time_join": q129_point_in_time_join,
     "q136_interarrival_histogram": q136_interarrival_histogram,
+    "q186_concurrent_sessions": q186_concurrent_sessions,
 }
 
 ORACLES = {
@@ -1045,4 +1154,5 @@ ORACLES = {
     "q127_event_transitions": ORACLE_Q127,
     "q129_point_in_time_join": ORACLE_Q129,
     "q136_interarrival_histogram": ORACLE_Q136,
+    "q186_concurrent_sessions": ORACLE_Q186,
 }

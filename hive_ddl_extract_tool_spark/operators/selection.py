@@ -1060,6 +1060,137 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q187: weighted priority sampling with an unbiased-estimator audit
+# --------------------------------------------------------------------------
+
+# Priority sampling (Duffield, Lund & Thorup, JACM 2007): priority q_i =
+# w_i / u_i with u_i uniform in (0,1]; keep the k largest priorities per
+# stratum; tau = the (k+1)-th priority; then sum(max(w_i, tau)) over the
+# sample is an (near-)unbiased estimator of sum(w_i) over the stratum.
+PRIO_K = 10
+PRIO_M = 1_000_003  # prime scale: u_int in [1, M] stands for u = u_int/M
+
+
+def q187_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling per source WITHOUT replacement -- the
+    pipeline operator behind 'audit 10 documents per shard, biased toward
+    the documents that carry the tokens' -- plus the estimator audit that
+    says how well the tiny sample reconstructs total corpus mass.
+
+    Priority sampling with DETERMINISTIC randomness: u is derived from
+    h60(doc_id), so both engines materialize the identical sample, and
+    the whole computation is integer-exact -- priorities are
+    q = (w * M * M) DIV u_int (w = n_chars, u_int in [1, M]; the extra M
+    keeps q on the same w*M scale the estimator compares against), the
+    top-k per source is a row_number window ordered by (q DESC, doc_id),
+    tau is the (k+1)-th priority, and the Duffield estimator
+    sum(max(w_i*M, tau)) stays in M-scaled integers; the final error ppm divides in
+    DECIMAL(38,0)/HUGEINT (the product exact_scaled * 1e6 overflows
+    BIGINT at larger corpora). The selected set itself is pinned by a
+    mod-1e9+7 doc_id hash fingerprint, not just its size. Strata with
+    <= k docs take everything and the estimator is exact by construction
+    (tau = 0); larger strata err -- the audit-must-err rule (nonzero
+    err_ppm at sf >= 0.01).
+
+    Plan: one scan; per-source top-k is a bounded window; the join of
+    per-source totals to per-source sample stats is 20 rows."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("w")
+    )
+    # q is the M-SCALED priority w/u_frac (u_frac = u/M), i.e. q ~= w*M/u_frac
+    # per unit weight*M -- the same scale as w*M, so tau and w*M compare
+    # directly inside the estimator. w*M*M stays under 2^63 for n_chars up
+    # to ~9e6; a corpus with longer documents raises M-scale to DECIMAL.
+    d = docs.withColumn(
+        "u", (h60(F.col("doc_id").cast("string")) % PRIO_M) + 1
+    ).withColumn("q", F.expr(f"(w * {PRIO_M} * {PRIO_M}) DIV u"))
+    wnd = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    r = d.withColumn("rk", F.row_number().over(wnd))
+    # tau rides a FULL-FRAME window over the same source partitioning the
+    # row_number pass already shuffled on -- one exchange carries both
+    # window passes and the corpus is scanned exactly once (a separate
+    # tau branch joined back, or a totals/sample split, would each rescan
+    # it: Catalyst does not CSE across branches).
+    tau = F.coalesce(
+        F.max(F.when(F.col("rk") == PRIO_K + 1, F.col("q"))).over(W.partitionBy("source")),
+        F.lit(0),
+    )
+    in_sample = F.col("rk") <= PRIO_K
+    joined = r.withColumn("tau", tau)
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("w") * PRIO_M).alias("exact_scaled"),
+        F.sum(in_sample.cast("bigint")).alias("n_selected"),
+        F.sum(F.when(in_sample, F.col("w")).otherwise(0)).alias("sample_w_sum"),
+        F.sum(
+            F.when(in_sample, F.greatest(F.col("w") * PRIO_M, F.col("tau"))).otherwise(0)
+        ).alias("est_scaled"),
+        (
+            F.sum(
+                F.when(
+                    in_sample, h60(F.col("doc_id").cast("string")) % 1_000_000_007
+                ).otherwise(0)
+            )
+            % 1_000_000_007
+        ).alias("sample_fp"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_selected",
+        "sample_w_sum",
+        "sample_fp",
+        F.expr(
+            "CAST(abs(CAST(est_scaled AS DECIMAL(38,0)) - CAST(exact_scaled AS DECIMAL(38,0)))"
+            " * 1000000 DIV CAST(exact_scaled AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+_H60_DOC = h60_sql("CAST(doc_id AS VARCHAR)")
+
+ORACLE_Q187 = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars AS w,
+         ({_H60_DOC} % {PRIO_M}) + 1 AS u
+  FROM documents
+),
+q AS (SELECT *, (w * {PRIO_M} * {PRIO_M}) // u AS q FROM d),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+  FROM q
+),
+tau AS (SELECT source, q AS tau FROM r WHERE rk = {PRIO_K + 1}),
+samp AS (
+  SELECT r.*, COALESCE(tau.tau, 0) AS tau
+  FROM r LEFT JOIN tau USING (source)
+  WHERE rk <= {PRIO_K}
+),
+per AS (
+  SELECT source,
+         count(*) AS n_selected,
+         CAST(sum(w) AS BIGINT) AS sample_w_sum,
+         sum(CAST(greatest(w * {PRIO_M}, tau) AS HUGEINT)) AS est_scaled,
+         CAST(CAST(sum(CAST({_H60_DOC} % 1000000007 AS HUGEINT)) AS HUGEINT)
+              % 1000000007 AS BIGINT) AS sample_fp
+  FROM samp GROUP BY source
+),
+tot AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(w AS HUGEINT)) * {PRIO_M} AS exact_scaled
+  FROM d GROUP BY source
+)
+SELECT t.source,
+       t.n_docs,
+       p.n_selected,
+       p.sample_w_sum,
+       p.sample_fp,
+       CAST(abs(p.est_scaled - t.exact_scaled) * 1000000 // t.exact_scaled AS BIGINT) AS err_ppm
+FROM tot t JOIN per p USING (source)
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -1073,6 +1204,7 @@ QUERIES = {
     "q132_doremi_mixture": q132_doremi_mixture,
     "q142_gate_agreement": q142_gate_agreement,
     "q164_source_ablation": q164_source_ablation,
+    "q187_weighted_sample": q187_weighted_sample,
 }
 
 ORACLES = {
@@ -1088,4 +1220,5 @@ ORACLES = {
     "q132_doremi_mixture": ORACLE_Q132,
     "q142_gate_agreement": ORACLE_Q142,
     "q164_source_ablation": ORACLE_Q164,
+    "q187_weighted_sample": ORACLE_Q187,
 }

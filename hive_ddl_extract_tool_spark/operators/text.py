@@ -865,6 +865,122 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q185: PII detection + redaction audit
+# --------------------------------------------------------------------------
+
+# Explicit character classes only (the WS_CLASS discipline): Java regex and
+# RE2 agree on classes, +, bounded repeats, and literal dots -- the
+# constructs below -- while shorthand like \b and \s diverge cross-engine.
+PII_EMAIL_RE = r"[a-z0-9._-]+@[a-z0-9-]+\.[a-z][a-z]+"
+PII_PHONE_RE = r"\+1-555-[0-9]{7}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q185_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction -- the scrub pass every training-data
+    pipeline runs before release (emails, phone numbers, IP addresses).
+
+    The synthetic corpus carries no PII, so the fixture plants it
+    deterministically first: docs with doc_id%7==0 gain an email,
+    %11==0 a +1-555 phone, %13==0 an IPv4 -- pure string algebra over
+    existing columns that BOTH engines derive identically, so the oracle
+    sees the same corpus (and the detector measures a nonzero phenomenon,
+    the audit-must-err rule). The scanner is JVM-only: regexp_count per
+    category, then a three-stage regexp_replace cascade to typed
+    placeholders, with the redacted text h60-fingerprinted so the oracle
+    certifies the REDACTED BYTES, not just the counts (a scrubber that
+    mangles surrounding text while zeroing the counts still fails).
+    Patterns use explicit character classes only -- Java vs RE2 shorthand
+    (\\b, \\s) diverges; classes, +, and {m,n} repeats agree.
+
+    Plan: one linear scan, map-side-combined per-source rollup -- no
+    joins, no Python; at 100 TB this is the cheapest full-corpus pass
+    there is."""
+    docs = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@ex-"), F.col("source"), F.lit(".com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call +1-555-"), (F.lit(1000000) + F.col("doc_id") % 9000000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 200).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(PII_IP_RE),
+        F.lit("<IP>"),
+    )
+    scanned = docs.select(
+        "source",
+        F.regexp_count(planted, F.lit(PII_EMAIL_RE)).alias("e"),
+        F.regexp_count(planted, F.lit(PII_PHONE_RE)).alias("p"),
+        F.regexp_count(planted, F.lit(PII_IP_RE)).alias("i"),
+        redacted.alias("red"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ips"),
+        F.sum((F.col("e") + F.col("p") + F.col("i") > 0).cast("bigint")).alias("n_pii_docs"),
+        (F.sum(h60(F.col("red")) % 1_000_000_007) % 1_000_000_007).alias("redacted_fp"),
+    )
+
+
+def _oracle_q185() -> str:
+    planted = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-' || source || '.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || CAST(1000000 + doc_id % 9000000 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END"
+    )
+    email, phone, ip = PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),"
+        f" '{phone}', '<PHONE>', 'g'), '{ip}', '<IP>', 'g')"
+    )
+    return f"""
+WITH d AS (SELECT source, {planted} AS t FROM documents),
+s AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{email}')) AS e,
+         len(regexp_extract_all(t, '{phone}')) AS p,
+         len(regexp_extract_all(t, '{ip}'))    AS i,
+         {red} AS red
+  FROM d
+)
+SELECT source,
+       count(*)        AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(i) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+       CAST(CAST(sum(CAST({h60_sql('red')} % 1000000007 AS HUGEINT)) AS HUGEINT)
+            % 1000000007 AS BIGINT) AS redacted_fp
+FROM s
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
@@ -875,6 +991,7 @@ QUERIES = {
     "q36_hash_split": q36_hash_split,
     "q71_repetition_metrics": q71_repetition_metrics,
     "q144_dup_ngram_chars": q144_dup_ngram_chars,
+    "q185_pii_scan": q185_pii_scan,
     "q73_stratified_sample": q73_stratified_sample,
     "q76_heavy_hitters": q76_heavy_hitters,
     "q90_sequence_packing": q90_sequence_packing,
@@ -892,6 +1009,7 @@ ORACLES = {
     "q36_hash_split": ORACLE_Q36,
     "q71_repetition_metrics": ORACLE_Q71,
     "q144_dup_ngram_chars": ORACLE_Q144,
+    "q185_pii_scan": _oracle_q185(),
     "q73_stratified_sample": ORACLE_Q73,
     "q76_heavy_hitters": ORACLE_Q76,
     "q90_sequence_packing": ORACLE_Q90,

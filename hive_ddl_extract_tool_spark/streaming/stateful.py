@@ -142,11 +142,15 @@ def make_totals_processor():
     Integer cents keep the emitted totals exact cross-engine.
 
     NOT registered as a driver query: transformWithState's Python worker
-    speaks protobuf to the JVM state server, and this container's
-    google.protobuf install is broken (ImportError on import of
-    'descriptor'), so the operator is exercised by a skip-if-unavailable
-    pytest (tests/test_streaming.py) instead -- the wiring is complete and
-    runs wherever protobuf is importable."""
+    speaks protobuf to the JVM state server, and this container has NO
+    google.protobuf at all -- verified 2026-08-14 on Python 3.11.7 /
+    PySpark 4.1.2: ``import google`` raises ModuleNotFoundError ('google'
+    is not on sys.path), a filesystem sweep finds no protobuf wheel,
+    conda pkg, or site-packages copy anywhere (only typeshed type stubs,
+    which are not runnable), and installing packages is out of scope for
+    this environment. The operator is therefore exercised by a
+    skip-if-unavailable pytest (tests/test_streaming.py) instead -- the
+    wiring is complete and runs wherever protobuf is importable."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningTotals(StatefulProcessor):

@@ -136,6 +136,46 @@ def test_partition_enumeration(spark, ddl_fixtures):
     assert get_partitions(spark, "ddl_db1", "plain_t") == []
 
 
+def test_partition_location_fetch_is_concurrent(spark, ddl_fixtures):
+    """At the reference's own 32k-partition ceiling a serial DESCRIBE loop
+    is 32k sequential metastore round-trips per table, so get_partitions
+    must overlap them (R21's thread-pool machinery). Wrap spark.sql in a
+    latency shim that records in-flight DESCRIBE concurrency: the parallel
+    fetch must overlap calls (peak >= 2) while returning exactly the
+    serial result in the same sorted order."""
+    import threading
+    import time
+    from unittest import mock
+
+    serial = get_partitions(spark, "ddl_db1", "part_lower", max_workers=1)
+    assert len(serial) == 3
+
+    lock = threading.Lock()
+    inflight = 0
+    peak = 0
+    orig = spark.sql
+
+    def slow_sql(q, *a, **k):
+        nonlocal inflight, peak
+        is_describe = q.startswith("DESCRIBE FORMATTED")
+        if is_describe:
+            with lock:
+                inflight += 1
+                peak = max(peak, inflight)
+            time.sleep(0.15)
+        try:
+            return orig(q, *a, **k)
+        finally:
+            if is_describe:
+                with lock:
+                    inflight -= 1
+
+    with mock.patch.object(spark, "sql", side_effect=slow_sql):
+        parallel = get_partitions(spark, "ddl_db1", "part_lower", max_workers=8)
+    assert parallel == serial
+    assert peak >= 2, f"DESCRIBE FORMATTED calls never overlapped (peak={peak})"
+
+
 def test_strategy_lower_default_msck(spark, ddl_fixtures):
     cfg = ExtractConfig(use_add_sql=False)
     assert partition_restore_sql(spark, "ddl_db1", "part_lower", cfg) == [

