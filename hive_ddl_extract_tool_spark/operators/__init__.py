@@ -95,6 +95,10 @@ _PRIORITY = [
     "q185_pii_scan",
     "q186_concurrent_sessions",
     "q187_weighted_sample",
+    "q188_crossdoc_spans",
+    "q189_rolling_active_users",
+    "q190_good_turing",
+    "q191_dupgraph_triangles",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -1119,6 +1119,69 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# q189: rolling 7-day distinct users (DAU / WAU) -- sliding-window distinct
+# --------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+WAU_DAYS = 7
+
+
+def q189_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day -- the engagement dashboard's
+    backbone, and the operator naive per-day rollups get WRONG: distinct
+    counts do not merge across days (a user active twice in the window is
+    one WAU), so summing daily distincts overcounts and no associative
+    re-aggregation fixes it.
+
+    The scalable exact form: dedupe to (user, active-day) pairs (one
+    shuffle, O(users x days)), explode each active day into the 7 windows
+    it serves (a bounded x7 fan-out -- compare a 7-day self-join or a
+    window-function scan over raw events), then one distinct-count per
+    window day. DAU falls out of the same aggregation via a conditional
+    distinct on delta=0 rows. Windows are emitted only for days that have
+    events themselves (daily-anchored dashboard semantics), flagged inside
+    the same aggregate -- no extra scan, no min/max collect. Day indexes
+    are epoch-day integers (TZ-proof); encoding-proof micros per q88."""
+    active = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("d"))
+        .distinct()
+    )
+    exp = active.select(
+        "user_id", "d", F.explode(F.sequence(F.col("d"), F.col("d") + WAU_DAYS - 1)).alias("wd")
+    )
+    out = exp.groupBy("wd").agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.countDistinct(F.when(F.col("wd") == F.col("d"), F.col("user_id"))).alias("dau"),
+        F.max((F.col("wd") == F.col("d")).cast("int")).alias("_has_events"),
+    )
+    return (
+        out.filter(F.col("_has_events") == 1)
+        .select(F.col("wd").alias("day_idx"), "dau", "wau")
+    )
+
+
+ORACLE_Q189 = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS d FROM events
+),
+exp AS (
+  SELECT user_id, d, d + k AS wd
+  FROM active, (SELECT unnest(range({WAU_DAYS})) AS k)
+),
+agg AS (
+  SELECT wd,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+         CAST(count(DISTINCT CASE WHEN wd = d THEN user_id END) AS BIGINT) AS dau,
+         max(CASE WHEN wd = d THEN 1 ELSE 0 END) AS has_events
+  FROM exp GROUP BY wd
+)
+SELECT CAST(wd AS BIGINT) AS day_idx, dau, wau
+FROM agg WHERE has_events = 1
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -1136,6 +1199,7 @@ QUERIES = {
     "q129_point_in_time_join": q129_point_in_time_join,
     "q136_interarrival_histogram": q136_interarrival_histogram,
     "q186_concurrent_sessions": q186_concurrent_sessions,
+    "q189_rolling_active_users": q189_rolling_active_users,
 }
 
 ORACLES = {
@@ -1155,4 +1219,5 @@ ORACLES = {
     "q129_point_in_time_join": ORACLE_Q129,
     "q136_interarrival_histogram": ORACLE_Q136,
     "q186_concurrent_sessions": ORACLE_Q186,
+    "q189_rolling_active_users": ORACLE_Q189,
 }

@@ -1481,6 +1481,224 @@ FROM per_split
 """
 
 
+# --------------------------------------------------------------------------
+# q188: cross-document duplicated spans (exact-substring dedup signal)
+# --------------------------------------------------------------------------
+
+SPAN_N = 8  # word span order -- long enough that chance collisions vanish
+
+
+def q188_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), at word-8-gram
+    granularity: how much of each document's text mass sits in spans that
+    ALSO appear in some OTHER document. q144 catches within-document
+    looping; this catches cross-document boilerplate and copy-paste that
+    survives document-level near-dup thresholds.
+
+    Shape: one corpus scan -> explode 8-gram spans -> per-(doc, span)
+    distinct (a span repeated inside one doc is one cross-doc unit) ->
+    the span's document count rides a COUNT window partitioned by the
+    span hash (one shuffle on the hash, no self-join) -> per-doc mass of
+    cross-doc spans in integer ppm of its span mass (the q144 char-mass
+    approximation) -> per-source rollup. Span identity flows as the
+    60-bit md5 hash, never the string (the q41 rule) -- both engines
+    hash identically, so even a collision is bit-reproducible.
+
+    At 100 TB the span table is O(total tokens): the only shuffles are
+    keyed by span hash and doc_id, both bounded, never pairwise."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", _words(F.lower("text")).alias("w"))
+    n = F.size("w")
+    grams = F.when(
+        n >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), n - SPAN_N + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + j) for j in range(SPAN_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", "source", F.explode(grams).alias("g")).select(
+        "doc_id", "source", h60(F.col("g")).alias("gh"), F.length("g").alias("glen")
+    )
+    per_doc_span = g.groupBy("doc_id", "source", "gh").agg(F.max("glen").alias("glen"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    flagged = per_doc_span.withColumn("nd", nd)
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.sum("glen").alias("total_mass"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("glen")).otherwise(0)).alias("cross_mass"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(cross_mass * 1000000 DIV total_mass AS BIGINT)").alias("cross_ppm"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_spanned"),
+        F.sum((F.col("cross_ppm") > 0).cast("bigint")).alias("n_docs_flagged"),
+        F.expr("CAST(sum(cross_ppm) DIV count(*) AS BIGINT)").alias("mean_cross_ppm"),
+        F.max("cross_ppm").alias("max_cross_ppm"),
+    )
+
+
+ORACLE_Q188 = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(w) >= {SPAN_N}
+         THEN list_transform(range(1, len(w) - {SPAN_N} + 2),
+                             i -> list_aggregate(w[i:i+{SPAN_N}-1], 'string_agg', ' '))
+         ELSE [] END) AS gram
+  FROM w
+),
+pds AS (
+  SELECT doc_id, source, {h60_sql('gram')} AS gh, max(length(gram)) AS glen
+  FROM g GROUP BY 1, 2, 3
+),
+fl AS (
+  SELECT *, count(*) OVER (PARTITION BY gh) AS nd FROM pds
+),
+per AS (
+  SELECT doc_id, source,
+         CAST(sum(CASE WHEN nd >= 2 THEN glen ELSE 0 END) * 1000000
+              // sum(glen) AS BIGINT) AS cross_ppm
+  FROM fl GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs_spanned,
+       CAST(sum(CASE WHEN cross_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+       CAST(sum(cross_ppm) // count(*) AS BIGINT) AS mean_cross_ppm,
+       max(cross_ppm) AS max_cross_ppm
+FROM per
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q191: triangle counting over the near-dup graph (degree-ordered)
+# --------------------------------------------------------------------------
+
+def q191_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of q42's near-dup graph: triangle count, wedge
+    count, and the global clustering coefficient 3*tri/wedges -- the
+    graph-shape audit that tells a dedup pipeline whether its pair set is
+    transitively consistent (near-dup similarity SHOULD be roughly
+    transitive, so a pair set whose clustering coefficient collapses
+    toward 0 is finding spurious pairs; the CC step (q68) inherits every
+    such error).
+
+    The distributed shape is the classic degree-ordered orientation
+    (Cohen's MapReduce triangle counting): orient every undirected edge
+    from its (degree, id)-smaller endpoint to the larger, which bounds
+    every vertex's out-degree by O(sqrt(edges)); wedges then enumerate as
+    the self-join of OUT-edges on their source (never the raw neighbor
+    join whose hubs explode quadratically), and each wedge's closing edge
+    is checked with one hash semi-join against the oriented edge set --
+    each triangle counted exactly once at its orientation-source vertex.
+    Lexicographic (deg, id) compares are spelled out as boolean algebra,
+    identical in both engines. All integers; ppm by integer division."""
+    pairs = (
+        q42_minhash_lsh_dedup(spark, sf_dir)
+        .select(
+            F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        pairs.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lex_ab = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = e.select(
+        F.when(lex_ab, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lex_ab, F.col("da")).otherwise(F.col("db")).alias("dsrc"),
+        F.when(lex_ab, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lex_ab, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    lex_vw = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst")) & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(lex_vw).select(
+        F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    # three 1-row aggregates crossJoined (bounded broadcast scalars, the
+    # house pattern) -- no driver-side counting loop
+    s_deg = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0)).cast("bigint").alias("n_wedges"),
+    )
+    s_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    s_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        s_deg.crossJoin(s_edges)
+        .crossJoin(s_tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CAST(CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 1000000 DIV n_wedges"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+ORACLE_Q191 = f"""
+WITH raw AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
+pairs AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b FROM raw),
+sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+e AS (
+  SELECT p.a, p.b, da.deg AS da, db.deg AS db
+  FROM pairs p JOIN deg da ON p.a = da.u JOIN deg db ON p.b = db.u
+),
+oriented AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS ddst
+  FROM e
+),
+wedges AS (
+  SELECT o1.dst AS x, o2.dst AS y
+  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+  WHERE o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)
+),
+tri AS (
+  SELECT count(*) AS t FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.x AND o.dst = w.y)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM deg) AS n_vertices,
+         (SELECT count(*) FROM pairs) AS n_edges,
+         (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT t FROM tri) AS n_triangles
+)
+SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 1000000 // n_wedges
+            ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM stats
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1501,6 +1719,8 @@ QUERIES = {
     "q141_khop_neighborhood": q141_khop_neighborhood,
     "q166_deletion_manifest": q166_deletion_manifest,
     "q167_cluster_split": q167_cluster_split,
+    "q188_crossdoc_spans": q188_crossdoc_spans,
+    "q191_dupgraph_triangles": q191_dupgraph_triangles,
 }
 
 ORACLES = {
@@ -1523,4 +1743,6 @@ ORACLES = {
     "q141_khop_neighborhood": ORACLE_Q141,
     "q166_deletion_manifest": ORACLE_Q166,
     "q167_cluster_split": ORACLE_Q167,
+    "q188_crossdoc_spans": ORACLE_Q188,
+    "q191_dupgraph_triangles": ORACLE_Q191,
 }

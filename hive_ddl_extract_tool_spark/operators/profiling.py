@@ -174,11 +174,101 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q190: Good-Turing frequency spectrum -- unseen-mass estimate per source
+# --------------------------------------------------------------------------
+
+GT_N = 3  # spectrum unit: word trigrams (the Katz-backoff granularity)
+
+
+def q190_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Good-Turing frequency-of-frequencies profile per source: event
+    total N, distinct types V, singleton count n1, doubleton n2, and the
+    Good-Turing unseen-probability-mass estimate P0 = n1/N -- the
+    corpus-statistics answer to "how much of this source's distribution
+    have we NOT sampled yet", which drives stop-crawling and
+    mixing-weight decisions. The unit is the word TRIGRAM (the Katz
+    smoothing granularity): this fixture's unigram vocabulary (~30 words)
+    saturates even at sf0.001, so a unigram spectrum would be all zeros
+    -- trigram space keeps singletons plentiful at every SF, and a
+    shrinking p0 across snapshot sizes is the saturation signal.
+
+    Two bounded shuffles off one corpus scan: (source, trigram) counts
+    (map-side combined, keyed by the 60-bit gram hash -- the q41 rule),
+    then the type-sized frequency spectrum rollup. Integer-exact: p0 in
+    ppm via integer division; the adjusted singleton mass r* = 2*n2/n1
+    (Good's estimate of the true count for once-seen types) is emitted
+    as a milli-count integer."""
+    from ._hashing import h60
+    from .text import _words
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("source", _words(F.lower("text")).alias("w"))
+    n = F.size("w")
+    grams = F.when(
+        n >= GT_N,
+        F.transform(
+            F.sequence(F.lit(1), n - GT_N + 1),
+            lambda i: F.concat_ws(" ", *[F.element_at("w", i + j) for j in range(GT_N)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wc = (
+        w.select("source", F.explode(grams).alias("g"))
+        .groupBy("source", h60(F.col("g")).alias("gh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("n2"),
+        F.expr("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+               " DIV sum(c) AS BIGINT)").alias("p0_ppm"),
+        F.expr("CAST(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0"
+               " THEN 2000 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)"
+               " DIV sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) ELSE 0 END"
+               " AS BIGINT)").alias("r_star_milli"),
+    )
+
+
+_GT_WORDS = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+
+ORACLE_Q190 = f"""
+WITH wa AS (
+  SELECT source, {_GT_WORDS} AS w FROM documents
+),
+g AS (
+  SELECT source, unnest(
+    CASE WHEN len(w) >= {GT_N}
+         THEN list_transform(range(1, len(w) - {GT_N} + 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END) AS gram
+  FROM wa
+),
+c AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT)                                   AS n_tokens,
+       count(*)                                                 AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)   AS n1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)   AS n2,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT)                                AS p0_ppm,
+       CAST(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+            THEN 2000 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                 // sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) ELSE 0 END
+            AS BIGINT)                                          AS r_star_milli
+FROM c
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q157_dataset_profile": q157_dataset_profile,
     "q168_incremental_stats_merge": q168_incremental_stats_merge,
+    "q190_good_turing": q190_good_turing,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
     "q168_incremental_stats_merge": ORACLE_Q168,
+    "q190_good_turing": ORACLE_Q190,
 }

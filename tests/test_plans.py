@@ -793,3 +793,43 @@ def test_weighted_sample_single_scan_shared_exchange(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("documents.parquet") == 1, plan
     assert_no_cartesian(df)
+
+
+def test_crossdoc_spans_window_not_selfjoin(spark, sf_dir):
+    """q188's span document-count must ride a COUNT window partitioned by
+    the span hash -- one shuffle on the hash -- never a gram-table
+    self-join (which fans out quadratically inside hot spans)."""
+    df = QUERIES["q188_crossdoc_spans"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, f"span count should be a window, not a join:\n{plan[:2000]}"
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_rolling_active_users_bounded_fanout(spark, sf_dir):
+    """q189: the sliding distinct must come from the deduped (user, day)
+    pairs exploded x7 -- one events scan, no self-join over days, no raw
+    per-event window scan."""
+    df = QUERIES["q189_rolling_active_users"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, f"WAU should be explode+groupBy, not a join:\n{plan[:2000]}"
+    assert_no_cartesian(df)
+
+
+def test_good_turing_single_scan(spark, sf_dir):
+    """q190: spectrum = two map-side-combined aggregations off ONE corpus
+    scan (gram counts keyed by the 60-bit hash, then the
+    frequency-of-frequencies rollup)."""
+    df = QUERIES["q190_good_turing"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert_no_cartesian(df)
+
+
+def test_triangle_count_degree_oriented_joins(spark, sf_dir):
+    """q191: the wedge enumeration must be an equi-join of ORIENTED edges
+    on their source and the closure check a hash semi-join -- the
+    degree-ordered plan. (The three 1-row stat scalars crossJoin by
+    design, so no assert_no_cartesian here -- the house rule.)"""
+    plan = formatted_plan(QUERIES["q191_dupgraph_triangles"](spark, sf_dir))
+    assert "LeftSemi" in plan, f"closure check is not a semi-join:\n{plan[:2000]}"
