@@ -99,6 +99,8 @@ _PRIORITY = [
     "q189_rolling_active_users",
     "q190_good_turing",
     "q191_dupgraph_triangles",
+    "q192_entropy_rate",
+    "q193_containment_dedup",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -198,33 +198,36 @@ def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_df(spark, f"q42_pairs:{sf_dir}", lambda: _q42_build(spark, sf_dir))
 
 
-def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _doc_shingles(spark, sf_dir, cache=True)
-    # Band keys straight off the WIDE signature: band b's key is the bigint
-    # pair (m_{2b}, m_{2b+1}). Tuple equality is exactly the oracle's
-    # string_agg-by-seed_id equality ("ka,kb" with an unambiguous
-    # separator), but skips the stack->re-aggregate->collect_list->string
-    # detour: one exchange and all string building removed from the band
-    # build (measured ~0.7 s at sf0.1).
+def _lsh_candidates(spark: SparkSession, sf_dir: str, ds: DataFrame) -> DataFrame:
+    """Staged LSH band-candidate pairs (doc_a < doc_b): the shared front
+    half of every shingle-verified pipeline (q42 resemblance, q193
+    containment). Band keys straight off the WIDE signature: band b's key
+    is the bigint pair (m_{2b}, m_{2b+1}). Tuple equality is exactly the
+    oracle's string_agg-by-seed_id equality ("ka,kb" with an unambiguous
+    separator), but skips the stack->re-aggregate->collect_list->string
+    detour: one exchange and all string building removed from the band
+    build (measured ~0.7 s at sf0.1). Staged because the candidate set
+    feeds the semi-filter AND the verify join (no CSE across subtrees),
+    and it is tiny by construction."""
     rows_per_band = N_HASHES // N_BANDS
     assert rows_per_band == 2, "band-key pair layout assumes 2 rows/band"
-    wide = _minhash_wide(ds)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"m{2 * b}").alias("ka"),
-                F.col(f"m{2 * b + 1}").alias("kb"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = wide.select("doc_id", F.explode(band_structs).alias("e")).select(
-        "doc_id", "e.band", "e.ka", "e.kb"
-    )
-    a, b = bands.alias("a"), bands.alias("b")
 
     def build_cand() -> DataFrame:
+        wide = _minhash_wide(ds)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.col(f"m{2 * b}").alias("ka"),
+                    F.col(f"m{2 * b + 1}").alias("kb"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        bands = wide.select("doc_id", F.explode(band_structs).alias("e")).select(
+            "doc_id", "e.band", "e.ka", "e.kb"
+        )
+        a, b = bands.alias("a"), bands.alias("b")
         return (
             a.join(
                 b,
@@ -237,9 +240,12 @@ def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    # Staged: the candidate pair set feeds the semi-filter AND the verify
-    # join (no CSE across subtrees), and it is tiny by construction.
-    cand = cached_df(spark, f"q42_cand:{sf_dir}", build_cand)
+    return cached_df(spark, f"q42_cand:{sf_dir}", build_cand)
+
+
+def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    cand = _lsh_candidates(spark, sf_dir, ds)
     # The exact-Jaccard verify only ever touches candidate documents, so
     # semi-filter the shingle table down to them FIRST: the
     # (doc_id, sh) exchanges then carry |cand_docs| * ~shingles rows
@@ -274,8 +280,10 @@ def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q42 = f"""
-WITH sig AS ({_minhash_long_sql()}),
+# Shared CTE body: LSH band candidates + exact shingle intersections --
+# ORACLE_Q42 (resemblance) and ORACLE_Q193 (containment) read the same
+# candidate/intersection tables and differ only in the final projection.
+_Q42_CTE_BODY = f"""sig AS ({_minhash_long_sql()}),
 bands AS (
   SELECT doc_id, seed_id // {N_HASHES // N_BANDS} AS band,
          string_agg(minh, ',' ORDER BY seed_id) AS band_key
@@ -294,13 +302,98 @@ inter AS (
   JOIN ds sa ON doc_a = sa.doc_id
   JOIN ds sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_Q42 = f"""
+WITH {_Q42_CTE_BODY}
 SELECT doc_a, doc_b,
        round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
 FROM inter
 JOIN sizes za ON doc_a = za.doc_id
 JOIN sizes zb ON doc_b = zb.doc_id
 WHERE round(inter / (za.sz + zb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# q193: shingle CONTAINMENT -- the asymmetric dedup resemblance misses
+# --------------------------------------------------------------------------
+
+CONTAIN_MIN_PPM = 980_000  # containment >= 0.98 flags a (near-)subset
+
+
+def q193_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set CONTAINMENT C(A,B) = |A∩B| / min(|A|,|B|) over the same staged
+    LSH candidates q42 verifies -- Broder's second similarity measure,
+    and the one resemblance can't replace: a short document wholly quoted
+    inside a longer one has containment 1.0 but Jaccard |A|/|B|, which a
+    0.8 resemblance threshold waves through once the length ratio passes
+    ~1.25. The fixture's subset pairs sit at containment 1.0 with Jaccard
+    down to 0.90, so is_asymmetric (containment >= 0.98 AND jaccard below
+    0.98) is nonzero by construction -- the phenomenon, not a vacuous
+    flag.
+
+    Same scale story as q42: band candidates only, shingle tables
+    semi-filtered to candidate docs before the verify joins, all ratios
+    integer ppm. The smaller-set side is reported as the contained doc
+    (ties break to doc_a)."""
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    cand = _lsh_candidates(spark, sf_dir, ds)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    ds_c = ds.join(cand_docs, "doc_id", "semi")
+    sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(ds_c.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("za.sz").alias("sza"),
+            F.col("zb.sz").alias("szb"),
+            "inter",
+        )
+    )
+    small_is_a = (F.col("sza") < F.col("szb")) | (
+        (F.col("sza") == F.col("szb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    out = scored.select(
+        F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_contained"),
+        F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_container"),
+        F.least("sza", "szb").alias("sz_contained"),
+        F.greatest("sza", "szb").alias("sz_container"),
+        F.expr("CAST(inter * 1000000 DIV least(sza, szb) AS BIGINT)").alias("containment_ppm"),
+        F.expr("CAST(inter * 1000000 DIV (sza + szb - inter) AS BIGINT)").alias("jaccard_ppm"),
+    )
+    return out.filter(F.col("containment_ppm") >= CONTAIN_MIN_PPM).withColumn(
+        "is_asymmetric", F.col("jaccard_ppm") < CONTAIN_MIN_PPM
+    )
+
+
+ORACLE_Q193 = f"""
+WITH {_Q42_CTE_BODY}
+SELECT CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS doc_contained,
+       CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_container,
+       CAST(least(za.sz, zb.sz) AS BIGINT) AS sz_contained,
+       CAST(greatest(za.sz, zb.sz) AS BIGINT) AS sz_container,
+       CAST(inter * 1000000 // least(za.sz, zb.sz) AS BIGINT) AS containment_ppm,
+       CAST(inter * 1000000 // (za.sz + zb.sz - inter) AS BIGINT) AS jaccard_ppm,
+       (inter * 1000000 // (za.sz + zb.sz - inter)) < {CONTAIN_MIN_PPM} AS is_asymmetric
+FROM inter
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE inter * 1000000 // least(za.sz, zb.sz) >= {CONTAIN_MIN_PPM}
 """
 
 
@@ -1721,6 +1814,7 @@ QUERIES = {
     "q167_cluster_split": q167_cluster_split,
     "q188_crossdoc_spans": q188_crossdoc_spans,
     "q191_dupgraph_triangles": q191_dupgraph_triangles,
+    "q193_containment_dedup": q193_containment_dedup,
 }
 
 ORACLES = {
@@ -1745,4 +1839,5 @@ ORACLES = {
     "q167_cluster_split": ORACLE_Q167,
     "q188_crossdoc_spans": ORACLE_Q188,
     "q191_dupgraph_triangles": ORACLE_Q191,
+    "q193_containment_dedup": ORACLE_Q193,
 }

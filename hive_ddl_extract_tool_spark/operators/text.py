@@ -981,6 +981,102 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q192: Shannon entropy rate per source -- corpus diversity in nats
+# --------------------------------------------------------------------------
+
+ENT_Q = 10**9  # fixed-point scale for per-type entropy terms
+
+
+def q192_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Shannon entropy per source, H = Σ p·ln(1/p) in nats --
+    the information-theoretic diversity gauge behind mixing decisions
+    (low-entropy sources are templated/boilerplate-heavy; near-uniform
+    ones are noise) and the complement of q190's unseen-mass view.
+
+    Exactness follows the q122/q125 discipline for ln: each type's term
+    (c/N)·ln(N/c) is built from the IDENTICAL double expression tree in
+    both engines, floor-quantized to 1e-9 fixed point PER TYPE, then
+    summed as int64 -- order-free where a cross-row double sum is not.
+    Normalized entropy H/ln(V) is a ratio of two already-quantized
+    integers (integer ppm), so no second float boundary exists. Shape:
+    bigram counts (map-side combined, one corpus scan), per-source totals
+    on a full-frame window over the type table, one rollup."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("source", _words(F.lower("text")).alias("w"))
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        w.select("source", F.explode(bigrams).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    tot = F.sum("c").over(W.partitionBy("source"))
+    term9 = F.floor(
+        (F.col("c") / F.col("n")) * F.log(F.col("n") / F.col("c")) * F.lit(float(ENT_Q))
+    ).cast("bigint")
+    typed = cnt.withColumn("n", tot).withColumn("t9", term9)
+    agg = typed.groupBy("source").agg(
+        F.max("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("t9").alias("entropy9"),
+    )
+    return agg.select(
+        "source",
+        "n_bigrams",
+        "vocab",
+        "entropy9",
+        F.expr(
+            f"CAST(CASE WHEN vocab > 1 THEN entropy9 * 1000000"
+            f" DIV CAST(floor(ln(CAST(vocab AS DOUBLE)) * {ENT_Q}) AS BIGINT)"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias("norm_entropy_ppm"),
+    )
+
+
+ORACLE_Q192 = f"""
+WITH wa AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT source, unnest(
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END) AS gram
+  FROM wa
+),
+cnt AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2),
+typed AS (
+  SELECT source, c, sum(c) OVER (PARTITION BY source) AS n FROM cnt
+),
+t AS (
+  SELECT source, n,
+         CAST(floor((c / n) * ln(n / c) * {ENT_Q}.0) AS BIGINT) AS t9
+  FROM typed
+),
+agg AS (
+  SELECT source, CAST(max(n) AS BIGINT) AS n_bigrams, count(*) AS vocab,
+         CAST(sum(t9) AS BIGINT) AS entropy9
+  FROM t GROUP BY source
+)
+SELECT source, n_bigrams, vocab, entropy9,
+       CAST(CASE WHEN vocab > 1 THEN entropy9 * 1000000
+            // CAST(floor(ln(CAST(vocab AS DOUBLE)) * {ENT_Q}) AS BIGINT)
+            ELSE 0 END AS BIGINT) AS norm_entropy_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "q30_text_stats": q30_text_stats,
     "q31_token_count": q31_token_count,
@@ -992,6 +1088,7 @@ QUERIES = {
     "q71_repetition_metrics": q71_repetition_metrics,
     "q144_dup_ngram_chars": q144_dup_ngram_chars,
     "q185_pii_scan": q185_pii_scan,
+    "q192_entropy_rate": q192_entropy_rate,
     "q73_stratified_sample": q73_stratified_sample,
     "q76_heavy_hitters": q76_heavy_hitters,
     "q90_sequence_packing": q90_sequence_packing,
@@ -1010,6 +1107,7 @@ ORACLES = {
     "q71_repetition_metrics": ORACLE_Q71,
     "q144_dup_ngram_chars": ORACLE_Q144,
     "q185_pii_scan": _oracle_q185(),
+    "q192_entropy_rate": ORACLE_Q192,
     "q73_stratified_sample": ORACLE_Q73,
     "q76_heavy_hitters": ORACLE_Q76,
     "q90_sequence_packing": ORACLE_Q90,

@@ -833,3 +833,22 @@ def test_triangle_count_degree_oriented_joins(spark, sf_dir):
     design, so no assert_no_cartesian here -- the house rule.)"""
     plan = formatted_plan(QUERIES["q191_dupgraph_triangles"](spark, sf_dir))
     assert "LeftSemi" in plan, f"closure check is not a semi-join:\n{plan[:2000]}"
+
+
+def test_entropy_rate_single_scan_window_total(spark, sf_dir):
+    """q192: bigram counts off one corpus scan; the per-source total rides
+    a full-frame window over the TYPE table (bounded by vocabulary), never
+    an aggregate crossJoin that re-derives the counts."""
+    df = QUERIES["q192_entropy_rate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert_no_cartesian(df)
+
+
+def test_containment_rides_staged_candidates(spark, sf_dir):
+    """q193 must verify containment on the SAME staged LSH candidate set
+    q42 uses (one band join per session) and semi-filter the shingle
+    table to candidate docs before the verify joins."""
+    plan = formatted_plan(QUERIES["q193_containment_dedup"](spark, sf_dir))
+    assert "q42_cand" in plan, f"containment not riding staged candidates:\n{plan[:2000]}"
+    assert "LeftSemi" in plan, f"shingle table not semi-filtered:\n{plan[:2000]}"
