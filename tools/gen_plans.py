@@ -276,6 +276,18 @@ SHOW = {
         "stack() unpivots the S-row result and the cosine math runs on "
         "S x DIM rows."
     ),
+    "q186_concurrent_sessions": (
+        "Two-level prefix sum: the +-1 boundary running sum is a Window "
+        "hash-partitioned by epoch-hour bucket; only the calendar-bounded "
+        "per-bucket aggregate crosses a SinglePartition window for the "
+        "carry-in base — never the raw boundaries."
+    ),
+    "q191_dupgraph_triangles": (
+        "Degree-ordered triangle counting: wedge enumeration is an "
+        "equi-join of oriented out-edges on their source (out-degree "
+        "bounded O(sqrt E)); the closure check is a LeftSemi hash join; "
+        "the three 1-row stat scalars crossJoin as bounded broadcasts."
+    ),
 }
 
 
