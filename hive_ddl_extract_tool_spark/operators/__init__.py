@@ -101,6 +101,7 @@ _PRIORITY = [
     "q191_dupgraph_triangles",
     "q192_entropy_rate",
     "q193_containment_dedup",
+    "q194_python_datasink",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -100,5 +100,131 @@ FROM g GROUP BY 1
 """
 
 
-QUERIES = {"q169_python_datasource": q169_python_datasource}
-ORACLES = {"q169_python_datasource": ORACLE_Q169}
+# --------------------------------------------------------------------------
+# q194: Python DataSource WRITER -- the sink half of the connector API
+# --------------------------------------------------------------------------
+
+def _register_sink() -> type:
+    """Custom JSONL sink via Spark 4's Python DataSourceWriter: each task
+    streams its partition to a temp file and returns a commit message
+    (path, row count); the driver-side commit() renames temp files into
+    place and writes a _manifest.json naming exactly the committed files
+    -- the two-phase rename-on-commit discipline that makes the sink
+    exactly-once for any reader that lists THROUGH the manifest (a failed
+    or speculative task's temp file is never renamed, so it is invisible).
+    abort() removes the temp files."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class _Committed(WriterCommitMessage):
+        tmp_path: str
+        rows: int
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            fn = f"{self.path}/_tmp-{_uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(fn, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                    n += 1
+            return _Committed(tmp_path=fn, rows=n)
+
+        def commit(self, messages):
+            final = []
+            for i, m in enumerate(messages):
+                dst = f"{self.path}/part-{i:05d}.jsonl"
+                _os.replace(m.tmp_path, dst)
+                final.append({"file": _os.path.basename(dst), "rows": m.rows})
+            with open(f"{self.path}/_manifest.json", "w") as f:
+                _json.dump({"files": final}, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if _os.path.exists(m.tmp_path):
+                    _os.remove(m.tmp_path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSink
+
+
+def q194_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through the custom Python SINK
+    (q169's writer half): write via the registered ``jsonlsink`` format,
+    then read back ONLY the files the committed manifest names and
+    aggregate per source -- row count, n_chars sum, and the h60 text
+    fingerprint (NULL/'' collapsed per q165's contract). The oracle
+    computes the same aggregates from the ORIGINAL parquet, so a sink
+    that drops, duplicates, or mangles ANY row across the task/commit
+    boundary is a hash mismatch. Scratch path deterministic per sf and
+    reset per invocation (q58's no-leak rule)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    spark.dataSource.register(_register_sink())
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    out_dir = os.path.join(tempfile.gettempdir(), f"q194_sink_{sf_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.format("jsonlsink").option("path", out_dir).mode("append").save()
+
+    with open(f"{out_dir}/_manifest.json") as f:
+        manifest = _json.load(f)
+    files = [f"{out_dir}/{e['file']}" for e in manifest["files"]]
+    rb = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(files)
+    canon_text = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), F.lit("<empty>")
+    ).otherwise(F.col("text"))
+    h60_text = F.conv(F.substring(F.md5(canon_text), 1, 15), 16, 10).cast("bigint")
+    return rb.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        ((F.sum((h60_text % 1_000_000_007).cast("decimal(38,0)")) % 1_000_000_007)
+         .cast("bigint").alias("text_fp")),
+    )
+
+
+_CANON_TEXT_SQL = "CASE WHEN text IS NULL OR text = '' THEN '<empty>' ELSE text END"
+
+ORACLE_Q194 = f"""
+SELECT source,
+       count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(CAST(sum(CAST({h60_sql(_CANON_TEXT_SQL)} % 1000000007 AS HUGEINT)) AS HUGEINT)
+            % 1000000007 AS BIGINT) AS text_fp
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "q169_python_datasource": q169_python_datasource,
+    "q194_python_datasink": q194_python_datasink,
+}
+ORACLES = {
+    "q169_python_datasource": ORACLE_Q169,
+    "q194_python_datasink": ORACLE_Q194,
+}

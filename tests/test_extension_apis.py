@@ -247,3 +247,31 @@ def test_update_mode_emission_counts_bounded_by_batches(spark, sf_dir):
 
     for r in all_queries()["q180_stream_update_mode"](spark, sf_dir).collect():
         assert 1 <= r["n_updates"] <= UPDATE_SRC_BUCKETS, r
+
+
+def test_python_datasink_commit_protocol(spark, sf_dir):
+    """q194's custom sink must leave a CLEAN committed state: the manifest
+    names exactly the renamed part files, their recorded row counts sum to
+    the corpus size, and no _tmp file survives commit (a stale temp would
+    mean a task wrote outside the two-phase protocol)."""
+    import json
+    import os
+    import tempfile
+
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.tables import load
+
+    out = all_queries()["q194_python_datasink"](spark, sf_dir)
+    total = sum(r["n_rows"] for r in out.collect())
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert total == n_docs
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    out_dir = os.path.join(tempfile.gettempdir(), f"q194_sink_{sf_tag}")
+    names = sorted(os.listdir(out_dir))
+    assert not any(n.startswith("_tmp-") for n in names), names
+    with open(f"{out_dir}/_manifest.json") as f:
+        manifest = json.load(f)
+    listed = sorted(e["file"] for e in manifest["files"])
+    assert listed == [n for n in names if n.endswith(".jsonl")], (listed, names)
+    assert sum(e["rows"] for e in manifest["files"]) == n_docs

@@ -852,3 +852,16 @@ def test_containment_rides_staged_candidates(spark, sf_dir):
     plan = formatted_plan(QUERIES["q193_containment_dedup"](spark, sf_dir))
     assert "q42_cand" in plan, f"containment not riding staged candidates:\n{plan[:2000]}"
     assert "LeftSemi" in plan, f"shingle table not semi-filtered:\n{plan[:2000]}"
+
+
+def test_python_datasink_readback_plan(spark, sf_dir):
+    """q194's RETURNED plan is the read-back aggregation: a JSON scan of
+    the manifest-listed files feeding a partially-aggregated hash agg on
+    source (map-side combine before one exchange). The sink write itself
+    runs eagerly inside the call; the read-back must stay JVM-side -- a
+    Python stage here would mean the round-trip re-entered Python."""
+    df = QUERIES["q194_python_datasink"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source" in plan, plan
+    assert "partial_" in plan.lower() or "Partial" in plan, plan
+    assert_no_python_udf(df)
