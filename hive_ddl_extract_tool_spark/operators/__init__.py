@@ -102,6 +102,15 @@ _PRIORITY = [
     "q192_entropy_rate",
     "q193_containment_dedup",
     "q194_python_datasink",
+    "q195_position_attribution",
+    "q196_cdc_apply",
+    "q197_ab_welch",
+    "q198_ewma",
+    "q199_conversion_paths",
+    "q200_time_weighted_avg",
+    "q201_hll_shard_merge",
+    "q202_prefix_filter_join",
+    "q203_mad_outliers",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",
@@ -205,10 +214,10 @@ _PRIORITY = [
 
 
 def _modules():
-    from . import advanced, curation, custom_source, dedup, functions_suite, functions_suite2, layout, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
+    from . import advanced, behavior, curation, custom_source, dedup, functions_suite, functions_suite2, layout, multimodal, physical, profiling, relational, relational2, retrieval, selection, similarity, text, tokenizer, vectors
     from ..streaming import windows
 
-    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, physical, layout, profiling, custom_source, windows)
+    return (relational, relational2, functions_suite, functions_suite2, dedup, similarity, vectors, text, tokenizer, retrieval, curation, selection, multimodal, advanced, behavior, physical, layout, profiling, custom_source, windows)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1182,6 +1182,89 @@ FROM agg WHERE has_events = 1
 """
 
 
+
+def q196_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction with tombstones -- the batch form of
+    change-data-capture apply that q108 (SCD-2 history keep) and q175
+    (streaming upsert, no deletes) do not cover: replay an
+    insert/update/DELETE change log and keep only each key's final
+    state, where a trailing tombstone removes the key entirely.
+
+    The log derives deterministically from orders so both engines build
+    the identical input: key o_orderkey gets 1 + key%3 versions (seq is
+    the change-log ordinal), every key%7 == 0 key's LAST version is a
+    tombstone, version v reprices to cents + 100*v. Compaction is
+    aggregate-first -- max_by(op|cents, seq) per key (DuckDB arg_max),
+    so it map-side combines on the same shuffle instead of sorting a
+    row_number window; seq is unique per key, making the argmax
+    deterministic. Output: per order-status live-row count, live value
+    cents, and tombstoned-key count.
+
+    Scale: the bounded x3 explode then ONE hash aggregate on the key --
+    the compaction shuffle any CDC consumer pays; no window sort, no
+    join. At 100 TB the same plan holds with the log partitioned by
+    arrival batch."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    log = (
+        o.withColumn("n_vers", (F.lit(1) + F.col("o_orderkey") % 3).cast("int"))
+        .withColumn("seq", F.explode(F.sequence(F.lit(1), F.col("n_vers"))))
+        .withColumn(
+            "op",
+            F.when(
+                (F.col("seq") == F.col("n_vers")) & (F.col("o_orderkey") % 7 == 0),
+                F.lit("D"),
+            )
+            .when(F.col("seq") == 1, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn("v_cents", F.col("cents") + 100 * F.col("seq"))
+    )
+    final = log.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.expr("max_by(op, seq)").alias("last_op"),
+        F.expr("max_by(v_cents, seq)").alias("last_cents"),
+    )
+    return final.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("last_op") != "D", 1).otherwise(0)).alias("n_live"),
+        F.sum(
+            F.when(F.col("last_op") != "D", F.col("last_cents"))
+            .otherwise(0)
+            .cast("decimal(30,0)")
+        ).cast("bigint").alias("live_value_cents"),
+        F.sum(F.when(F.col("last_op") == "D", 1).otherwise(0)).alias("n_tombstoned"),
+    )
+
+
+ORACLE_Q196 = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         1 + o_orderkey % 3 AS n_vers
+  FROM orders
+), log AS (
+  SELECT o.*, u.seq,
+         CASE WHEN u.seq = n_vers AND o_orderkey % 7 = 0 THEN 'D'
+              WHEN u.seq = 1 THEN 'I' ELSE 'U' END AS op,
+         cents + 100 * u.seq AS v_cents
+  FROM o, UNNEST(generate_series(1, n_vers)) AS u(seq)
+), final AS (
+  SELECT o_orderkey, o_orderstatus,
+         arg_max(op, seq) AS last_op,
+         arg_max(v_cents, seq) AS last_cents
+  FROM log GROUP BY o_orderkey, o_orderstatus
+)
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN last_op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN last_op <> 'D' THEN CAST(last_cents AS HUGEINT)
+                     ELSE 0 END) AS BIGINT) AS live_value_cents,
+       CAST(sum(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned
+FROM final
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -1194,6 +1277,7 @@ QUERIES = {
     "q88_sessionize": q88_sessionize,
     "q89_value_histogram": q89_value_histogram,
     "q108_scd2_merge": q108_scd2_merge,
+    "q196_cdc_apply": q196_cdc_apply,
     "q118_decayed_engagement": q118_decayed_engagement,
     "q127_event_transitions": q127_event_transitions,
     "q129_point_in_time_join": q129_point_in_time_join,
@@ -1214,6 +1298,7 @@ ORACLES = {
     "q88_sessionize": ORACLE_Q88,
     "q89_value_histogram": ORACLE_Q89,
     "q108_scd2_merge": ORACLE_Q108,
+    "q196_cdc_apply": ORACLE_Q196,
     "q118_decayed_engagement": ORACLE_Q118,
     "q127_event_transitions": ORACLE_Q127,
     "q129_point_in_time_join": ORACLE_Q129,

@@ -1,0 +1,474 @@
+"""User-behavior analytics over the events stream: marketing attribution,
+conversion-path mining, exponential smoothing, A/B inference, and
+time-weighted state averages.
+
+These close the event-analytics families the funnel (q74), cohort (q75),
+sessionize (q88), Markov-transition (q127), and cadence (q136) operators
+do not cover: value ATTRIBUTION across touchpoints, full-path frequency
+mining, and order-sensitive smoothing/holding-time aggregates.
+
+Exactness discipline (engine house rules):
+- money enters as exact integer cents (``round(value*100)`` -- raw event
+  values are not derived arithmetic, so no mround epsilon is needed);
+- every ratio is integer ppm via truncating integer division (both
+  engines truncate positives identically);
+- timestamp arithmetic is integer microseconds (``unix_micros`` /
+  ``epoch_us``), the hostile-TZ-proven pattern;
+- the one double computation (Welch's t, q197) is the same textual
+  expression tree over EXACT integer moments in both engines, then
+  floor-quantized to 1e-6 fixed point -- the q122/q192 ln discipline.
+
+Scale: every window and group here is partitioned by ``user_id`` (or the
+per-user conversion episode), so each query is one user-keyed exchange
+plus a bounded rollup -- no global windows, no joins, no corpus re-scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._hashing import h60, h60_sql
+from ..tables import load
+
+# Touch channels credited by the attribution model; purchases convert.
+ATTR_TOUCHES = ("view", "click")
+EWMA_K = 16            # trailing terms kept by the truncated dyadic EWMA
+PATH_TOP_K = 20        # conversion paths reported
+
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def _tag_conversions(ev: DataFrame) -> DataFrame:
+    """Assign every event to the NEXT purchase of its user: a reverse
+    running count of purchases numbers episodes from the stream's end
+    (the last purchase is conv_id 1; its preceding touches share it).
+    Events after a user's final purchase get conv_id 0 and are dropped.
+    conv_cents is the episode's single purchase value, carried by a
+    window over the same (user, episode) partitioning -- never a join
+    back against an O(conversions) table."""
+    w_rev = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = ev.withColumn(
+        "conv_id",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w_rev),
+    ).filter(F.col("conv_id") >= 1)
+    w_grp = W.partitionBy("user_id", "conv_id")
+    return tagged.withColumn(
+        "conv_cents",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("cents"))).over(w_grp),
+    )
+
+
+def q195_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted (U-shaped) multi-touch attribution: each
+    purchase's value is split over the view/click touches of its episode
+    -- 40% to the first touch, 40% to the last, the middle 20% evenly
+    across interior touches (1 touch takes all; 2 touches take 50/50).
+    Weights are exact integer ppm (the interior share uses truncating
+    division, so up to n-3 ppm per conversion is deliberately dropped --
+    identically in both engines); attributed value accumulates as exact
+    cents*ppm integers. Per channel: touch count, attributed cents*ppm,
+    and attributed whole cents.
+
+    Scale: the episode tagging and position windows all hash on user_id
+    -- one exchange end to end, then a channel-sized rollup."""
+    touches = (
+        _tag_conversions(_events_cents(spark, sf_dir))
+        .filter(F.col("event_type").isin(*ATTR_TOUCHES))
+    )
+    w_grp = W.partitionBy("user_id", "conv_id")
+    attributed = (
+        touches
+        .withColumn("n_t", F.count(F.lit(1)).over(w_grp))
+        .withColumn("pos", F.row_number().over(w_grp.orderBy("ts", "event_id")))
+        .withColumn(
+            "weight_ppm",
+            F.when(F.col("n_t") == 1, F.lit(1_000_000).cast("bigint"))
+            .when(F.col("n_t") == 2, F.lit(500_000).cast("bigint"))
+            .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_t")),
+                  F.lit(400_000).cast("bigint"))
+            .otherwise(F.expr("CAST(200000 AS BIGINT) DIV (n_t - 2)")),
+        )
+        .withColumn(
+            "attr", (F.col("conv_cents") * F.col("weight_ppm")).cast("decimal(30,0)")
+        )
+    )
+    return (
+        attributed.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("attr").cast("bigint").alias("attr_cents_ppm"),
+        )
+        .withColumn("attr_cents", F.expr("attr_cents_ppm DIV 1000000"))
+    )
+
+
+_CONV_CTE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), tagged AS (
+  SELECT *,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_id
+  FROM e
+), conv AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'purchase' THEN cents END)
+           OVER (PARTITION BY user_id, conv_id) AS conv_cents
+  FROM tagged WHERE conv_id >= 1
+)
+"""
+
+ORACLE_Q195 = _CONV_CTE + """
+, touches AS (
+  SELECT *,
+         count(*)     OVER (PARTITION BY user_id, conv_id) AS n_t,
+         row_number() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY ts, event_id) AS pos
+  FROM conv WHERE event_type IN ('view', 'click')
+)
+SELECT channel, n_touches,
+       attr_cents_ppm, attr_cents_ppm // 1000000 AS attr_cents
+FROM (
+  SELECT event_type AS channel,
+         count(*) AS n_touches,
+         CAST(sum(CAST(conv_cents * (
+           CASE WHEN n_t = 1 THEN 1000000
+                WHEN n_t = 2 THEN 500000
+                WHEN pos = 1 OR pos = n_t THEN 400000
+                ELSE 200000 // (n_t - 2) END) AS HUGEINT)) AS BIGINT)
+           AS attr_cents_ppm
+  FROM touches GROUP BY event_type
+)
+"""
+
+
+def q199_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-path mining: per purchase episode, the ordered
+    view/click/purchase sequence joined as a '>' path string; paths are
+    then ranked by conversion count (value as exact cents, top-20 with a
+    deterministic path tie-break). A purchase with no touches yields the
+    bare 'purchase' path -- the direct-conversion share.
+
+    The path string builds from array_sort(collect_list(struct(ts,
+    event_id, type))) -- struct order is the total event order, so the
+    aggregation is order-free under any partitioning (same trick as the
+    driver-facing listagg q184). Scale: one user-keyed exchange, episode
+    groups are bounded by a user's event count, and the final ranking is
+    a TakeOrderedAndProject over the path table."""
+    conv = _tag_conversions(_events_cents(spark, sf_dir))
+    episodes = (
+        conv.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id", "conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("cents")))
+            .alias("conv_cents"),
+        )
+    )
+    return (
+        episodes.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("conv_cents").cast("decimal(30,0)")).cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy(F.desc("n_conversions"), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+ORACLE_Q199 = _CONV_CTE + f"""
+, episodes AS (
+  SELECT user_id, conv_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         max(CASE WHEN event_type = 'purchase' THEN cents END) AS conv_cents
+  FROM conv
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id, conv_id
+)
+SELECT path,
+       count(*) AS n_conversions,
+       CAST(sum(CAST(conv_cents AS HUGEINT)) AS BIGINT) AS value_cents
+FROM episodes
+GROUP BY path
+ORDER BY n_conversions DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+def q197_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with Welch's unequal-variance t-test:
+    users split into two arms by the salted h60 hash (the assignment
+    every engine can reproduce), per-user metric = total purchase cents
+    (zero for non-buyers), then per-arm count / sum / sum-of-squares as
+    EXACT integers. Welch's t and the Welch-Satterthwaite degrees of
+    freedom are the only doubles -- computed from those exact moments by
+    the SAME expression text in both engines (sums < 2^53, so the
+    double conversion is itself exact) and floor-quantized to 1e-6.
+
+    Scale: user rollup (one exchange with map-side partials) -> 2-row
+    arm aggregate -> 1-row conditional pivot. The t computation is
+    driver-free scalar algebra on that single row."""
+    per_user = (
+        _events_cents(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+            ).alias("metric")
+        )
+        .withColumn(
+            "variant",
+            F.pmod(h60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), F.lit(2)),
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric").alias("s"),
+        F.sum(F.col("metric") * F.col("metric")).alias("q"),
+    )
+    pivot = arms.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("q"))).alias("q0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("s"))).alias("s1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("q"))).alias("q1"),
+    )
+    # Identical expression text in the oracle below -- keep in sync.
+    return pivot.selectExpr(
+        "n0", "n1",
+        "CAST(s0 AS BIGINT) AS sum0_cents",
+        "CAST(s1 AS BIGINT) AS sum1_cents",
+        """CAST(floor(1000000.0 * (
+             (CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1)
+             / sqrt( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+                   + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+           )) AS BIGINT) AS t_micro""",
+        """CAST(floor(1000000.0 * (
+             ( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+             + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+             * ( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+               + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+             / ( (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0)
+                 * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0) / (n0-1)
+               + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1)
+                 * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1) / (n1-1) )
+           )) AS BIGINT) AS df_micro""",
+        """abs( (CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1)
+             / sqrt( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+                   + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+           ) > 1.959964 AS significant""",
+    )
+
+
+ORACLE_Q197 = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS metric,
+         {h60_sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS variant
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT variant, count(*) AS n,
+         CAST(sum(metric) AS BIGINT) AS s,
+         CAST(sum(metric * metric) AS BIGINT) AS q
+  FROM per_user GROUP BY variant
+), piv AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN variant = 0 THEN s END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN variant = 0 THEN q END) AS BIGINT) AS q0,
+         CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN variant = 1 THEN s END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN variant = 1 THEN q END) AS BIGINT) AS q1
+  FROM arms
+)
+SELECT n0, n1,
+       CAST(s0 AS BIGINT) AS sum0_cents,
+       CAST(s1 AS BIGINT) AS sum1_cents,
+       CAST(floor(1000000.0 * (
+         (CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1)
+         / sqrt( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+               + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+       )) AS BIGINT) AS t_micro,
+       CAST(floor(1000000.0 * (
+         ( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+         + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+         * ( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+           + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+         / ( (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0)
+             * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0) / (n0-1)
+           + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1)
+             * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1) / (n1-1) )
+       )) AS BIGINT) AS df_micro,
+       abs( (CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1)
+         / sqrt( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/n0)/(n0-1))/n0
+               + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1 )
+       ) > 1.959964 AS significant
+FROM piv
+"""
+
+
+def q198_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing with the DYADIC decay alpha = 1/2,
+    truncated at 16 trailing terms: weight of the k-th most recent event
+    is 2^(15-k)/2^16, so the numerator is an exact 64-bit integer sum --
+    EWMA as order-free integer arithmetic, no float accumulation. Events
+    beyond a user's first contribute implicit zeros (lag default), so
+    early rows report a partial-window smooth with n_terms saying how
+    partial. Emits each user's LAST smoothed value: numerator, whole
+    cents (numerator DIV 2^16), and the term count.
+
+    Scale: one user-keyed exchange; the 16 lags share a single window
+    sort, and the final per-user argmax is the same partitioning."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(F.lag("cents", k, 0).over(w), F.lit(0))
+            * F.lit(1 << (EWMA_K - 1 - k))
+            for k in range(1, EWMA_K)
+        ],
+        F.col("cents") * F.lit(1 << (EWMA_K - 1)),
+    )
+    smoothed = (
+        _events_cents(spark, sf_dir)
+        .withColumn("ewma_num", num)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_terms", F.least(F.col("rn"), F.lit(EWMA_K)))
+        .withColumn(
+            "last_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("last_rn") == 1)
+    )
+    return smoothed.select(
+        "user_id",
+        "n_terms",
+        F.col("ewma_num").cast("bigint").alias("ewma_num"),
+        F.expr(f"CAST(ewma_num AS BIGINT) DIV {1 << EWMA_K}").alias("ewma_cents"),
+    )
+
+
+_EWMA_TERMS_SQL = " + ".join(
+    [f"cents * {1 << (EWMA_K - 1)}"]
+    + [f"lag(cents, {k}, 0) OVER w * {1 << (EWMA_K - 1 - k)}" for k in range(1, EWMA_K)]
+)
+
+ORACLE_Q198 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), smoothed AS (
+  SELECT user_id,
+         CAST({_EWMA_TERMS_SQL} AS BIGINT) AS ewma_num,
+         least(row_number() OVER w, {EWMA_K}) AS n_terms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS last_rn
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, n_terms, ewma_num,
+       ewma_num // {1 << EWMA_K} AS ewma_cents
+FROM smoothed WHERE last_rn = 1
+"""
+
+
+def q200_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user: each value is held
+    until the user's next event (step-function semantics, the ffill dual
+    of q79's resample), so the average weights every cent by its holding
+    time in integer MICROSECONDS -- sum(cents * held_us) over the user's
+    span, exact decimal accumulation, one truncating division at the
+    end. The last event holds nothing and contributes only to n_events.
+
+    Scale: a single user-partitioned lead() window and a same-keyed
+    rollup -- one exchange; the decimal(38,0) accumulator absorbs
+    year-long holds of max-cent values without overflow."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (
+        _events_cents(spark, sf_dir)
+        .withColumn("tus", F.unix_micros("ts"))
+        .withColumn("held_us", F.lead("tus").over(w) - F.col("tus"))
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("held_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("held_us"))
+            .alias("weighted"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            F.expr("CAST(weighted DIV CAST(span_us AS DECIMAL(38,0)) AS BIGINT)")
+            .alias("twa_cents"),
+        )
+    )
+
+
+ORACLE_Q200 = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), stepped AS (
+  SELECT user_id, cents,
+         lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus
+           AS held_us
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(held_us) AS BIGINT) AS span_us,
+       CAST(sum(CAST(cents AS HUGEINT) * held_us)
+            // CAST(sum(held_us) AS HUGEINT) AS BIGINT) AS twa_cents
+FROM stepped
+GROUP BY user_id
+HAVING CAST(sum(held_us) AS BIGINT) > 0
+"""
+
+
+QUERIES = {
+    "q195_position_attribution": q195_position_attribution,
+    "q197_ab_welch": q197_ab_welch,
+    "q198_ewma": q198_ewma,
+    "q199_conversion_paths": q199_conversion_paths,
+    "q200_time_weighted_avg": q200_time_weighted_avg,
+}
+ORACLES = {
+    "q195_position_attribution": ORACLE_Q195,
+    "q197_ab_welch": ORACLE_Q197,
+    "q198_ewma": ORACLE_Q198,
+    "q199_conversion_paths": ORACLE_Q199,
+    "q200_time_weighted_avg": ORACLE_Q200,
+}

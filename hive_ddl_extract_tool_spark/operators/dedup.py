@@ -1792,6 +1792,115 @@ FROM stats
 """
 
 
+
+# --------------------------------------------------------------------------
+# q202: exact similarity join via PREFIX FILTERING (PPJoin-style)
+# --------------------------------------------------------------------------
+
+PF_TAU_PPM = 800_000  # Jaccard threshold tau = 0.8, as integer ppm
+
+
+def q202_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 similarity join via prefix filtering
+    (SSJoin/PPJoin family) -- the lossless counterpart of q42's LSH: no
+    probabilistic bands, yet no all-pairs join either. Each document
+    keeps only its p = |A| - ceil(tau*|A|) + 1 RAREST shingles (global
+    (doc-frequency, hash) order) as join keys; the prefix lemma
+    guarantees every pair with J >= tau shares a prefix token, so the
+    candidate join is complete, and candidates are verified exactly.
+    The oracle is the FULL shingle equijoin -- the driver hash compare
+    therefore proves the prefix filter loses nothing.
+
+    Scale: the per-doc prefix order comes from array_sort over the
+    doc's own (df, sh) structs -- a global shingle RANK table (global
+    sort) is never built. Prefix keys are by construction the rarest
+    shingles, so the candidate self-join is skew-resistant exactly
+    where a naive shingle equijoin is hottest; the size filter
+    5*min >= 4*max prunes length-incompatible pairs before the verify,
+    and the verify joins run on candidate-doc semi-filtered shingles
+    (the q42/q193 staging discipline)."""
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ds.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    prefix = (
+        per_doc.withColumn("p", F.expr("sz - ((4 * sz + 4) DIV 5) + 1"))
+        .select("doc_id", "sz", F.explode(F.expr("slice(ordered, 1, p)")).alias("t"))
+        .select("doc_id", "sz", F.col("t.sh").alias("sh"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least("a.sz", "b.sz") >= 4 * F.greatest("a.sz", "b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    ds_c = ds.join(cand_docs, "doc_id", "semi")
+    inter = (
+        cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            ds_c.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard_ppm",
+            F.expr("CAST(inter * 1000000 DIV (sz_a + sz_b - inter) AS BIGINT)"),
+        )
+        .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)
+        .select(
+            "doc_a", "doc_b",
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            "jaccard_ppm",
+        )
+    )
+
+
+ORACLE_Q202 = f"""
+WITH ds AS ({DS_HASH_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(za.sz AS BIGINT) AS sz_a,
+       CAST(zb.sz AS BIGINT) AS sz_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(inter * 1000000 // (za.sz + zb.sz - inter) AS BIGINT) AS jaccard_ppm
+FROM pairs
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE inter * 1000000 // (za.sz + zb.sz - inter) >= {PF_TAU_PPM}
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1815,6 +1924,7 @@ QUERIES = {
     "q188_crossdoc_spans": q188_crossdoc_spans,
     "q191_dupgraph_triangles": q191_dupgraph_triangles,
     "q193_containment_dedup": q193_containment_dedup,
+    "q202_prefix_filter_join": q202_prefix_filter_join,
 }
 
 ORACLES = {
@@ -1840,4 +1950,5 @@ ORACLES = {
     "q188_crossdoc_spans": ORACLE_Q188,
     "q191_dupgraph_triangles": ORACLE_Q191,
     "q193_containment_dedup": ORACLE_Q193,
+    "q202_prefix_filter_join": ORACLE_Q202,
 }

@@ -262,13 +262,182 @@ GROUP BY source
 """
 
 
+
+# --------------------------------------------------------------------------
+# q201: mergeable HLL sketch shards (Apache DataSketches surface)
+# --------------------------------------------------------------------------
+
+HLL_ERR_PCT = 5  # declared bound checked by the audit boolean
+
+
+def q201_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-distinct via BINARY-MERGEABLE sketches: per-day
+    hll_sketch_agg(user_id) shards (Apache DataSketches HLL), merged with
+    hll_union_agg -- the incremental-count architecture where each daily
+    ingest persists a few-KB sketch and the monthly distinct is a
+    shard-count-sized union, rows never re-read (the sketch analog of
+    q168's algebraic moment merge; q06 audits Spark's HyperLogLog++
+    approx_count_distinct, which is NOT persistable or mergeable across
+    jobs). Shard key is the TZ-free epoch day (unix_micros DIV 86.4e9).
+
+    The sketch binaries are engine-internal, so the driver-checkable
+    outputs are the audit booleans (the q06 upgrade pattern): the merged
+    and the direct estimates must each sit within the declared error of
+    the exact distinct count (which the oracle recomputes exactly), and
+    the two must agree within 1% of each other -- union consistency, the
+    property that makes shard persistence sound. Strict equality is NOT
+    the contract: once registers leave sparse mode the union path and
+    the direct path can legitimately land on different estimates
+    (observed 1488 vs 1494 at 1500 true distinct).
+
+    Scale: one (day, user) dedup shuffle staged and shared by both
+    branches, then a shard-count aggregate and a 1-row x 1-row join."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        return ev.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"), "user_id"
+        ).distinct()
+
+    du = cached_df(spark, f"q201_day_user:{sf_dir}", build)
+    merged = (
+        du.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        )
+    )
+    direct = du.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(direct).select(
+        "n_shards",
+        "exact_users",
+        (
+            F.abs(F.col("est_merged") - F.col("exact_users")) * (100 // HLL_ERR_PCT)
+            <= F.col("exact_users")
+        ).alias("merged_within_bound"),
+        (
+            F.abs(F.col("est_direct") - F.col("exact_users")) * (100 // HLL_ERR_PCT)
+            <= F.col("exact_users")
+        ).alias("direct_within_bound"),
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct")) * 100
+            <= F.col("est_direct")
+        ).alias("union_consistent"),
+    )
+
+
+ORACLE_Q201 = """
+SELECT CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_shards,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_within_bound,
+       TRUE AS direct_within_bound,
+       TRUE AS union_consistent
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q203: robust outlier detection via MAD (median absolute deviation)
+# --------------------------------------------------------------------------
+
+MAD_K2 = 3  # outlier if deviation > MAD_K2 * MAD
+
+
+def q203_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outliers: median / MAD instead of the
+    mean / stddev family (q80), so extreme values cannot mask
+    themselves by inflating the spread they are measured against.
+    Every order statistic stays an EXACT integer by doubling units:
+    the interpolated median of integer cents is a multiple of 1/2, so
+    2*median is an exact int64 (the (1-g)*a + g*b interpolation of
+    ints < 2^53 with g = 0 or 1/2 is exact dyadic double arithmetic,
+    identical in both engines); deviations dev = |2x - m2| are
+    integers; mad_x4 = 2*median(dev) is again an int64; and the rule
+    dev > 3*median(dev) clears denominators to the pure integer
+    comparison 2*dev > 3*mad_x4.
+
+    Scale: exact percentile aggregation merges per-partition
+    value->count maps, bounded by the metric's distinct values
+    (~50k cent levels), not rows; the two 5-row statistic tables
+    broadcast back over the stream (never a window that drags a
+    whole event-type partition into one task); the deviation stream
+    is parquet-staged because the MAD pass and the outlier count are
+    separate aggregations Catalyst will not CSE."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "events").select(
+            "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+        )
+        med = e.groupBy("event_type").agg(
+            (F.percentile("cents", F.lit(0.5)) * 2).cast("bigint").alias("m2"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        return e.join(F.broadcast(med), "event_type").select(
+            "event_type", "m2", "n_events",
+            F.abs(2 * F.col("cents") - F.col("m2")).alias("dev"),
+        )
+
+    dev = cached_df(spark, f"q203_dev:{sf_dir}", build)
+    mad = dev.groupBy("event_type", "m2", "n_events").agg(
+        (F.percentile("dev", F.lit(0.5)) * 2).cast("bigint").alias("mad_x4")
+    )
+    counts = (
+        dev.join(F.broadcast(mad.select("event_type", "mad_x4")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("dev") > MAD_K2 * F.col("mad_x4"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return mad.join(counts, "event_type").select(
+        "event_type", "n_events", "m2", "mad_x4", "n_outliers"
+    )
+
+
+ORACLE_Q203 = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+  SELECT event_type,
+         CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS m2,
+         count(*) AS n_events
+  FROM e GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m2, n_events, abs(2 * cents - m2) AS dev
+  FROM e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, m2, n_events,
+         CAST(quantile_cont(dev, 0.5) * 2 AS BIGINT) AS mad_x4
+  FROM dev GROUP BY event_type, m2, n_events
+)
+SELECT dev.event_type,
+       CAST(mad.n_events AS BIGINT) AS n_events,
+       mad.m2, mad.mad_x4,
+       CAST(sum(CASE WHEN 2 * dev > {MAD_K2} * mad_x4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type, mad.n_events, mad.m2, mad.mad_x4
+"""
+
+
 QUERIES = {
     "q157_dataset_profile": q157_dataset_profile,
     "q168_incremental_stats_merge": q168_incremental_stats_merge,
     "q190_good_turing": q190_good_turing,
+    "q201_hll_shard_merge": q201_hll_shard_merge,
+    "q203_mad_outliers": q203_mad_outliers,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
     "q168_incremental_stats_merge": ORACLE_Q168,
     "q190_good_turing": ORACLE_Q190,
+    "q201_hll_shard_merge": ORACLE_Q201,
+    "q203_mad_outliers": ORACLE_Q203,
 }

@@ -865,3 +865,76 @@ def test_python_datasink_readback_plan(spark, sf_dir):
     assert "hashpartitioning(source" in plan, plan
     assert "partial_" in plan.lower() or "Partial" in plan, plan
     assert_no_python_udf(df)
+
+
+def test_attribution_no_join_single_user_key(spark, sf_dir):
+    """q195 carries the conversion value via a window over the SAME
+    (user, episode) partitioning -- a join back against the O(conversions)
+    purchase table would re-shuffle the touch stream. All windows must
+    hash on user_id."""
+    plan = formatted_plan(QUERIES["q195_position_attribution"](spark, sf_dir))
+    assert "Join" not in plan, f"attribution grew a join:\n{plan[:2000]}"
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_cdc_apply_aggregate_first_no_window(spark, sf_dir):
+    """q196 compacts the change log with max_by aggregates (map-side
+    combinable), never a row_number window: a window would force a full
+    sort of the log per key where the argmax needs only one pass."""
+    plan = formatted_plan(QUERIES["q196_cdc_apply"](spark, sf_dir))
+    assert "Window" not in plan, f"CDC compaction regressed to a window:\n{plan[:2000]}"
+    assert "max_by" in plan or "partial_max_by" in plan.lower(), plan
+
+
+def test_conversion_paths_topk_heap(spark, sf_dir):
+    """q199's top-20 ranking must be a TakeOrderedAndProject heap, not a
+    global sort of the path table."""
+    plan = formatted_plan(QUERIES["q199_conversion_paths"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ewma_single_window_sort(spark, sf_dir):
+    """q198's 16 lag terms must share ONE ascending window sort (plus the
+    one descending last-row argmax) -- 16 separate Window nodes would mean
+    the lag expressions stopped collapsing into a shared frame."""
+    plan = formatted_plan(QUERIES["q198_ewma"](spark, sf_dir))
+    n_window_nodes = len(
+        [ln for ln in plan.splitlines() if ln.strip().startswith("(") and ln.rstrip().endswith("Window")]
+    )
+    assert n_window_nodes <= 2, f"lag terms split into many windows:\n{plan[:3000]}"
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_twa_single_exchange(spark, sf_dir):
+    """q200: the lead() window and the per-user rollup share the user_id
+    hash partitioning -- one exchange, no join."""
+    plan = formatted_plan(QUERIES["q200_time_weighted_avg"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_hll_shard_merge_stages_day_user(spark, sf_dir):
+    """q201's two branches (shard sketches, direct sketch + exact) must
+    both read the STAGED (day, user) dedup artifact -- without it the
+    events scan and dedup shuffle run twice."""
+    plan = formatted_plan(QUERIES["q201_hll_shard_merge"](spark, sf_dir))
+    assert "q201_day_user" in plan, f"(day,user) dedup not staged:\n{plan[:2000]}"
+
+
+def test_prefix_filter_join_shapes(spark, sf_dir):
+    """q202: equi-joins only (the prefix lemma removes any need for a
+    theta/cartesian candidate step), and the verify joins must run on
+    candidate-doc SEMI-filtered shingles."""
+    df = QUERIES["q202_prefix_filter_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, f"shingles not semi-filtered:\n{plan[:2000]}"
+
+
+def test_mad_outliers_broadcast_medians(spark, sf_dir):
+    """q203's per-type statistic tables are 5 rows -- they must broadcast
+    back over the event stream, never shuffle it; the deviation stream is
+    parquet-staged for its two consumers."""
+    plan = formatted_plan(QUERIES["q203_mad_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "q203_dev" in plan, f"deviation stream not staged:\n{plan[:2000]}"
