@@ -111,6 +111,8 @@ _PRIORITY = [
     "q201_hll_shard_merge",
     "q202_prefix_filter_join",
     "q203_mad_outliers",
+    "q204_compaction_roundtrip",
+    "q205_partition_pruned_scan",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -349,12 +349,125 @@ GROUP BY source
 """
 
 
+
+# --------------------------------------------------------------------------
+# q204: small-files compaction round-trip
+# --------------------------------------------------------------------------
+
+COMPACT_SMALL_FILES = 64  # staged fragment count (the "streaming sink" state)
+COMPACT_TARGET = 4        # post-compaction file count
+
+
+def q204_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a verified operator: stage the events
+    fact shattered into 64 fragments (what a fine-grained streaming sink
+    or per-task write leaves behind -- at 100 TB, one task per tiny file
+    murders scan planning and the namenode), run sources.io.compact
+    (coalesce rewrite + crash-safe double-rename swap), and aggregate the
+    READ-BACK: observed before/after file counts plus row count, exact
+    cents sum, and the h60 event-id fingerprint. The oracle states the
+    same numbers from the ORIGINAL parquet, so a compaction that drops,
+    duplicates, or mangles any row -- or produces the wrong file count --
+    is a hash mismatch.
+
+    Scale: compact is coalesce (no shuffle) -- each output file streams
+    from ~16 fragments; the deterministic per-sf path overwrites in place
+    (q58's no-leak rule)."""
+    import os as _os
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = _os.path.join(tempfile.gettempdir(), f"q204_compact_{sf_tag}")
+    data = f"{base}/data"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(data)
+    from ..sources.io import compact
+
+    before = compact(spark, data, "parquet", target_files=COMPACT_TARGET)
+    after = sum(
+        1 for f in _os.listdir(data) if not f.startswith(("_", "."))
+    )
+    rb = spark.read.parquet(data)
+    id_fp = h60(F.col("event_id").cast("string")) % 1_000_000_007
+    return rb.agg(
+        F.lit(before).cast("bigint").alias("n_files_before"),
+        F.lit(after).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("cents").cast("decimal(30,0)")).cast("bigint").alias("sum_cents"),
+        (F.sum(id_fp.cast("decimal(38,0)")) % 1_000_000_007)
+        .cast("bigint")
+        .alias("id_fp"),
+    )
+
+
+ORACLE_Q204 = f"""
+SELECT CAST({COMPACT_SMALL_FILES} AS BIGINT) AS n_files_before,
+       CAST({COMPACT_TARGET} AS BIGINT) AS n_files_after,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(CAST(sum(CAST({h60_sql("CAST(event_id AS VARCHAR)")} % 1000000007
+                          AS HUGEINT)) AS HUGEINT) % 1000000007 AS BIGINT) AS id_fp
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q205: partition-directory pruning as a verified operator
+# --------------------------------------------------------------------------
+
+PRUNE_DAY_LO = 19728  # epoch days; the fixture's events span 2024-01
+PRUNE_DAY_HI = 19734
+
+
+def q205_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition-directory pruning as part of the graded query
+    surface (tests/test_sources.py pins the plan property; this makes the
+    end-to-end numbers driver-verified): events re-land partitioned by
+    TZ-free epoch day, and the probe filters a 7-day range -- the scan
+    must touch only those 7 directories (PartitionFilters, pinned by the
+    plan test), which at 100 TB is the difference between reading a week
+    and reading a month. Per-day row count and exact cents sum, oracle
+    recomputed from the raw parquet with the same integer day arithmetic.
+
+    The partition column comes back from directory names as an inferred
+    int -- cast explicitly, never trusting inference width."""
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q205_byday_{sf_tag}")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(base)
+    rb = spark.read.parquet(base).filter(
+        (F.col("day") >= PRUNE_DAY_LO) & (F.col("day") <= PRUNE_DAY_HI)
+    )
+    return rb.groupBy(F.col("day").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cents").cast("decimal(30,0)")).cast("bigint").alias("sum_cents"),
+    )
+
+
+ORACLE_Q205 = f"""
+SELECT epoch_us(ts) // 86400000000 AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE epoch_us(ts) // 86400000000 BETWEEN {PRUNE_DAY_LO} AND {PRUNE_DAY_HI}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q56_salted_join": q56_salted_join,
     "q58_bucketed_join": q58_bucketed_join,
     "q116_skew_report": q116_skew_report,
     "q165_format_roundtrip": q165_format_roundtrip,
     "q179_schema_evolution_merge": q179_schema_evolution_merge,
+    "q204_compaction_roundtrip": q204_compaction_roundtrip,
+    "q205_partition_pruned_scan": q205_partition_pruned_scan,
 }
 
 ORACLES = {
@@ -363,4 +476,6 @@ ORACLES = {
     "q56_salted_join": ORACLE_Q56,
     "q58_bucketed_join": ORACLE_Q58,
     "q179_schema_evolution_merge": ORACLE_Q179,
+    "q204_compaction_roundtrip": ORACLE_Q204,
+    "q205_partition_pruned_scan": ORACLE_Q205,
 }

@@ -938,3 +938,18 @@ def test_mad_outliers_broadcast_medians(spark, sf_dir):
     plan = formatted_plan(QUERIES["q203_mad_outliers"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "q203_dev" in plan, f"deviation stream not staged:\n{plan[:2000]}"
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
+    """q205's probe must prune at the DIRECTORY level: the scan carries
+    PartitionFilters on day, so only the 7 probed partitions are read."""
+    plan = formatted_plan(QUERIES["q205_partition_pruned_scan"](spark, sf_dir))
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "day" in seg[1][:200], f"no day partition filter:\n{plan[:2000]}"
+
+
+def test_compaction_readback_plain_scan(spark, sf_dir):
+    """q204's returned plan aggregates the compacted files directly -- one
+    parquet scan, no Python stage (the compaction itself ran eagerly)."""
+    df = QUERIES["q204_compaction_roundtrip"](spark, sf_dir)
+    assert_no_python_udf(df)
