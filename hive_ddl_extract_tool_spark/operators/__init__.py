@@ -113,6 +113,9 @@ _PRIORITY = [
     "q203_mad_outliers",
     "q204_compaction_roundtrip",
     "q205_partition_pruned_scan",
+    "q206_rolling_p95",
+    "q207_activity_streaks",
+    "q208_association_rules",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

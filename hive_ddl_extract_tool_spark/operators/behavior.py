@@ -458,12 +458,198 @@ HAVING CAST(sum(held_us) AS BIGINT) > 0
 """
 
 
+
+ROLL_N = 15            # rolling order-statistic window (ROWS 14 PRECEDING)
+
+
+def q206_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 95th percentile of event value per user over the trailing
+    15 events -- the order-statistic sibling of q80's rolling mean/std
+    anomaly gauge (a p95 band is robust to the single spike that drags a
+    mean band). EXACT discrete percentile: the frame's cents collect into
+    a sorted array and the rank index is the pure integer
+    ceil(19n/20) = (19n+19) DIV 20, so both engines pick the identical
+    element -- no interpolation, no float rank arithmetic.
+
+    Scale: one user-keyed window exchange; per-row state is the bounded
+    15-element frame array, so memory is O(frame), not O(partition)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_N - 1), W.currentRow)
+    )
+    ev = _events_cents(spark, sf_dir)
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.size("arr").cast("int").alias("n_in_window"),
+        F.element_at(
+            "arr", F.expr("CAST((19 * size(arr) + 19) DIV 20 AS INT)")
+        ).alias("p95_cents"),
+    )
+
+
+ORACLE_Q206 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(len(arr) AS INT) AS n_in_window,
+       arr[CAST((19 * len(arr) + 19) // 20 AS INT)] AS p95_cents
+FROM (
+  SELECT user_id, event_id,
+         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW))
+           AS arr
+  FROM e
+)
+"""
+
+
+def q207_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    engagement streak metric). The island key is the classic
+    day - row_number() constant: consecutive days share it, any gap
+    shifts it. Per user: distinct active days, island count, longest and
+    latest streak lengths -- all from TZ-free epoch days.
+
+    Scale: the (user, day) dedup and the island window share the user
+    hash; islands aggregate without ever materializing per-day rows
+    beyond the dedup."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"), F.max("day").alias("end_day"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.expr("max_by(len, end_day)").alias("current_streak"),
+    )
+
+
+ORACLE_Q207 = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), islands AS (
+  SELECT user_id,
+         count(*) AS len,
+         max(day) AS end_day
+  FROM (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM days
+  )
+  GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       count(*) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(arg_max(len, end_day) AS BIGINT) AS current_streak
+FROM islands
+GROUP BY user_id
+"""
+
+
+def q208_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    for every unordered type pair, co-occurrence support plus directional
+    confidence and lift -- the first-order output of an Apriori/FP-growth
+    pass, exact because the itemset universe here is the type vocabulary.
+    All ratios are integer ppm; lift clears its double division to the
+    single integer expression n_pair * n_users * 1e6 DIV (n_a * n_b).
+
+    Scale: baskets are (user, type) dedups bounded by the vocabulary, the
+    pair self-join fans out at most |basket|^2 per user, and the
+    1-row user total broadcasts (BroadcastNestedLoop by design)."""
+    baskets = (
+        load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    totals = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a", "type_b", "n_pair",
+            F.expr("n_pair * 1000000 DIV n_users").alias("support_ppm"),
+            F.expr("n_pair * 1000000 DIV n_a").alias("conf_a_to_b_ppm"),
+            F.expr("n_pair * 1000000 DIV n_b").alias("conf_b_to_a_ppm"),
+            F.expr("n_pair * n_users * 1000000 DIV (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+ORACLE_Q208 = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), totals AS (
+  SELECT count(DISTINCT user_id) AS n_users FROM baskets
+), singles AS (
+  SELECT event_type, count(*) AS n_single FROM baskets GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pair
+  FROM baskets a
+  JOIN baskets b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_pair,
+       CAST(n_pair * 1000000 // n_users AS BIGINT) AS support_ppm,
+       CAST(n_pair * 1000000 // sa.n_single AS BIGINT) AS conf_a_to_b_ppm,
+       CAST(n_pair * 1000000 // sb.n_single AS BIGINT) AS conf_b_to_a_ppm,
+       CAST(n_pair * n_users * 1000000 // (sa.n_single * sb.n_single) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN singles sa ON type_a = sa.event_type
+JOIN singles sb ON type_b = sb.event_type
+CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "q195_position_attribution": q195_position_attribution,
     "q197_ab_welch": q197_ab_welch,
     "q198_ewma": q198_ewma,
     "q199_conversion_paths": q199_conversion_paths,
     "q200_time_weighted_avg": q200_time_weighted_avg,
+    "q206_rolling_p95": q206_rolling_p95,
+    "q207_activity_streaks": q207_activity_streaks,
+    "q208_association_rules": q208_association_rules,
 }
 ORACLES = {
     "q195_position_attribution": ORACLE_Q195,
@@ -471,4 +657,7 @@ ORACLES = {
     "q198_ewma": ORACLE_Q198,
     "q199_conversion_paths": ORACLE_Q199,
     "q200_time_weighted_avg": ORACLE_Q200,
+    "q206_rolling_p95": ORACLE_Q206,
+    "q207_activity_streaks": ORACLE_Q207,
+    "q208_association_rules": ORACLE_Q208,
 }

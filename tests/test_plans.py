@@ -953,3 +953,27 @@ def test_compaction_readback_plain_scan(spark, sf_dir):
     parquet scan, no Python stage (the compaction itself ran eagerly)."""
     df = QUERIES["q204_compaction_roundtrip"](spark, sf_dir)
     assert_no_python_udf(df)
+
+
+def test_rolling_p95_single_user_window(spark, sf_dir):
+    """q206's frame collect must ride one user-keyed window -- no join,
+    no global sort; per-row state is the bounded 15-element frame."""
+    plan = formatted_plan(QUERIES["q206_rolling_p95"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_streaks_islands_share_user_exchange(spark, sf_dir):
+    """q207: dedup, island window, and both rollups all hash on user_id;
+    the only joins would be regressions."""
+    plan = formatted_plan(QUERIES["q207_activity_streaks"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_association_rules_broadcast_stats(spark, sf_dir):
+    """q208's singles/totals tables are vocabulary-sized -- they must
+    broadcast; the only non-equi piece is the 1-row totals nested loop."""
+    plan = formatted_plan(QUERIES["q208_association_rules"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
