@@ -116,6 +116,9 @@ _PRIORITY = [
     "q206_rolling_p95",
     "q207_activity_streaks",
     "q208_association_rules",
+    "q209_weighted_median",
+    "q210_golden_record",
+    "q211_try_arithmetic",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -1265,6 +1265,78 @@ GROUP BY o_orderstatus
 """
 
 
+
+GOLDEN_SNAPSHOTS = 3  # derived source-system snapshots merged per key
+
+
+def q210_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: merge per-key records from several
+    source snapshots where each source may carry stale or missing
+    columns, keeping PER COLUMN the freshest non-null value -- the MDM
+    merge that q108 (history keep) and q196 (whole-row last-wins with
+    tombstones) bracket but neither performs. The snapshots derive
+    deterministically from customer so both engines build identical
+    input: snapshot k hides c_name where (c_custkey + k) % 3 = 0, hides
+    acctbal where (c_custkey + k) % 4 = 0, and drifts surviving balances
+    by k cents (freshest = largest k).
+
+    Survivorship is max_by(value, CASE WHEN value IS NOT NULL THEN snap
+    END) per column -- both engines' argmax ignores rows whose ordering
+    key is NULL, so a column's winner is its freshest NON-NULL source,
+    independent of any other column's choice. Aggregate-first: one key
+    shuffle with map-side partials, no window sort, no self-join.
+
+    Scale: input is snapshots x keys; the merge is one hash aggregate
+    however many sources exist -- the survivorship ladder extends by
+    adding (priority, recency) tuples to the ordering key."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    snaps = cust.select(
+        "c_custkey", "c_name", "bal_cents",
+        F.explode(F.sequence(F.lit(0), F.lit(GOLDEN_SNAPSHOTS - 1))).alias("snap"),
+    ).select(
+        "c_custkey",
+        "snap",
+        F.when((F.col("c_custkey") + F.col("snap")) % 3 != 0, F.col("c_name"))
+        .alias("name"),
+        F.when(
+            (F.col("c_custkey") + F.col("snap")) % 4 != 0,
+            F.col("bal_cents") + F.col("snap"),
+        ).alias("bal"),
+    )
+    return snaps.groupBy("c_custkey").agg(
+        F.expr("max_by(name, CASE WHEN name IS NOT NULL THEN snap END)")
+        .alias("best_name"),
+        F.expr("max_by(bal, CASE WHEN bal IS NOT NULL THEN snap END)")
+        .alias("best_bal_cents"),
+        F.sum(F.when(F.col("name").isNotNull(), 1).otherwise(0)).alias("n_name_sources"),
+        F.sum(F.when(F.col("bal").isNotNull(), 1).otherwise(0)).alias("n_bal_sources"),
+    )
+
+
+ORACLE_Q210 = f"""
+WITH snaps AS (
+  SELECT c_custkey, u.snap,
+         CASE WHEN (c_custkey + u.snap) % 3 <> 0 THEN c_name END AS name,
+         CASE WHEN (c_custkey + u.snap) % 4 <> 0
+              THEN CAST(round(c_acctbal * 100) AS BIGINT) + u.snap END AS bal
+  FROM customer, UNNEST(generate_series(0, {GOLDEN_SNAPSHOTS - 1})) AS u(snap)
+)
+SELECT c_custkey,
+       arg_max(name, CASE WHEN name IS NOT NULL THEN snap END) AS best_name,
+       CAST(arg_max(bal, CASE WHEN bal IS NOT NULL THEN snap END) AS BIGINT)
+         AS best_bal_cents,
+       CAST(sum(CASE WHEN name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_name_sources,
+       CAST(sum(CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bal_sources
+FROM snaps
+GROUP BY c_custkey
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -1278,6 +1350,7 @@ QUERIES = {
     "q89_value_histogram": q89_value_histogram,
     "q108_scd2_merge": q108_scd2_merge,
     "q196_cdc_apply": q196_cdc_apply,
+    "q210_golden_record": q210_golden_record,
     "q118_decayed_engagement": q118_decayed_engagement,
     "q127_event_transitions": q127_event_transitions,
     "q129_point_in_time_join": q129_point_in_time_join,
@@ -1299,6 +1372,7 @@ ORACLES = {
     "q89_value_histogram": ORACLE_Q89,
     "q108_scd2_merge": ORACLE_Q108,
     "q196_cdc_apply": ORACLE_Q196,
+    "q210_golden_record": ORACLE_Q210,
     "q118_decayed_engagement": ORACLE_Q118,
     "q127_event_transitions": ORACLE_Q127,
     "q129_point_in_time_join": ORACLE_Q129,

@@ -1279,6 +1279,75 @@ FROM g GROUP BY source
 """
 
 
+
+# --------------------------------------------------------------------------
+# q211: ANSI-safe try_* arithmetic (the sanctioned error-to-NULL surface)
+# --------------------------------------------------------------------------
+
+TRY_MUL_FACTOR = 10 ** 15  # overflows int64 exactly when cents > 9223
+
+
+def q211_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default, where overflow / divide-by-zero
+    / bad casts THROW; try_divide, try_multiply, and try_cast are the
+    sanctioned per-expression escapes that degrade to NULL instead of
+    killing a 100 TB job at the one poisoned row. Exercised on planted
+    hazards both engines can predict exactly: a modulo divisor that hits
+    zero on every 5th key, a multiplier that overflows int64 exactly
+    when cents > 9223 (cents * 1e15 vs the 9.22e18 ceiling), and a
+    non-numeric cast victim on every 7th key. The quotient aggregate
+    uses the truncating integer DIV of the SAME rows try_divide admits,
+    so every output is an exact integer; the oracle reproduces each
+    NULL set with explicit CASE guards.
+
+    Scale: pure scalar expressions in whole-stage codegen over one scan;
+    the 1-row aggregate is map-side combined."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    hazards = o.select(
+        "cents",
+        (F.col("o_orderkey") % 5).alias("div5"),
+        F.expr(f"try_multiply(cents, CAST({TRY_MUL_FACTOR} AS BIGINT))").alias("mul"),
+        F.expr("try_divide(cents, o_orderkey % 5)").alias("q_dbl"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 7 = 0 THEN 'oops' "
+            "ELSE CAST(cents AS STRING) END AS BIGINT)"
+        ).alias("cast_back"),
+    )
+    return hazards.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("q_dbl").isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(
+            F.when(F.col("div5") != 0, F.expr("cents DIV div5")).otherwise(0)
+        ).cast("bigint").alias("sum_safe_quot"),
+        F.sum(F.when(F.col("mul").isNull(), 1).otherwise(0)).alias("n_mul_overflow"),
+        F.sum(F.when(F.col("cast_back").isNull(), 1).otherwise(0)).alias("n_cast_null"),
+        F.sum("cast_back").cast("bigint").alias("sum_cast_back"),
+    )
+
+
+ORACLE_Q211 = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN cents // (o_orderkey % 5)
+                     ELSE 0 END) AS BIGINT) AS sum_safe_quot,
+       CAST(sum(CASE WHEN cents > 9223 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mul_overflow,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cast_null,
+       CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN cents END) AS BIGINT)
+         AS sum_cast_back
+FROM o
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -1306,6 +1375,7 @@ QUERIES = {
     "q181_arrow_python_udf": q181_arrow_python_udf,
     "q183_bitmap_distinct": q183_bitmap_distinct,
     "q184_listagg": q184_listagg,
+    "q211_try_arithmetic": q211_try_arithmetic,
 }
 
 ORACLES = {
@@ -1335,4 +1405,5 @@ ORACLES = {
     "q181_arrow_python_udf": ORACLE_Q181,
     "q183_bitmap_distinct": ORACLE_Q183,
     "q184_listagg": ORACLE_Q184,
+    "q211_try_arithmetic": ORACLE_Q211,
 }

@@ -421,6 +421,81 @@ GROUP BY 1, 2
 """
 
 
+
+# --------------------------------------------------------------------------
+# q209: weighted median (quantity-weighted order statistic)
+# --------------------------------------------------------------------------
+
+def q209_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median unit price per brand: each price level
+    counts with its shipped quantity, so the statistic answers "the
+    median dollar-of-volume", which the plain row median (q15 family)
+    gets wrong whenever cheap lines ship big quantities. Lower weighted
+    median by the pure integer rule: the smallest price whose running
+    quantity satisfies 2*cum >= total -- no interpolation, no floats
+    anywhere (price as exact cents, quantity as exact integer units).
+
+    Scale: per-(brand, price) pre-aggregation shrinks the window input
+    to distinct price levels per brand; the running sum and the
+    full-frame total ride one brand-keyed exchange; the argmin is a
+    filter + min, never a sort-limit per group."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    levels = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "cents")
+        .agg(F.sum("qty").alias("w"))
+    )
+    w_cum = W.partitionBy("p_brand").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("p_brand")
+    ranked = levels.select(
+        "p_brand", "cents",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_levels"),
+    )
+    return (
+        ranked.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("total").alias("total_qty"),
+            F.max("n_levels").alias("n_price_levels"),
+        )
+    )
+
+
+ORACLE_Q209 = """
+WITH levels AS (
+  SELECT p_brand,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, cents,
+         sum(w) OVER (PARTITION BY p_brand ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY p_brand) AS total,
+         count(*) OVER (PARTITION BY p_brand) AS n_levels
+  FROM levels
+)
+SELECT p_brand,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(max(total) AS BIGINT) AS total_qty,
+       CAST(max(n_levels) AS BIGINT) AS n_price_levels
+FROM ranked
+WHERE 2 * cum >= total
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "q150_shipping_priority": q150_shipping_priority,
     "q151_small_qty_revenue": q151_small_qty_revenue,
@@ -428,6 +503,7 @@ QUERIES = {
     "q153_promo_share": q153_promo_share,
     "q154_returned_items": q154_returned_items,
     "q155_nation_profit": q155_nation_profit,
+    "q209_weighted_median": q209_weighted_median,
 }
 
 ORACLES = {
@@ -437,4 +513,5 @@ ORACLES = {
     "q153_promo_share": ORACLE_Q153,
     "q154_returned_items": ORACLE_Q154,
     "q155_nation_profit": ORACLE_Q155,
+    "q209_weighted_median": ORACLE_Q209,
 }

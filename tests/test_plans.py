@@ -977,3 +977,29 @@ def test_association_rules_broadcast_stats(spark, sf_dir):
     plan = formatted_plan(QUERIES["q208_association_rules"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_median_level_preagg_one_brand_exchange(spark, sf_dir):
+    """q209 must pre-aggregate to (brand, price-level) rows BEFORE the
+    windows -- running the cumulative sum over raw lineitem would sort the
+    whole fact per brand; part is a broadcast dim."""
+    plan = formatted_plan(QUERIES["q209_weighted_median"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(p_brand" in plan, plan
+
+
+def test_golden_record_aggregate_first(spark, sf_dir):
+    """q210's survivorship is max_by per column in ONE hash aggregate --
+    a window or self-join per column would multiply the key shuffle."""
+    plan = formatted_plan(QUERIES["q210_golden_record"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "max_by" in plan, plan
+
+
+def test_try_arithmetic_stays_in_codegen(spark, sf_dir):
+    """q211's hazard expressions are scalar try_* calls -- the whole query
+    is one scan + map-side-combined aggregate, no Python, no join."""
+    df = QUERIES["q211_try_arithmetic"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert_no_python_udf(df)
