@@ -119,6 +119,8 @@ _PRIORITY = [
     "q209_weighted_median",
     "q210_golden_record",
     "q211_try_arithmetic",
+    "q212_stream_pit_enrich",
+    "q213_phrase_search",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -478,12 +478,91 @@ LIMIT {FUSE_TOP}
 """
 
 
+
+# --------------------------------------------------------------------------
+# q213: positional phrase search (the phrase-query tier above q85's index)
+# --------------------------------------------------------------------------
+
+PHRASE_TOP_DOCS = 20
+
+
+def q213_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase (adjacency) search -- the capability a doc-level inverted
+    index (q85) cannot answer: "w1 w2" must match only where the terms
+    are ADJACENT. Term positions come from posexplode over the shared
+    word tokenizer; adjacency is a per-doc lead() window (position
+    self-join avoided entirely -- one doc-keyed window sort instead of
+    a pos+1 equi-join of the corpus against itself). The probe phrase is
+    self-calibrating and deterministic: the corpus's most frequent
+    bigram (count desc, then lexicographic), computed from the SAME
+    staged bigram stream the match pass reads, then broadcast as one
+    row. Output: the top-20 documents by occurrence count of that
+    phrase.
+
+    Scale: positions are linear in tokens; the bigram stream stages
+    once; at 100 TB the argmax phrase becomes the query input and the
+    staged stream becomes the positional postings table (term-bucketed),
+    same shapes."""
+    def build() -> DataFrame:
+        pos = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", F.posexplode(_words(F.lower("text"))).alias("pos", "w1"))
+        )
+        wnext = W.partitionBy("doc_id").orderBy("pos")
+        return (
+            pos.withColumn("w2", F.lead("w1").over(wnext))
+            .filter(F.col("w2").isNotNull())
+            .select("doc_id", "w1", "w2")
+        )
+
+    bigrams = cached_df(spark, f"q213_bigrams:{sf_dir}", build)
+    top = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.desc("n_total"), "w1", "w2")
+        .limit(1)
+    )
+    return (
+        bigrams.join(F.broadcast(top), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.first("w1"), F.first("w2")).alias("phrase"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .orderBy(F.desc("n_occ"), "doc_id")
+        .limit(PHRASE_TOP_DOCS)
+    )
+
+
+ORACLE_Q213 = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+), top AS (
+  SELECT w1, w2 FROM bigrams GROUP BY w1, w2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+)
+SELECT b.doc_id,
+       b.w1 || ' ' || b.w2 AS phrase,
+       count(*) AS n_occ
+FROM bigrams b JOIN top USING (w1, w2)
+GROUP BY b.doc_id, b.w1, b.w2
+ORDER BY n_occ DESC, doc_id
+LIMIT {PHRASE_TOP_DOCS}
+"""
+
+
 QUERIES = {
     "q81_bm25_topk": q81_bm25_topk,
     "q82_collocations": q82_collocations,
     "q85_inverted_index": q85_inverted_index,
     "q92_bigram_lm_score": q92_bigram_lm_score,
     "q121_rrf_fusion": q121_rrf_fusion,
+    "q213_phrase_search": q213_phrase_search,
 }
 
 ORACLES = {
@@ -492,4 +571,5 @@ ORACLES = {
     "q85_inverted_index": ORACLE_Q85,
     "q92_bigram_lm_score": ORACLE_Q92,
     "q121_rrf_fusion": ORACLE_Q121,
+    "q213_phrase_search": ORACLE_Q213,
 }

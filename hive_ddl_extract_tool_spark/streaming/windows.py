@@ -1233,6 +1233,105 @@ FROM ranked WHERE rn = 1
 """
 
 
+
+# --------------------------------------------------------------------------
+# q212: streaming point-in-time enrichment against an SCD-2 dimension
+# --------------------------------------------------------------------------
+
+PIT_EPOCH_DAY0 = 19_720      # before the fixture's first event day
+PIT_SPAN_DAYS = 10           # width of each dimension version
+PIT_VERSIONS = 3             # last version is open-ended
+_US_PER_DAY = 86_400_000_000
+
+
+def q212_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment: the event stream joins a
+    slowly-changing (SCD-2) dimension on key AND validity interval --
+    user_id equality plus valid_from <= ts < valid_to -- so each event
+    picks the dimension version that was CURRENT when it happened, not
+    the latest row (q70 is the static-attribute special case; q129 is
+    the batch form). Stream-static joins permit the non-equi interval
+    predicate because the static side re-reads per micro-batch and
+    holds no join state; the 450-row dimension broadcasts.
+
+    The dimension derives deterministically from customer: version v of
+    key k is valid for the 10-day window starting at epoch day
+    19720 + 10v (final version open-ended), carrying tier
+    'T{(k+v) % 3}'. The intervals PARTITION the timeline, so every
+    event matches exactly once and total row parity doubles as a
+    completeness proof. Complete-mode drain over the replayed log makes
+    the DuckDB oracle exact."""
+    from ..tables import load as load_table
+
+    name = "q212_pit_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    versions = F.explode(
+        F.sequence(F.lit(0), F.lit(PIT_VERSIONS - 1))
+    ).alias("v")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), versions)
+        .select(
+            "user_id",
+            F.concat(F.lit("T"), ((F.col("user_id") + F.col("v")) % 3).cast("string"))
+            .alias("tier"),
+            (F.lit(PIT_EPOCH_DAY0) * _US_PER_DAY
+             + F.col("v") * (PIT_SPAN_DAYS * _US_PER_DAY)).alias("valid_from_us"),
+            F.when(
+                F.col("v") < PIT_VERSIONS - 1,
+                F.lit(PIT_EPOCH_DAY0) * _US_PER_DAY
+                + (F.col("v") + 1) * (PIT_SPAN_DAYS * _US_PER_DAY),
+            ).otherwise(F.lit(2**62)).alias("valid_to_us"),
+        )
+    )
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.user_id)
+        & (F.col("tus") >= F.col("valid_from_us"))
+        & (F.col("tus") < F.col("valid_to_us")),
+    )
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cents").cast("decimal(30,0)")).cast("bigint").alias("sum_cents"),
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_Q212 = f"""
+WITH dim AS (
+  SELECT c_custkey AS user_id,
+         'T' || CAST((c_custkey + u.v) % 3 AS VARCHAR) AS tier,
+         CAST({PIT_EPOCH_DAY0} AS BIGINT) * {_US_PER_DAY}
+           + u.v * CAST({PIT_SPAN_DAYS} AS BIGINT) * {_US_PER_DAY} AS valid_from_us,
+         CASE WHEN u.v < {PIT_VERSIONS - 1}
+              THEN CAST({PIT_EPOCH_DAY0} AS BIGINT) * {_US_PER_DAY}
+                   + (u.v + 1) * CAST({PIT_SPAN_DAYS} AS BIGINT) * {_US_PER_DAY}
+              ELSE {2**62} END AS valid_to_us
+  FROM customer, UNNEST(generate_series(0, {PIT_VERSIONS - 1})) AS u(v)
+)
+SELECT tier,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND epoch_us(e.ts) >= d.valid_from_us
+          AND epoch_us(e.ts) <  d.valid_to_us
+GROUP BY tier
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -1240,6 +1339,7 @@ QUERIES = {
     "q63_stream_tumbling": q63_stream_tumbling,
     "q64_stream_dedup": q64_stream_dedup,
     "q70_stream_static_join": q70_stream_static_join,
+    "q212_stream_pit_enrich": q212_stream_pit_enrich,
     "q98_stream_sessionize": q98_stream_sessionize,
     "q107_stream_interval_join": q107_stream_interval_join,
     "q131_stream_dedup_gate": q131_stream_dedup_gate,
@@ -1258,6 +1358,7 @@ ORACLES = {
     "q63_stream_tumbling": ORACLE_Q63,
     "q64_stream_dedup": ORACLE_Q64,
     "q70_stream_static_join": ORACLE_Q70,
+    "q212_stream_pit_enrich": ORACLE_Q212,
     "q98_stream_sessionize": ORACLE_Q88,
     "q107_stream_interval_join": ORACLE_Q107,
     "q131_stream_dedup_gate": _oracle_q131(),

@@ -40,7 +40,7 @@ PYTHON_OK = {
     "q181_arrow_python_udf",   # ArrowEvalPython IS the surface under test
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window", "q212_stream_pit_enrich"}
 
 
 def test_priority_names_exist():
@@ -1003,3 +1003,13 @@ def test_try_arithmetic_stays_in_codegen(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
     assert_no_python_udf(df)
+
+
+def test_phrase_search_no_position_self_join(spark, sf_dir):
+    """q213's adjacency comes from a per-doc lead() window over the staged
+    bigram stream -- the only join is the 1-row broadcast of the argmax
+    phrase; a positional self-join of the corpus would be the regression."""
+    plan = formatted_plan(QUERIES["q213_phrase_search"](spark, sf_dir))
+    assert "q213_bigrams" in plan, f"bigram stream not staged:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

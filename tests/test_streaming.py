@@ -470,3 +470,15 @@ def test_upsert_merge_replays_are_noops(spark, tmp_path):
     _upsert_merge_batch(spark, base, state_dir, b1, 1)
     after = spark.read.parquet(state_dir).collect()
     assert len(after) == 1 and after[0]["n"] == 3 and after[0]["event_id"] == 3
+
+
+def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):
+    """q212's dimension intervals partition time, so EVERY event must be
+    enriched exactly once: the per-tier counts sum to the full event
+    count -- a dropped (gap) or doubled (overlap) interval breaks this."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+    from hive_ddl_extract_tool_spark.tables import load
+
+    out = all_queries()["q212_stream_pit_enrich"](spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in out) == load(spark, sf_dir, "events").count()
+    assert len(out) == 3, out

@@ -288,6 +288,40 @@ SHOW = {
         "bounded O(sqrt E)); the closure check is a LeftSemi hash join; "
         "the three 1-row stat scalars crossJoin as bounded broadcasts."
     ),
+    "q195_position_attribution": (
+        "Episode tagging, position ranks, and the conversion-value carry all "
+        "ride windows hash-partitioned by user_id -- join-free end to end; "
+        "the channel rollup is the only other exchange."
+    ),
+    "q196_cdc_apply": (
+        "Change-log compaction as partial_max_by aggregates (map-side "
+        "combine on the key shuffle) -- no Window sort; the bounded x3 "
+        "version explode precedes one hash aggregate."
+    ),
+    "q202_prefix_filter_join": (
+        "Candidate keys are each doc's rarest shingles (per-doc array_sort "
+        "by (df, hash) -- no global rank sort anywhere); verify joins read "
+        "LeftSemi-filtered shingles; every join is an equi-join."
+    ),
+    "q203_mad_outliers": (
+        "Exact percentile aggregates merge value->count maps; both 5-row "
+        "statistic tables re-enter as BroadcastHashJoins over the staged "
+        "deviation stream -- no per-type window sorts."
+    ),
+    "q205_partition_pruned_scan": (
+        "PartitionFilters on day at the scan: only the 7 probed directories "
+        "are listed and read; the data filter never reaches row level."
+    ),
+    "q209_weighted_median": (
+        "(brand, price-level) hash aggregate BEFORE the windows, so the "
+        "running quantity sum sorts distinct levels, not raw lineitem; part "
+        "broadcasts; argmin is filter + min, no per-group sort-limit."
+    ),
+    "q213_phrase_search": (
+        "Adjacency from a per-doc lead() Window over the staged bigram "
+        "stream; the argmax phrase is a 1-row BroadcastHashJoin probe and "
+        "the ranking a TakeOrderedAndProject heap."
+    ),
 }
 
 
