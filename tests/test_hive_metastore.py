@@ -32,6 +32,26 @@ def test_extractor_against_real_hive_metastore(tmp_path):
         assert add.count("ADD PARTITION") == 2
         msck = extract_ddl(spark, "hv", "*", None, ExtractConfig(use_add_sql=False))
         assert "MSCK REPAIR TABLE t;" in msck
+
+        # Migration round-trip FIXPOINT -- the tool's entire purpose: apply
+        # the generated script (db renamed, as a cluster migration would) and
+        # re-extract; the scripts must match modulo db name and the
+        # transient_lastDdlTime DDL timestamp. This proves the script is
+        # EXECUTABLE (not just plausible text), the relative partition
+        # locations (R11) re-resolve under the new table dir, and extraction
+        # is idempotent across a migration hop.
+        applied = add.replace("hv", "hv2")
+        stmts = [s.strip() for s in "\\n".join(
+            ln for ln in applied.splitlines() if not ln.startswith("--")
+        ).split(";") if s.strip()]
+        for s in stmts:
+            spark.sql(s)
+        assert [r[0] for r in spark.sql("SHOW PARTITIONS hv2.t").collect()] == ["dt=x", "dt=y"]
+        dst = extract_ddl(spark, "hv2", "*", None, ExtractConfig(use_add_sql=True))
+        def canon(t, db):
+            return "\\n".join(ln for ln in t.replace(db, "DB").splitlines()
+                              if "transient_lastDdlTime" not in ln)
+        assert canon(add, "hv") == canon(dst, "hv2"), (add, dst)
         print("HIVE_METASTORE_OK")
     """)
     proc = subprocess.run(
