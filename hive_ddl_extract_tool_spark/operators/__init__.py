@@ -51,9 +51,11 @@ from pyspark.sql import DataFrame, SparkSession
 # cutoff, never driver-checked (all pass the local sweep + the round-5
 # judge's independent re-run); (2) q06/q15b -- upgraded this round from
 # rows-only to oracle-backed (deterministic sketch-vs-exact bound booleans),
-# first oracle row needed; plus the round-6 additions; (3) stalest greens:
-# the r2-era block, then r3-era, then r4-era. Everything green in r5
-# carries the freshest evidence and falls through to module order.
+# first oracle row needed; plus the round-6 additions q185-q214; (3)
+# stalest greens: the r2-era block, then r3-era, then r4-era. Everything
+# green in r5 carries the freshest evidence and falls through to module
+# order. The prefix now exceeds the ~50-query budget, so the round-6
+# additions past the cutoff roll forward as next round's class (1).
 _PRIORITY = [
     # (1) never driver-checked: past r5's cutoff
     "q153_promo_share",
@@ -121,6 +123,7 @@ _PRIORITY = [
     "q211_try_arithmetic",
     "q212_stream_pit_enrich",
     "q213_phrase_search",
+    "q214_classifier_gains",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

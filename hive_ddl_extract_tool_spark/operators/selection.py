@@ -1191,6 +1191,130 @@ FROM tot t JOIN per p USING (source)
 """
 
 
+
+# --------------------------------------------------------------------------
+# q214: classifier evaluation -- decile gains + tie-exact Mann-Whitney AUC
+# --------------------------------------------------------------------------
+
+GAINS_DECILES = 10
+GAINS_LABEL_MIN_CHARS = 250  # ~60/40 label split at every fixture SF
+
+
+def q214_classifier_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation for the hashed-linear quality classifier (q123's
+    staged scores): the cumulative-gains table and the exact AUC --
+    the numbers that decide whether a gate is worth its threshold
+    (q142 checks agreement; this measures RANKING quality against a
+    score-independent label, n_chars >= 250).
+
+    AUC is the tie-corrected Mann-Whitney statistic computed as pure
+    integers: per distinct score level, doubled average rank
+    2*cum_lt + c + 1 (always an integer) weighted by the level's
+    positives; AUC_ppm = (R2 - n_pos*(n_pos+1)) * 1e6 DIV
+    (2*n_pos*n_neg). Gains: ntile deciles over (score desc, doc_id)
+    -- both engines fill leading buckets first -- with per-decile and
+    cumulative capture in exact ppm.
+
+    Scale note: the level-rank window and the decile ntile order
+    globally -- bounded here by score cardinality and the audit tier's
+    corpus; at 100 TB the decile boundaries come from the q174
+    equi-depth histogram and the rank accumulates per-range (q186's
+    two-level prefix sum), identical arithmetic."""
+    scored = _classifier_scores(spark, sf_dir)
+    labels = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") >= GAINS_LABEL_MIN_CHARS).cast("bigint").alias("pos"),
+    )
+    d = scored.join(labels, "doc_id")
+
+    levels = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("cp")
+    )
+    w_lt = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = levels.withColumn("cum_lt", F.coalesce(F.sum("c").over(w_lt), F.lit(0)))
+    auc = ranked.agg(
+        F.sum("cp").alias("n_pos"),
+        (F.sum("c") - F.sum("cp")).alias("n_neg"),
+        F.sum(F.col("cp") * (2 * F.col("cum_lt") + F.col("c") + 1)).alias("r2"),
+    ).select(
+        F.expr(
+            "CAST((r2 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+        F.col("n_pos").cast("bigint").alias("total_pos"),
+    )
+
+    w_rank = W.orderBy(F.desc("score"), "doc_id")
+    dec = (
+        d.withColumn("decile", F.ntile(GAINS_DECILES).over(w_rank))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("pos").alias("n_pos"))
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dec.withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+        .crossJoin(F.broadcast(auc))
+        .select(
+            "decile",
+            "n_docs",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            F.expr("CAST(cum_pos * 1000000 DIV total_pos AS BIGINT)")
+            .alias("capture_ppm"),
+            "auc_ppm",
+        )
+    )
+
+
+ORACLE_Q214 = f"""
+WITH w AS (
+  SELECT range AS b,
+         {h60_sql("'qw_' || CAST(range AS VARCHAR)")} % {2 * QC_W_RANGE + 1} - {QC_W_RANGE} AS w
+  FROM range({QC_B})
+),
+tok AS (
+  SELECT doc_id, {h60_sql("tok")} % {QC_B} AS b
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents)
+),
+scored AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+  FROM tok JOIN w USING (b) GROUP BY 1
+),
+d AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN doc.n_chars >= {GAINS_LABEL_MIN_CHARS} THEN 1 ELSE 0 END AS pos
+  FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+),
+levels AS (
+  SELECT score, count(*) AS c, sum(pos) AS cp FROM d GROUP BY score
+),
+ranked AS (
+  SELECT *, coalesce(sum(c) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+  FROM levels
+),
+auc AS (
+  SELECT CAST((sum(cp * (2 * cum_lt + c + 1)) - sum(cp) * (sum(cp) + 1)) * 1000000
+              // (2 * sum(cp) * (sum(c) - sum(cp))) AS BIGINT) AS auc_ppm,
+         CAST(sum(cp) AS BIGINT) AS total_pos
+  FROM ranked
+),
+dec AS (
+  SELECT decile, count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM (SELECT pos, ntile({GAINS_DECILES}) OVER (ORDER BY score DESC, doc_id) AS decile
+        FROM d)
+  GROUP BY decile
+)
+SELECT decile, n_docs, n_pos,
+       CAST(sum(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            * 1000000 // total_pos AS BIGINT) AS capture_ppm,
+       auc_ppm
+FROM dec CROSS JOIN auc
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -1205,6 +1329,7 @@ QUERIES = {
     "q142_gate_agreement": q142_gate_agreement,
     "q164_source_ablation": q164_source_ablation,
     "q187_weighted_sample": q187_weighted_sample,
+    "q214_classifier_gains": q214_classifier_gains,
 }
 
 ORACLES = {
@@ -1221,4 +1346,5 @@ ORACLES = {
     "q142_gate_agreement": ORACLE_Q142,
     "q164_source_ablation": ORACLE_Q164,
     "q187_weighted_sample": ORACLE_Q187,
+    "q214_classifier_gains": ORACLE_Q214,
 }

@@ -1013,3 +1013,12 @@ def test_phrase_search_no_position_self_join(spark, sf_dir):
     assert "q213_bigrams" in plan, f"bigram stream not staged:\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_classifier_gains_reads_staged_scores(spark, sf_dir):
+    """q214 must evaluate the STAGED inference pass (one scan shared with
+    q123/q142), and its label join is a keyed equi-join of two slim
+    tables -- never a re-run of the token explode."""
+    plan = formatted_plan(QUERIES["q214_classifier_gains"](spark, sf_dir))
+    assert "qc_scores" in plan, f"inference re-ran instead of reading the stage:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan, plan
