@@ -124,6 +124,7 @@ _PRIORITY = [
     "q212_stream_pit_enrich",
     "q213_phrase_search",
     "q214_classifier_gains",
+    "q215_fifo_matching",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

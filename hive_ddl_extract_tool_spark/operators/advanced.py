@@ -1337,6 +1337,123 @@ GROUP BY c_custkey
 """
 
 
+
+def q215_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching as INTERVAL ALGEBRA -- the allocation problem
+    (cost-basis, inventory consumption, order matching) that looks
+    inherently sequential but is exactly expressible set-at-a-time:
+    within each part, buys (odd line numbers) and sells (even) each get
+    cumulative-quantity intervals [cum_prev, cum) in the same
+    deterministic event order; FIFO says the k-th unit bought matches
+    the k-th unit sold, so the quantity a (buy, sell) pair exchanges is
+    simply the OVERLAP of their intervals -- no loop, no recursion, no
+    per-row state. Lines pre-aggregate to unique (part, side, order,
+    line) lots (the fixture repeats line numbers) so the window order
+    is total.
+
+    Per brand: matched units, unmatched buy-side and sell-side tails --
+    the three numbers any allocation audit reconciles
+    (matched + unmatched_buy = total bought, etc.).
+
+    Scale: two part-keyed cumsum windows + one part-keyed equi-join
+    whose interval predicate bounds the fan-out to genuinely
+    overlapping lot pairs (each lot overlaps O(1 + its span / avg lot)
+    counterparts); brand rollup broadcasts part."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_buy"),
+    )
+    lots = li.groupBy("l_partkey", "is_buy", "l_orderkey", "l_linenumber").agg(
+        F.sum("qty").alias("qty")
+    )
+    w = W.partitionBy("l_partkey", "is_buy").orderBy("l_orderkey", "l_linenumber")
+    ivals = lots.select(
+        "l_partkey", "is_buy", "qty",
+        (F.sum("qty").over(w) - F.col("qty")).alias("lo"),
+        F.sum("qty").over(w).alias("hi"),
+    )
+    buys = ivals.filter("is_buy").select(
+        F.col("l_partkey").alias("pk"), F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")
+    )
+    sells = ivals.filter(~F.col("is_buy")).select(
+        F.col("l_partkey").alias("pk2"), F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")
+    )
+    matched = (
+        buys.join(
+            sells,
+            (F.col("pk") == F.col("pk2"))
+            & (F.col("b_lo") < F.col("s_hi"))
+            & (F.col("s_lo") < F.col("b_hi")),
+        )
+        .groupBy("pk")
+        .agg(
+            F.sum(
+                F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")
+            ).alias("matched_qty")
+        )
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    totals = ivals.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("is_buy"), F.col("qty")).otherwise(0)).alias("bought"),
+        F.sum(F.when(~F.col("is_buy"), F.col("qty")).otherwise(0)).alias("sold"),
+    )
+    per_part = totals.join(matched, totals.l_partkey == matched.pk, "left").select(
+        "l_partkey", "bought", "sold",
+        F.coalesce("matched_qty", F.lit(0)).alias("matched_qty"),
+    )
+    return (
+        per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("matched_qty").cast("bigint").alias("matched_units"),
+            F.sum(F.col("bought") - F.col("matched_qty")).cast("bigint")
+            .alias("unmatched_buy_units"),
+            F.sum(F.col("sold") - F.col("matched_qty")).cast("bigint")
+            .alias("unmatched_sell_units"),
+        )
+    )
+
+
+ORACLE_Q215 = """
+WITH lots AS (
+  SELECT l_partkey, l_linenumber % 2 = 1 AS is_buy, l_orderkey, l_linenumber,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  GROUP BY 1, 2, 3, 4
+), ivals AS (
+  SELECT l_partkey, is_buy, qty,
+         sum(qty) OVER w - qty AS lo,
+         sum(qty) OVER w AS hi
+  FROM lots
+  WINDOW w AS (PARTITION BY l_partkey, is_buy ORDER BY l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), matched AS (
+  SELECT b.l_partkey AS pk,
+         sum(least(b.hi, s.hi) - greatest(b.lo, s.lo)) AS matched_qty
+  FROM (SELECT * FROM ivals WHERE is_buy) b
+  JOIN (SELECT * FROM ivals WHERE NOT is_buy) s
+    ON b.l_partkey = s.l_partkey AND b.lo < s.hi AND s.lo < b.hi
+  GROUP BY 1
+), totals AS (
+  SELECT l_partkey,
+         sum(CASE WHEN is_buy THEN qty ELSE 0 END) AS bought,
+         sum(CASE WHEN NOT is_buy THEN qty ELSE 0 END) AS sold
+  FROM ivals GROUP BY 1
+)
+SELECT p_brand,
+       CAST(sum(coalesce(matched_qty, 0)) AS BIGINT) AS matched_units,
+       CAST(sum(bought - coalesce(matched_qty, 0)) AS BIGINT) AS unmatched_buy_units,
+       CAST(sum(sold - coalesce(matched_qty, 0)) AS BIGINT) AS unmatched_sell_units
+FROM totals
+LEFT JOIN matched ON l_partkey = pk
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "q53_sql_ml_inference": q53_sql_ml_inference,
     "q54_skyline": q54_skyline,
@@ -1351,6 +1468,7 @@ QUERIES = {
     "q108_scd2_merge": q108_scd2_merge,
     "q196_cdc_apply": q196_cdc_apply,
     "q210_golden_record": q210_golden_record,
+    "q215_fifo_matching": q215_fifo_matching,
     "q118_decayed_engagement": q118_decayed_engagement,
     "q127_event_transitions": q127_event_transitions,
     "q129_point_in_time_join": q129_point_in_time_join,
@@ -1373,6 +1491,7 @@ ORACLES = {
     "q108_scd2_merge": ORACLE_Q108,
     "q196_cdc_apply": ORACLE_Q196,
     "q210_golden_record": ORACLE_Q210,
+    "q215_fifo_matching": ORACLE_Q215,
     "q118_decayed_engagement": ORACLE_Q118,
     "q127_event_transitions": ORACLE_Q127,
     "q129_point_in_time_join": ORACLE_Q129,

@@ -144,12 +144,19 @@ def _register_sink() -> type:
                 dst = f"{self.path}/part-{i:05d}.jsonl"
                 _os.replace(m.tmp_path, dst)
                 final.append({"file": _os.path.basename(dst), "rows": m.rows})
-            with open(f"{self.path}/_manifest.json", "w") as f:
+            # Manifest publishes atomically (write-then-rename): a crash
+            # mid-commit leaves either no manifest (renamed part files are
+            # invisible to manifest readers -- all-or-nothing holds) or the
+            # complete one, never a torn listing.
+            tmp_manifest = f"{self.path}/_manifest.json.tmp"
+            with open(tmp_manifest, "w") as f:
                 _json.dump({"files": final}, f)
+            _os.replace(tmp_manifest, f"{self.path}/_manifest.json")
 
         def abort(self, messages):
+            # Failed/unlaunched tasks surface as None entries.
             for m in messages:
-                if _os.path.exists(m.tmp_path):
+                if m is not None and _os.path.exists(m.tmp_path):
                     _os.remove(m.tmp_path)
 
     class JsonlSink(DataSource):

@@ -270,6 +270,7 @@ def test_python_datasink_commit_protocol(spark, sf_dir):
     out_dir = os.path.join(tempfile.gettempdir(), f"q194_sink_{sf_tag}")
     names = sorted(os.listdir(out_dir))
     assert not any(n.startswith("_tmp-") for n in names), names
+    assert not any(n.endswith(".tmp") for n in names), names  # manifest swap completed
     with open(f"{out_dir}/_manifest.json") as f:
         manifest = json.load(f)
     listed = sorted(e["file"] for e in manifest["files"])

@@ -1022,3 +1022,15 @@ def test_classifier_gains_reads_staged_scores(spark, sf_dir):
     plan = formatted_plan(QUERIES["q214_classifier_gains"](spark, sf_dir))
     assert "qc_scores" in plan, f"inference re-ran instead of reading the stage:\n{plan[:2000]}"
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fifo_matching_shapes(spark, sf_dir):
+    """q215: FIFO allocation is interval algebra -- two part-keyed cumsum
+    windows and a part-keyed equi-join with the interval predicate as a
+    post-filter, never a CartesianProduct or an iterative loop; part
+    broadcasts for the brand rollup."""
+    df = QUERIES["q215_fifo_matching"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(l_partkey" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -322,6 +322,18 @@ SHOW = {
         "stream; the argmax phrase is a 1-row BroadcastHashJoin probe and "
         "the ranking a TakeOrderedAndProject heap."
     ),
+    "q214_classifier_gains": (
+        "Reads the staged qc_scores inference pass (shared with q123/q142); "
+        "AUC accumulates per-score-level integer doubled ranks; the global "
+        "ntile/rank windows are the audit tier (100 TB path: q174 histogram "
+        "boundaries + q186 two-level prefix sum)."
+    ),
+    "q215_fifo_matching": (
+        "FIFO allocation as interval algebra: two part-keyed cumsum Windows "
+        "build lot intervals, matched quantity is the overlap under a "
+        "part-keyed equi-join (interval predicate as post-filter) -- no "
+        "loop, no cartesian; part broadcasts into the brand rollup."
+    ),
 }
 
 
