@@ -125,6 +125,8 @@ _PRIORITY = [
     "q213_phrase_search",
     "q214_classifier_gains",
     "q215_fifo_matching",
+    "q216_parameterized_sql",
+    "q217_sql_scripting",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

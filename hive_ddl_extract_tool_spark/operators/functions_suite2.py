@@ -1348,6 +1348,104 @@ FROM o
 """
 
 
+
+# --------------------------------------------------------------------------
+# q216/q217: Spark 4 SQL front-end surfaces -- parameter markers + scripting
+# --------------------------------------------------------------------------
+
+PARAM_MIN_PRICE = 150_000.0   # named-parameter predicate bound
+SCRIPT_TARGET_N = 100         # scripting loop: first 2^k leaving < N orders
+
+
+def q216_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers + the IDENTIFIER() clause --
+    the injection-safe way to template both VALUES (:min_price) and
+    OBJECT NAMES (:tbl) in Spark 4: markers bind as typed literals, and
+    IDENTIFIER promotes a string parameter to a catalog reference
+    without string-concatenating SQL. The query itself is a priority
+    rollup over the parameter-bounded orders; the oracle inlines the
+    same constants, so the binding path is hash-verified.
+
+    Scale: binding happens at parse time -- the bound literal
+    participates in constant folding and parquet filter pushdown
+    exactly like an inlined one."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q216_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "q216_orders_v", "min_price": PARAM_MIN_PRICE},
+    )
+
+
+ORACLE_Q216 = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_totalprice >= {PARAM_MIN_PRICE}
+GROUP BY o_orderpriority
+"""
+
+
+def q217_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/END): procedural
+    control flow in pure SQL -- here an iterative doubling search for
+    the smallest power-of-two cent threshold that fewer than 100 orders
+    exceed. Each loop iteration is a full distributed aggregate; the
+    script is the driver-side control plane (the sanctioned shape for
+    convergence loops -- q68's connected components does the same from
+    Python). The oracle computes the same fixpoint set-at-a-time from a
+    k-grid, so the scripted loop's answer is hash-verified against a
+    closed form.
+
+    Scale: iterations are O(log(max price)) and each is an ordinary
+    pushdown-friendly scan; state (k, n) lives in script variables, not
+    in data."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q217_orders_v")
+    return spark.sql(f"""
+    BEGIN
+      DECLARE k INT DEFAULT 1;
+      DECLARE n BIGINT DEFAULT 0;
+      SET n = (
+        SELECT count(*) FROM q217_orders_v
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 2);
+      WHILE n >= {SCRIPT_TARGET_N} DO
+        SET k = k + 1;
+        SET n = (
+          SELECT count(*) FROM q217_orders_v
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                >= CAST(pow(2, k) AS BIGINT));
+      END WHILE;
+      SELECT k, CAST(pow(2, k) AS BIGINT) AS threshold_cents, n AS n_above;
+    END
+    """)
+
+
+ORACLE_Q217 = f"""
+WITH grid AS (
+  SELECT k, CAST(pow(2, k) AS BIGINT) AS thr
+  FROM (SELECT unnest(range(1, 40)) AS k)
+), counts AS (
+  SELECT k, thr,
+         (SELECT count(*) FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= thr) AS n
+  FROM grid
+)
+SELECT CAST(min(k) AS INT) AS k,
+       CAST(arg_min(thr, k) AS BIGINT) AS threshold_cents,
+       CAST(arg_min(n, k) AS BIGINT) AS n_above
+FROM counts
+WHERE n < {SCRIPT_TARGET_N}
+"""
+
+
 QUERIES = {
     "q14_pivot_status_year": q14_pivot_status_year,
     "q26_correlated_subquery": q26_correlated_subquery,
@@ -1376,6 +1474,8 @@ QUERIES = {
     "q183_bitmap_distinct": q183_bitmap_distinct,
     "q184_listagg": q184_listagg,
     "q211_try_arithmetic": q211_try_arithmetic,
+    "q216_parameterized_sql": q216_parameterized_sql,
+    "q217_sql_scripting": q217_sql_scripting,
 }
 
 ORACLES = {
@@ -1406,4 +1506,6 @@ ORACLES = {
     "q183_bitmap_distinct": ORACLE_Q183,
     "q184_listagg": ORACLE_Q184,
     "q211_try_arithmetic": ORACLE_Q211,
+    "q216_parameterized_sql": ORACLE_Q216,
+    "q217_sql_scripting": ORACLE_Q217,
 }

@@ -1034,3 +1034,10 @@ def test_fifo_matching_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(l_partkey" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_parameterized_sql_pushes_bound_literal(spark, sf_dir):
+    """q216's :min_price binds at parse time, so the predicate must reach
+    the parquet scan exactly like an inlined literal."""
+    df = QUERIES["q216_parameterized_sql"](spark, sf_dir)
+    assert_pushed_filter(df, "o_totalprice")
