@@ -29,7 +29,9 @@ Reference parity notes (each function cites the behavior it re-expresses):
 
 from __future__ import annotations
 
+import contextlib
 import re
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -194,7 +196,8 @@ def get_create_ddl(spark: SparkSession, db: str, table: str) -> str:
 
 
 def get_partitions(
-    spark: SparkSession, db: str, table: str, max_workers: int = 8
+    spark: SparkSession, db: str, table: str, max_workers: int = 8,
+    rpc_gate: "threading.Semaphore | None" = None,
 ) -> list[tuple[str, str]]:
     """R7+R8: (partition-name, location) pairs. Names come from SHOW
     PARTITIONS (same ``k=v/k2=v2`` format the metastore returns); locations
@@ -215,9 +218,14 @@ def get_partitions(
 
     def fetch_location(name: str) -> str:
         spec = format_partition_spec(name)
-        rows = spark.sql(
-            f"DESCRIBE FORMATTED `{db}`.`{table}` PARTITION ({spec})"
-        ).collect()
+        # rpc_gate caps TOTAL in-flight DESCRIBEs across every table worker:
+        # extract_ddl's 8 table threads each opening an 8-thread pool would
+        # otherwise put max_workers^2 concurrent metastore RPCs in flight,
+        # where the reference's single ForkJoinPool never exceeded 8.
+        with rpc_gate or contextlib.nullcontext():
+            rows = spark.sql(
+                f"DESCRIBE FORMATTED `{db}`.`{table}` PARTITION ({spec})"
+            ).collect()
         return next((r["data_type"] for r in rows if r["col_name"] == "Location"), "")
 
     if len(names) <= 1 or max_workers <= 1:
@@ -236,10 +244,13 @@ def get_table_location(spark: SparkSession, db: str, table: str) -> str:
 # --------------------------------------------------------------------------
 
 def partition_restore_sql(
-    spark: SparkSession, db: str, table: str, cfg: ExtractConfig
+    spark: SparkSession, db: str, table: str, cfg: ExtractConfig,
+    rpc_gate: "threading.Semaphore | None" = None,
 ) -> list[str]:
     """R9-R17: the partition-restore block for one table."""
-    parts = get_partitions(spark, db, table, max_workers=cfg.max_workers)
+    parts = get_partitions(
+        spark, db, table, max_workers=cfg.max_workers, rpc_gate=rpc_gate
+    )
     if not parts:
         return []  # R9: empty short-circuit (ExtractHiveDDL.java:200-203)
     table_path = get_table_location(spark, db, table)
@@ -261,7 +272,10 @@ def partition_restore_sql(
     ]
 
 
-def table_section(spark: SparkSession, db: str, table: str, cfg: ExtractConfig) -> list[str]:
+def table_section(
+    spark: SparkSession, db: str, table: str, cfg: ExtractConfig,
+    rpc_gate: "threading.Semaphore | None" = None,
+) -> list[str]:
     """R19: banner + optional beeline marker + CREATE + partition block
     (ExtractHiveDDL.java:118-136)."""
     lines = [
@@ -272,7 +286,7 @@ def table_section(spark: SparkSession, db: str, table: str, cfg: ExtractConfig) 
     if cfg.beeline_markers:
         lines.append(f'!sh echo "Creating table: {table}...";')
     lines.append(get_create_ddl(spark, db, table))
-    partition_lines = partition_restore_sql(spark, db, table, cfg)
+    partition_lines = partition_restore_sql(spark, db, table, cfg, rpc_gate=rpc_gate)
     if partition_lines:
         if cfg.beeline_markers:
             lines.append(f'!sh echo "Creating partitions for table: {table}...";')
@@ -331,8 +345,11 @@ def extract_ddl(
         if cfg.use_context:
             out.append(f"USE {db};")
         out.append("")
+        rpc_gate = threading.BoundedSemaphore(cfg.max_workers)
         with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
-            sections = pool.map(lambda t: table_section(spark, db, t, cfg), tables)
+            sections = pool.map(
+                lambda t: table_section(spark, db, t, cfg, rpc_gate=rpc_gate), tables
+            )
         for table, section in zip(tables, sections):
             done += 1
             if cfg.progress:

@@ -375,9 +375,13 @@ def q198_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce on BOTH sides: lag's default only covers the partition edge,
+# so a NULL cents value mid-stream would otherwise zero the term in Spark
+# (coalesce) but NULL-propagate the whole numerator in DuckDB.
 _EWMA_TERMS_SQL = " + ".join(
     [f"cents * {1 << (EWMA_K - 1)}"]
-    + [f"lag(cents, {k}, 0) OVER w * {1 << (EWMA_K - 1 - k)}" for k in range(1, EWMA_K)]
+    + [f"coalesce(lag(cents, {k}, 0) OVER w, 0) * {1 << (EWMA_K - 1 - k)}"
+       for k in range(1, EWMA_K)]
 )
 
 ORACLE_Q198 = f"""
@@ -610,7 +614,10 @@ def q208_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_pair * 1000000 DIV n_users").alias("support_ppm"),
             F.expr("n_pair * 1000000 DIV n_a").alias("conf_a_to_b_ppm"),
             F.expr("n_pair * 1000000 DIV n_b").alias("conf_b_to_a_ppm"),
-            F.expr("n_pair * n_users * 1000000 DIV (n_a * n_b)").alias("lift_ppm"),
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_users * 1000000)"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -632,7 +639,8 @@ SELECT type_a, type_b, n_pair,
        CAST(n_pair * 1000000 // n_users AS BIGINT) AS support_ppm,
        CAST(n_pair * 1000000 // sa.n_single AS BIGINT) AS conf_a_to_b_ppm,
        CAST(n_pair * 1000000 // sb.n_single AS BIGINT) AS conf_b_to_a_ppm,
-       CAST(n_pair * n_users * 1000000 // (sa.n_single * sb.n_single) AS BIGINT)
+       CAST(CAST(n_pair AS HUGEINT) * n_users * 1000000
+            // (CAST(sa.n_single AS HUGEINT) * sb.n_single) AS BIGINT)
          AS lift_ppm
 FROM pairs
 JOIN singles sa ON type_a = sa.event_type

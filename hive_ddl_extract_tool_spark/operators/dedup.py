@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ._cache import cached_df
 from ._hashing import MINHASH_SEEDS, P31, h60, h60_sql
-from .text import WS, _words  # the ONE tokenizer definition (see text.py)
+from .text import WS, _words, ngrams_sql, word_ngrams  # the ONE tokenizer definition (see text.py)
 from ..tables import load
 SHINGLE_N = 3
 N_HASHES = 16
@@ -37,15 +37,9 @@ JACCARD_THRESHOLD = 0.8
 
 def _shingles_from_words(w: Column) -> Column:
     """3-word shingles from a *materialized* word-array column; empty array
-    for docs under 3 words."""
-    n = F.size(w)
-    return F.when(
-        n >= SHINGLE_N,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    for docs under 3 words (the n=3 case of text.word_ngrams -- one span
+    template for every gram consumer)."""
+    return word_ngrams(w, SHINGLE_N)
 
 
 def _shingles(col: Column | str = "text") -> Column:
@@ -243,31 +237,41 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str, ds: DataFrame) -> DataFram
     return cached_df(spark, f"q42_cand:{sf_dir}", build_cand)
 
 
-def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _doc_shingles(spark, sf_dir, cache=True)
-    cand = _lsh_candidates(spark, sf_dir, ds)
-    # The exact-Jaccard verify only ever touches candidate documents, so
-    # semi-filter the shingle table down to them FIRST: the
-    # (doc_id, sh) exchanges then carry |cand_docs| * ~shingles rows
-    # instead of the whole corpus (at 100 TB the difference between a
-    # corpus-sized shuffle and a near-dup-sized one).
+def _verified_intersections(ds: DataFrame, cand: DataFrame):
+    """Shared verify front half for every candidate-pair pipeline (q42
+    resemblance, q193 containment, q202 prefix-filter): semi-filter the
+    shingle table to candidate documents FIRST -- the (doc_id, sh)
+    exchanges then carry |cand_docs| * ~shingles rows instead of the
+    whole corpus (at 100 TB the difference between a corpus-sized
+    shuffle and a near-dup-sized one) -- then count exact pairwise
+    intersections. No broadcast hint on cand_docs: it grows with the
+    corpus's near-dup population, so forcing a driver-side broadcast
+    would OOM on a dup-heavy crawl; AQE demotes the semi-join to
+    broadcast at runtime whenever it IS small. Returns (inter, sizes):
+    (doc_a, doc_b, inter) and per-doc distinct-shingle counts."""
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select("doc_b"))
         .distinct()
     )
-    # No broadcast hint: cand_docs grows with the corpus's near-dup
-    # population, so forcing a driver-side broadcast would OOM on a
-    # dup-heavy crawl; the plain semi-join keeps the row-count reduction
-    # and AQE demotes it to broadcast at runtime whenever it IS small.
     ds_c = ds.join(cand_docs, "doc_id", "semi")
     sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(ds_c.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .join(
+            ds_c.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter, sizes
+
+
+def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    cand = _lsh_candidates(spark, sf_dir, ds)
+    inter, sizes = _verified_intersections(ds, cand)
     return (
         inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
@@ -339,19 +343,7 @@ def q193_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties break to doc_a)."""
     ds = _doc_shingles(spark, sf_dir, cache=True)
     cand = _lsh_candidates(spark, sf_dir, ds)
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select("doc_b"))
-        .distinct()
-    )
-    ds_c = ds.join(cand_docs, "doc_id", "semi")
-    sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(ds_c.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter, sizes = _verified_intersections(ds, cand)
     scored = (
         inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
@@ -1602,16 +1594,7 @@ def q188_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by span hash and doc_id, both bounded, never pairwise."""
     docs = load(spark, sf_dir, "documents")
     w = docs.select("doc_id", "source", _words(F.lower("text")).alias("w"))
-    n = F.size("w")
-    grams = F.when(
-        n >= SPAN_N,
-        F.transform(
-            F.sequence(F.lit(1), n - SPAN_N + 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + j) for j in range(SPAN_N)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams("w", SPAN_N)
     g = w.select("doc_id", "source", F.explode(grams).alias("g")).select(
         "doc_id", "source", h60(F.col("g")).alias("gh"), F.length("g").alias("glen")
     )
@@ -1642,10 +1625,7 @@ WITH w AS (
 ),
 g AS (
   SELECT doc_id, source, unnest(
-    CASE WHEN len(w) >= {SPAN_N}
-         THEN list_transform(range(1, len(w) - {SPAN_N} + 2),
-                             i -> list_aggregate(w[i:i+{SPAN_N}-1], 'string_agg', ' '))
-         ELSE [] END) AS gram
+{ngrams_sql(SPAN_N)}) AS gram
   FROM w
 ),
 pds AS (
@@ -1845,39 +1825,24 @@ def q202_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
         )
         .distinct()
     )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select("doc_b"))
-        .distinct()
-    )
-    ds_c = ds.join(cand_docs, "doc_id", "semi")
-    inter = (
-        cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            ds_c.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter, sizes = _verified_intersections(ds, cand)
     return (
-        inter.withColumn(
-            "jaccard_ppm",
-            F.expr("CAST(inter * 1000000 DIV (sz_a + sz_b - inter) AS BIGINT)"),
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("za.sz").cast("bigint").alias("sz_a"),
+            F.col("zb.sz").cast("bigint").alias("sz_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.expr(
+                "CAST(inter * 1000000 DIV (za.sz + zb.sz - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)
-        .select(
-            "doc_a", "doc_b",
-            F.col("sz_a").cast("bigint").alias("sz_a"),
-            F.col("sz_b").cast("bigint").alias("sz_b"),
-            F.col("inter").cast("bigint").alias("inter"),
-            "jaccard_ppm",
-        )
     )
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .text import ngrams_sql, word_ngrams
 from ..tables import load
 
 # (table, column, kind): kind picks the canonical min/max representation.
@@ -204,14 +205,7 @@ def q190_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = docs.select("source", _words(F.lower("text")).alias("w"))
-    n = F.size("w")
-    grams = F.when(
-        n >= GT_N,
-        F.transform(
-            F.sequence(F.lit(1), n - GT_N + 1),
-            lambda i: F.concat_ws(" ", *[F.element_at("w", i + j) for j in range(GT_N)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams("w", GT_N)
     wc = (
         w.select("source", F.explode(grams).alias("g"))
         .groupBy("source", h60(F.col("g")).alias("gh"))
@@ -239,10 +233,7 @@ WITH wa AS (
 ),
 g AS (
   SELECT source, unnest(
-    CASE WHEN len(w) >= {GT_N}
-         THEN list_transform(range(1, len(w) - {GT_N} + 2),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         ELSE [] END) AS gram
+{ngrams_sql(GT_N)}) AS gram
   FROM wa
 ),
 c AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2)

@@ -1120,11 +1120,17 @@ def q187_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = r.withColumn("tau", tau)
     agg = joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("w") * PRIO_M).alias("exact_scaled"),
+        # Widen BEFORE the stratum sums (not after): per-row w*PRIO_M fits
+        # int64, but a stratum's sum of them overflows past ~9 TB of text --
+        # the decimal accumulator is the overflow guard, mirroring the
+        # oracle's HUGEINT sums.
+        (F.sum(F.col("w").cast("decimal(38,0)")) * PRIO_M).alias("exact_scaled"),
         F.sum(in_sample.cast("bigint")).alias("n_selected"),
         F.sum(F.when(in_sample, F.col("w")).otherwise(0)).alias("sample_w_sum"),
         F.sum(
-            F.when(in_sample, F.greatest(F.col("w") * PRIO_M, F.col("tau"))).otherwise(0)
+            F.when(in_sample, F.greatest(F.col("w") * PRIO_M, F.col("tau")))
+            .otherwise(0)
+            .cast("decimal(38,0)")
         ).alias("est_scaled"),
         (
             F.sum(

@@ -49,6 +49,39 @@ def _words(col: Column | str = "text") -> Column:
     return F.filter(F.split(col, WS), lambda x: x != F.lit(""))
 
 
+def word_ngrams(w: Column | str, n: int) -> Column:
+    """Space-joined n-word grams from a MATERIALIZED word-array column;
+    empty array for docs shorter than n words. THE single Spark-side
+    implementation of the span template: q188 (8-grams), q190
+    (trigrams), q192 (bigrams), and dedup's 3-word shingles all derive
+    from this one expression, so the tokenizer/whitespace contract
+    (WS_CLASS) and the boundary arithmetic live in exactly one place.
+    Pair with ngrams_sql for the DuckDB twin."""
+    if isinstance(w, str):
+        w = F.col(w)
+    size = F.size(w)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(n: int, w_expr: str = "w") -> str:
+    """DuckDB twin of word_ngrams: a list-of-n-grams expression over a
+    word-list column, byte-identical output to the Spark side."""
+    joined = " || ' ' || ".join(
+        f"{w_expr}[i]" if j == 0 else f"{w_expr}[i+{j}]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len({w_expr}) >= {n} "
+        f"THEN list_transform(range(1, len({w_expr}) - {n} + 2), i -> {joined}) "
+        f"ELSE [] END"
+    )
+
+
 def _marker_count(lang: str, words: Column) -> Column:
     """Occurrences of lang's marker TOKENS in a lowered word array.
 
@@ -412,14 +445,7 @@ def q71_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").alias("n_words"),
         F.size(F.array_distinct("w")).alias("n_distinct"),
     )
-    n = F.size("w")
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_ngrams("w", 2)
     top = (
         w.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
@@ -1004,14 +1030,7 @@ def q192_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a full-frame window over the type table, one rollup."""
     docs = load(spark, sf_dir, "documents")
     w = docs.select("source", _words(F.lower("text")).alias("w"))
-    n = F.size("w")
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_ngrams("w", 2)
     cnt = (
         w.select("source", F.explode(bigrams).alias("g"))
         .groupBy("source", "g")
@@ -1050,9 +1069,7 @@ WITH wa AS (
 ),
 g AS (
   SELECT source, unnest(
-    CASE WHEN len(w) >= 2
-         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-         ELSE [] END) AS gram
+{ngrams_sql(2)}) AS gram
   FROM wa
 ),
 cnt AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2),

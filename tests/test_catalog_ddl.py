@@ -386,3 +386,41 @@ def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
             spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_partition_fetch_respects_shared_rpc_gate(spark, ddl_fixtures):
+    """The rpc_gate caps TOTAL in-flight DESCRIBEs: with a budget of 1 the
+    8-thread pool must never overlap calls -- the guard against the
+    nested-pool max_workers^2 RPC storm when extract_ddl's table workers
+    each fan out partition fetches."""
+    import threading
+    import time
+    from unittest import mock
+
+    lock = threading.Lock()
+    inflight = 0
+    peak = 0
+    orig = spark.sql
+
+    def slow_sql(q, *a, **k):
+        nonlocal inflight, peak
+        is_describe = q.startswith("DESCRIBE FORMATTED")
+        if is_describe:
+            with lock:
+                inflight += 1
+                peak = max(peak, inflight)
+            time.sleep(0.05)
+        try:
+            return orig(q, *a, **k)
+        finally:
+            if is_describe:
+                with lock:
+                    inflight -= 1
+
+    gate = threading.BoundedSemaphore(1)
+    with mock.patch.object(spark, "sql", side_effect=slow_sql):
+        parts = get_partitions(
+            spark, "ddl_db1", "part_lower", max_workers=8, rpc_gate=gate
+        )
+    assert len(parts) == 3
+    assert peak == 1, f"gate of 1 still overlapped DESCRIBEs (peak={peak})"
