@@ -127,6 +127,7 @@ _PRIORITY = [
     "q215_fifo_matching",
     "q216_parameterized_sql",
     "q217_sql_scripting",
+    "q218_sorted_neighborhood",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

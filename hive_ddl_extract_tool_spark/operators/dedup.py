@@ -1866,6 +1866,106 @@ WHERE inter * 1000000 // (za.sz + zb.sz - inter) >= {PF_TAU_PPM}
 """
 
 
+
+# --------------------------------------------------------------------------
+# q218: sorted-neighborhood dedup (Hernandez-Stolfo SNM over a MinHash key)
+# --------------------------------------------------------------------------
+
+SNM_WINDOW = 4        # neighbors compared per doc in sorted order
+SNM_BAND_SHIFT = 54   # sort-order bands: minhash DIV 2^54 (64 coarse bands)
+
+
+def q218_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (the Hernandez-Stolfo merge/purge
+    method): sort documents by a similarity-correlated key and compare
+    each only to its next W neighbors -- candidate generation by
+    SORTING instead of hashing buckets (q42's LSH) or prefix tokens
+    (q202). The sort key is the document's MINIMUM shingle hash: two
+    documents share it with probability equal to their Jaccard (the
+    MinHash estimator), so near-duplicates sort adjacent and the W-row
+    window catches them. Candidates verify exactly through the shared
+    _verified_intersections pipeline at the q42 threshold.
+
+    Like every SNM, pairs straddling a sort boundary beyond W are
+    missed by construction; the oracle replicates the SAME banded
+    ordering and window, so the driver verifies the METHOD faithfully
+    rather than pretending it is exhaustive.
+
+    Scale: the global sort is banded -- documents hash to 64 key bands
+    (minhash DIV 2^54) and the lead() window runs per band, so no
+    SinglePartition window touches the corpus; cross-band adjacencies
+    are part of the declared miss set, exactly as windowing within a
+    sorted run is in the original algorithm."""
+    from pyspark.sql import Window as W
+
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    keys = ds.groupBy("doc_id").agg(F.min("sh").alias("minsh"))
+    w = W.partitionBy((F.col("minsh") / F.lit(1 << SNM_BAND_SHIFT)).cast("bigint")).orderBy(
+        "minsh", "doc_id"
+    )
+    neighbors = keys.select(
+        "doc_id",
+        *[F.lead("doc_id", k).over(w).alias(f"nb{k}") for k in range(1, SNM_WINDOW + 1)],
+    )
+    pairs = None
+    for k in range(1, SNM_WINDOW + 1):
+        p = neighbors.filter(F.col(f"nb{k}").isNotNull()).select(
+            F.least("doc_id", f"nb{k}").alias("doc_a"),
+            F.greatest("doc_id", f"nb{k}").alias("doc_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    inter, sizes = _verified_intersections(ds, cand)
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(inter * 1000000 DIV (za.sz + zb.sz - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)
+    )
+
+
+ORACLE_Q218 = f"""
+WITH ds AS ({DS_HASH_SQL}),
+keys AS (SELECT doc_id, min(sh) AS minsh FROM ds GROUP BY doc_id),
+nb AS (
+  SELECT doc_id,
+         {", ".join(
+             f"lead(doc_id, {k}) OVER (PARTITION BY minsh // {1 << SNM_BAND_SHIFT} "
+             f"ORDER BY minsh, doc_id) AS nb{k}"
+             for k in range(1, SNM_WINDOW + 1)
+         )}
+  FROM keys
+),
+cand AS (
+  {" UNION ".join(
+      f"SELECT least(doc_id, nb{k}) AS doc_a, greatest(doc_id, nb{k}) AS doc_b "
+      f"FROM nb WHERE nb{k} IS NOT NULL"
+      for k in range(1, SNM_WINDOW + 1)
+  )}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN ds a ON c.doc_a = a.doc_id
+  JOIN ds b ON c.doc_b = b.doc_id AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter * 1000000 // (za.sz + zb.sz - inter) AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE inter * 1000000 // (za.sz + zb.sz - inter) >= {PF_TAU_PPM}
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1890,6 +1990,7 @@ QUERIES = {
     "q191_dupgraph_triangles": q191_dupgraph_triangles,
     "q193_containment_dedup": q193_containment_dedup,
     "q202_prefix_filter_join": q202_prefix_filter_join,
+    "q218_sorted_neighborhood": q218_sorted_neighborhood,
 }
 
 ORACLES = {
@@ -1916,4 +2017,5 @@ ORACLES = {
     "q191_dupgraph_triangles": ORACLE_Q191,
     "q193_containment_dedup": ORACLE_Q193,
     "q202_prefix_filter_join": ORACLE_Q202,
+    "q218_sorted_neighborhood": ORACLE_Q218,
 }

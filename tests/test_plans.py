@@ -1041,3 +1041,12 @@ def test_parameterized_sql_pushes_bound_literal(spark, sf_dir):
     the parquet scan exactly like an inlined literal."""
     df = QUERIES["q216_parameterized_sql"](spark, sf_dir)
     assert_pushed_filter(df, "o_totalprice")
+
+
+def test_sorted_neighborhood_banded_window(spark, sf_dir):
+    """q218's lead() windows must partition by the minhash band -- a
+    SinglePartition window over the whole sorted key table would be the
+    scale regression SNM's banding exists to avoid."""
+    plan = formatted_plan(QUERIES["q218_sorted_neighborhood"](spark, sf_dir))
+    assert "SinglePartition" not in plan, f"unbanded global sort window:\n{plan[:2000]}"
+    assert "LeftSemi" in plan, plan
