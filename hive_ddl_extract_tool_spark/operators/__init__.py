@@ -128,6 +128,7 @@ _PRIORITY = [
     "q216_parameterized_sql",
     "q217_sql_scripting",
     "q218_sorted_neighborhood",
+    "q219_cusum_drift",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -649,6 +649,89 @@ CROSS JOIN totals
 """
 
 
+
+CUSUM_BAND_DIV = 10   # alarm band: |deviation| > n_days * total / 10
+
+
+def q219_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type -- the statistical-process-
+    control chart behind "did this metric's LEVEL shift mid-month?",
+    which the distribution-vs-distribution monitors (q125/q146) and the
+    rolling local anomaly gauges (q80/q206) both miss: a CUSUM
+    accumulates small persistent shifts until they cross an alarm band.
+    All integer arithmetic: for daily sums x_d with period total S over
+    n days, the running deviation C_d = sum_{<=d} (n*x_d - S) is an
+    exact integer multiple of n (avoiding the fractional daily mean),
+    the alarm band is n*S DIV 10, and the emitted statistics are the
+    crossing count, the peak |C_d|, and the peak day.
+
+    Scale: one (type, day) pre-aggregation, a 5-row totals broadcast,
+    and a per-type ordered window over DAYS (bounded by the calendar,
+    not the event count) -- the same two-level discipline as q203."""
+    daily = (
+        _events_cents(spark, sf_dir)
+        .groupBy("event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .agg(F.sum("cents").alias("x"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("s_total"),
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dev = (
+        daily.join(F.broadcast(totals), "event_type")
+        .withColumn(
+            "c",
+            F.sum(
+                (F.col("n_days") * F.col("x") - F.col("s_total")).cast("decimal(38,0)")
+            ).over(w),
+        )
+        .withColumn("band", (F.col("n_days") * F.col("s_total")).cast("decimal(38,0)") / CUSUM_BAND_DIV)
+    )
+    return dev.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.max(F.abs(F.col("c"))).cast("bigint").alias("peak_abs_dev"),
+        # struct-max, not max_by: ties on |C| (e.g. the guaranteed final
+        # zero) break to the LATEST day identically in both engines.
+        F.max(F.struct(F.abs(F.col("c")).alias("a"), F.col("day").alias("d")))["d"]
+        .alias("peak_day"),
+        F.sum(
+            F.when(F.abs(F.col("c")) * CUSUM_BAND_DIV > (F.col("n_days") * F.col("s_total")).cast("decimal(38,0)"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_alarms"),
+    )
+
+
+ORACLE_Q219 = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS s_total
+  FROM daily GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.day, t.n_days, t.s_total,
+         sum(CAST(t.n_days * d.x - t.s_total AS HUGEINT))
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM daily d JOIN totals t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(n_days) AS BIGINT) AS n_days,
+       CAST(max(abs(c)) AS BIGINT) AS peak_abs_dev,
+       CAST((max({{'a': abs(c), 'd': day}})).d AS BIGINT) AS peak_day,
+       CAST(sum(CASE WHEN abs(c) * {CUSUM_BAND_DIV}
+                     > CAST(n_days AS HUGEINT) * s_total THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM dev
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q195_position_attribution": q195_position_attribution,
     "q197_ab_welch": q197_ab_welch,
@@ -658,6 +741,7 @@ QUERIES = {
     "q206_rolling_p95": q206_rolling_p95,
     "q207_activity_streaks": q207_activity_streaks,
     "q208_association_rules": q208_association_rules,
+    "q219_cusum_drift": q219_cusum_drift,
 }
 ORACLES = {
     "q195_position_attribution": ORACLE_Q195,
@@ -668,4 +752,5 @@ ORACLES = {
     "q206_rolling_p95": ORACLE_Q206,
     "q207_activity_streaks": ORACLE_Q207,
     "q208_association_rules": ORACLE_Q208,
+    "q219_cusum_drift": ORACLE_Q219,
 }

@@ -1050,3 +1050,12 @@ def test_sorted_neighborhood_banded_window(spark, sf_dir):
     plan = formatted_plan(QUERIES["q218_sorted_neighborhood"](spark, sf_dir))
     assert "SinglePartition" not in plan, f"unbanded global sort window:\n{plan[:2000]}"
     assert "LeftSemi" in plan, plan
+
+
+def test_cusum_window_over_days_not_events(spark, sf_dir):
+    """q219's running deviation must window over the DAILY pre-aggregate
+    (calendar-bounded), never the raw event stream; the 5-row totals
+    table broadcasts back."""
+    plan = formatted_plan(QUERIES["q219_cusum_drift"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(event_type" in plan, plan
