@@ -129,6 +129,7 @@ _PRIORITY = [
     "q217_sql_scripting",
     "q218_sorted_neighborhood",
     "q219_cusum_drift",
+    "q220_incremental_equivalence",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -1332,6 +1332,94 @@ GROUP BY tier
 """
 
 
+
+# --------------------------------------------------------------------------
+# q220: incremental-equals-batch equivalence audit (maxFilesPerTrigger)
+# --------------------------------------------------------------------------
+
+INCR_SHARDS = 4  # day-quartile files, replayed one micro-batch each
+
+
+def q220_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-processing contract, audited: events staged as 4
+    day-range files (strictly increasing pinned mtimes), replayed with
+    maxFilesPerTrigger=1 so the aggregation state builds across FOUR
+    micro-batches, must end in exactly the state one batch pass
+    computes. n_batches (micro-batches that carried rows, from the
+    query's progress log) is emitted AS DATA, so the oracle's
+    n_batches = 4 pins that the run truly was incremental -- a
+    single-drain regression fails the compare even though its
+    aggregates would match.
+
+    Scale: this is the nightly-incremental pattern (state carries,
+    arrivals stream in); complete-mode memory sink at test SF, a keyed
+    state store + changelog sink in production."""
+    import os
+    import shutil
+    import tempfile
+
+    name = "q220_incr_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"q220_incr_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) DIV 86400000000")
+    )
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    span = (hi - lo + 1)
+    for k in range(INCR_SHARDS):
+        d0 = lo + (span * k) // INCR_SHARDS
+        d1 = lo + (span * (k + 1)) // INCR_SHARDS
+        shard_tmp = f"{base}/_build{k}"
+        (ev.filter((F.col("day") >= d0) & (F.col("day") < d1))
+           .drop("day").coalesce(1).write.parquet(shard_tmp))
+        part = next(f for f in os.listdir(shard_tmp) if f.endswith(".parquet"))
+        dst = f"{base}/shard-{k}.parquet"
+        shutil.move(f"{shard_tmp}/{part}", dst)
+        shutil.rmtree(shard_tmp)
+        _pin_mtime(dst, 1_000_000_000.0 + 10 * k)
+
+    schema = spark.read.parquet(f"{base}/shard-0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_type",
+        "n_events",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.lit(n_batches).cast("bigint").alias("n_batches"),
+    )
+
+
+ORACLE_Q220 = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST({INCR_SHARDS} AS BIGINT) AS n_batches
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -1340,6 +1428,7 @@ QUERIES = {
     "q64_stream_dedup": q64_stream_dedup,
     "q70_stream_static_join": q70_stream_static_join,
     "q212_stream_pit_enrich": q212_stream_pit_enrich,
+    "q220_incremental_equivalence": q220_incremental_equivalence,
     "q98_stream_sessionize": q98_stream_sessionize,
     "q107_stream_interval_join": q107_stream_interval_join,
     "q131_stream_dedup_gate": q131_stream_dedup_gate,
@@ -1359,6 +1448,7 @@ ORACLES = {
     "q64_stream_dedup": ORACLE_Q64,
     "q70_stream_static_join": ORACLE_Q70,
     "q212_stream_pit_enrich": ORACLE_Q212,
+    "q220_incremental_equivalence": ORACLE_Q220,
     "q98_stream_sessionize": ORACLE_Q88,
     "q107_stream_interval_join": ORACLE_Q107,
     "q131_stream_dedup_gate": _oracle_q131(),

@@ -40,7 +40,7 @@ PYTHON_OK = {
     "q181_arrow_python_udf",   # ArrowEvalPython IS the surface under test
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window", "q212_stream_pit_enrich"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window", "q212_stream_pit_enrich", "q220_incremental_equivalence"}
 
 
 def test_priority_names_exist():
