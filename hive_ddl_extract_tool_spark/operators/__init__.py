@@ -130,6 +130,7 @@ _PRIORITY = [
     "q218_sorted_neighborhood",
     "q219_cusum_drift",
     "q220_incremental_equivalence",
+    "q221_benford_audit",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

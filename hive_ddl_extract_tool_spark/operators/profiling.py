@@ -418,12 +418,110 @@ GROUP BY dev.event_type, mad.n_events, mad.m2, mad.mad_x4
 """
 
 
+
+# Benford first-digit expectation, integer ppm of log10(1 + 1/d). The
+# literal table is THE cross-engine contract -- both sides read these
+# exact constants, never a runtime log.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q221_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit over order totals -- the
+    fraud/synthetic-data screen: natural multi-magnitude amounts put
+    ~30.1% of first digits at 1, and a generator (or a tamperer) that
+    draws uniformly gets caught by the divergence. Per digit: observed
+    count and ppm against the literal expectation table, plus the
+    chi-square statistic -- computed from exact integer counts by the
+    same double expression in both engines and floor-quantized to 1e-3
+    (the q197 discipline). This fixture's uniform-ish totals FAIL the
+    law loudly (chi2 >> 15.5), which is the audit doing its job (house
+    rule: an audit that cannot err is not an audit).
+
+    Scale: one scan, a 9-row aggregate, a 1-row total broadcast."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        return (
+            load(spark, sf_dir, "orders")
+            .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+            .filter(F.col("digit") >= 1)
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+        )
+
+    # 9-row digit table staged once: three consumers (totals, per-digit
+    # scoring, chi-square) would otherwise re-scan orders per branch.
+    digits = cached_df(spark, f"q221_digits:{sf_dir}", build)
+    exp_ppm = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]),
+        F.col("digit"),
+    )
+    w_all = digits.select(F.sum("n_obs").alias("n_total"))
+    scored = digits.crossJoin(F.broadcast(w_all)).select(
+        "digit", "n_obs",
+        F.expr("CAST(n_obs * 1000000 DIV n_total AS BIGINT)").alias("obs_ppm"),
+        exp_ppm.cast("bigint").alias("exp_ppm"),
+        "n_total",
+    )
+    chi2 = scored.agg(
+        F.floor(
+            1000.0
+            * F.sum(
+                (F.col("n_obs").cast("double")
+                 - F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
+                * (F.col("n_obs").cast("double")
+                   - F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
+                / (F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
+            )
+        ).cast("bigint").alias("chi2_milli")
+    )
+    return (
+        scored.crossJoin(F.broadcast(chi2))
+        .select("digit", "n_obs", "obs_ppm", "exp_ppm", "chi2_milli")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+)
+
+ORACLE_Q221 = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         count(*) AS n_obs
+  FROM orders
+  GROUP BY 1
+  HAVING digit >= 1
+), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM digits),
+scored AS (
+  SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+         CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
+         CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS exp_ppm,
+         n_total
+  FROM digits CROSS JOIN tot
+), chi AS (
+  SELECT CAST(floor(1000.0 * sum(
+           (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_ppm / 1e6)
+           * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_ppm / 1e6)
+           / (CAST(n_total AS DOUBLE) * exp_ppm / 1e6)
+         )) AS BIGINT) AS chi2_milli
+  FROM scored
+)
+SELECT digit, n_obs, obs_ppm, exp_ppm, chi2_milli
+FROM scored CROSS JOIN chi
+"""
+
+
 QUERIES = {
     "q157_dataset_profile": q157_dataset_profile,
     "q168_incremental_stats_merge": q168_incremental_stats_merge,
     "q190_good_turing": q190_good_turing,
     "q201_hll_shard_merge": q201_hll_shard_merge,
     "q203_mad_outliers": q203_mad_outliers,
+    "q221_benford_audit": q221_benford_audit,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
@@ -431,4 +529,5 @@ ORACLES = {
     "q190_good_turing": ORACLE_Q190,
     "q201_hll_shard_merge": ORACLE_Q201,
     "q203_mad_outliers": ORACLE_Q203,
+    "q221_benford_audit": ORACLE_Q221,
 }

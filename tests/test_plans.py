@@ -1059,3 +1059,13 @@ def test_cusum_window_over_days_not_events(spark, sf_dir):
     plan = formatted_plan(QUERIES["q219_cusum_drift"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_benford_single_scan_bounded_broadcasts(spark, sf_dir):
+    """q221: one orders scan feeding a 9-row aggregate; the total and the
+    chi-square scalar re-enter as bounded broadcasts."""
+    df = QUERIES["q221_benford_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q221_digits" in plan, f"digit table not staged:\n{plan[:2000]}"
+    assert plan.count("orders.parquet") == 0, plan
+    assert_no_python_udf(df)
