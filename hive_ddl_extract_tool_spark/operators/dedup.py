@@ -1966,6 +1966,86 @@ WHERE inter * 1000000 // (za.sz + zb.sz - inter) >= {PF_TAU_PPM}
 """
 
 
+
+def q222_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation shoot-out: pair completeness of the two
+    sub-quadratic blocking strategies (q42 LSH bands, q218
+    sorted-neighborhood) against the LOSSLESS truth set (q202's
+    prefix-filter join -- exact by the prefix lemma, proven by its
+    full-equijoin oracle). Per method: verified pairs found, true pairs
+    recovered, completeness in ppm -- the dedup-recall dashboard that
+    decides which blocking strategy a corpus gets. Every input is a
+    staged artifact of its own query, so the audit costs three reads
+    and bounded joins, not three pipeline re-runs.
+
+    Scale: pair sets are near-dup-sized; the truth side stays exact at
+    any corpus because prefix filtering is lossless -- this audit needs
+    no sampled ground truth."""
+    truth = q202_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    methods = [
+        ("lsh_bands", q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")),
+        ("sorted_neighborhood",
+         q218_sorted_neighborhood(spark, sf_dir).select("doc_a", "doc_b")),
+        ("prefix_filter_exact", truth),
+    ]
+    out = None
+    for name, pairs in methods:
+        row = pairs.alias("p").join(
+            truth.alias("t"),
+            (F.col("p.doc_a") == F.col("t.doc_a"))
+            & (F.col("p.doc_b") == F.col("t.doc_b")),
+            "semi",
+        ).agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_true_found"),
+        ).crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        ).select(
+            "method", "n_pairs", "n_true_found",
+            F.lit(n_truth).cast("bigint").alias("n_truth"),
+            F.expr(f"CAST(n_true_found * 1000000 DIV {max(n_truth, 1)} AS BIGINT)")
+            .alias("completeness_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_Q222 = f"""
+WITH truth AS ({ORACLE_Q202}),
+lsh AS ({ORACLE_Q42}),
+snm AS ({ORACLE_Q218}),
+tn AS (SELECT count(*) AS n_truth FROM truth)
+SELECT method, n_pairs, n_true_found, n_truth,
+       CAST(n_true_found * 1000000 // greatest(n_truth, 1) AS BIGINT)
+         AS completeness_ppm
+FROM (
+  SELECT 'lsh_bands' AS method,
+         (SELECT count(*) FROM lsh) AS n_pairs,
+         (SELECT count(*) FROM lsh p
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.doc_a = p.doc_a AND t.doc_b = p.doc_b))
+           AS n_true_found,
+         n_truth
+  FROM tn
+  UNION ALL
+  SELECT 'sorted_neighborhood',
+         (SELECT count(*) FROM snm),
+         (SELECT count(*) FROM snm p
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.doc_a = p.doc_a AND t.doc_b = p.doc_b)),
+         n_truth
+  FROM tn
+  UNION ALL
+  SELECT 'prefix_filter_exact',
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM truth),
+         n_truth
+  FROM tn
+)
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -1991,6 +2071,7 @@ QUERIES = {
     "q193_containment_dedup": q193_containment_dedup,
     "q202_prefix_filter_join": q202_prefix_filter_join,
     "q218_sorted_neighborhood": q218_sorted_neighborhood,
+    "q222_blocking_audit": q222_blocking_audit,
 }
 
 ORACLES = {
@@ -2018,4 +2099,5 @@ ORACLES = {
     "q193_containment_dedup": ORACLE_Q193,
     "q202_prefix_filter_join": ORACLE_Q202,
     "q218_sorted_neighborhood": ORACLE_Q218,
+    "q222_blocking_audit": ORACLE_Q222,
 }

@@ -1069,3 +1069,10 @@ def test_benford_single_scan_bounded_broadcasts(spark, sf_dir):
     assert "q221_digits" in plan, f"digit table not staged:\n{plan[:2000]}"
     assert plan.count("orders.parquet") == 0, plan
     assert_no_python_udf(df)
+
+
+def test_blocking_audit_rides_staged_artifacts(spark, sf_dir):
+    """q222 must read the three methods' STAGED pair sets (q42_pairs + the
+    shingle stage), not re-run their pipelines per comparison."""
+    plan = formatted_plan(QUERIES["q222_blocking_audit"](spark, sf_dir))
+    assert "q42_pairs" in plan, f"LSH pairs not staged:\n{plan[:2000]}"
