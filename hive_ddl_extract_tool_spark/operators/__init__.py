@@ -132,6 +132,7 @@ _PRIORITY = [
     "q220_incremental_equivalence",
     "q221_benford_audit",
     "q222_blocking_audit",
+    "q223_referential_integrity",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -515,6 +515,70 @@ FROM scored CROSS JOIN chi
 """
 
 
+
+# (child table, fk column) -> (parent table, pk column)
+RI_RELATIONSHIPS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q223_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's declared
+    foreign keys: per relationship, child rows, distinct FK values,
+    orphaned rows (left-anti against the parent key set), and the
+    orphan rate in ppm -- the load-time contract check that decides
+    whether a join is safe to run as INNER (an orphan silently drops
+    fact rows). NULL FKs count as orphans: a fact row that cannot
+    join is broken regardless of why.
+
+    Scale: one anti-join per relationship, each a key-hash shuffle of
+    the child against the parent's key projection (broadcast where the
+    parent is a dim); counts are map-side combined."""
+    out = None
+    for child, fk, parent, pk in RI_RELATIONSHIPS:
+        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        orphans = c.join(p, c.fk == p.pk, "left_anti")
+        row = (
+            c.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.countDistinct("fk").alias("n_distinct_fk"),
+            )
+            .crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            )
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relationship"),
+                "n_child",
+                "n_distinct_fk",
+                "n_orphans",
+                F.expr("CAST(n_orphans * 1000000 DIV n_child AS BIGINT)")
+                .alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_Q223 = """
+""" + "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{fk} -> {parent}.{pk}' AS relationship,
+       count(*) AS n_child,
+       CAST(count(DISTINCT {fk}) AS BIGINT) AS n_distinct_fk,
+       CAST(sum(CASE WHEN {fk} IS NULL OR {fk} NOT IN
+                     (SELECT {pk} FROM {parent}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST(sum(CASE WHEN {fk} IS NULL OR {fk} NOT IN
+                     (SELECT {pk} FROM {parent}) THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS orphan_ppm
+FROM {child}"""
+    for child, fk, parent, pk in RI_RELATIONSHIPS
+)
+
+
 QUERIES = {
     "q157_dataset_profile": q157_dataset_profile,
     "q168_incremental_stats_merge": q168_incremental_stats_merge,
@@ -522,6 +586,7 @@ QUERIES = {
     "q201_hll_shard_merge": q201_hll_shard_merge,
     "q203_mad_outliers": q203_mad_outliers,
     "q221_benford_audit": q221_benford_audit,
+    "q223_referential_integrity": q223_referential_integrity,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
@@ -530,4 +595,5 @@ ORACLES = {
     "q201_hll_shard_merge": ORACLE_Q201,
     "q203_mad_outliers": ORACLE_Q203,
     "q221_benford_audit": ORACLE_Q221,
+    "q223_referential_integrity": ORACLE_Q223,
 }

@@ -74,6 +74,14 @@ AFFECTED = [
     "q95_curation_report",
     "q100_gopher_rules",
     "q113_zipf_fit",
+    # round-6 gram/dedup family: zero-shingle docs must yield EMPTY (not
+    # erroring, not NULL-row) results identically on both engines
+    "q188_crossdoc_spans",
+    "q190_good_turing",
+    "q192_entropy_rate",
+    "q202_prefix_filter_join",
+    "q213_phrase_search",
+    "q218_sorted_neighborhood",
 ]
 
 
