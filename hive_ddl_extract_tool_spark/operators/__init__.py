@@ -133,6 +133,7 @@ _PRIORITY = [
     "q221_benford_audit",
     "q222_blocking_audit",
     "q223_referential_integrity",
+    "q224_seasonal_index",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -732,6 +732,70 @@ GROUP BY event_type
 """
 
 
+
+def q224_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality decomposition (STL-lite): per event type and
+    TZ-free day-of-week ((epoch_day + 4) % 7 -- epoch day 0 was a
+    Thursday), the seasonal index = day-of-week mean over overall mean,
+    in exact integer ppm via cross-multiplication
+    (dow_sum * n_total * 1e6) / (n_dow * total_sum) with decimal
+    widening (the numerator passes int64 at ~1e5 events). The index
+    table is what a forecasting or anomaly job divides out before
+    trending; dow coverage counts expose partial weeks.
+
+    Scale: one (type, dow) aggregate (42 rows max) plus a 5-row totals
+    broadcast -- the corpus is scanned once."""
+    daily = (
+        _events_cents(spark, sf_dir)
+        .select(
+            "event_type", "cents",
+            ((F.expr("unix_micros(ts) DIV 86400000000") + 4) % 7).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_dow"), F.sum("cents").alias("dow_sum"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("n_dow").alias("n_total"),
+        F.sum("dow_sum").alias("s_total"),
+    )
+    return (
+        daily.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_dow",
+            F.col("dow_sum").cast("bigint").alias("dow_cents"),
+            F.expr(
+                "CAST((CAST(dow_sum AS DECIMAL(38,0)) * n_total * 1000000)"
+                " DIV (CAST(n_dow AS DECIMAL(38,0)) * s_total) AS BIGINT)"
+            ).alias("seasonal_index_ppm"),
+        )
+    )
+
+
+ORACLE_Q224 = """
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         count(*) AS n_dow,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS dow_sum
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT event_type,
+         CAST(sum(n_dow) AS BIGINT) AS n_total,
+         CAST(sum(dow_sum) AS BIGINT) AS s_total
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+       CAST(d.n_dow AS BIGINT) AS n_dow,
+       d.dow_sum AS dow_cents,
+       CAST(CAST(d.dow_sum AS HUGEINT) * t.n_total * 1000000
+            // (CAST(d.n_dow AS HUGEINT) * t.s_total) AS BIGINT)
+         AS seasonal_index_ppm
+FROM daily d JOIN totals t USING (event_type)
+"""
+
+
 QUERIES = {
     "q195_position_attribution": q195_position_attribution,
     "q197_ab_welch": q197_ab_welch,
@@ -742,6 +806,7 @@ QUERIES = {
     "q207_activity_streaks": q207_activity_streaks,
     "q208_association_rules": q208_association_rules,
     "q219_cusum_drift": q219_cusum_drift,
+    "q224_seasonal_index": q224_seasonal_index,
 }
 ORACLES = {
     "q195_position_attribution": ORACLE_Q195,
@@ -753,4 +818,5 @@ ORACLES = {
     "q207_activity_streaks": ORACLE_Q207,
     "q208_association_rules": ORACLE_Q208,
     "q219_cusum_drift": ORACLE_Q219,
+    "q224_seasonal_index": ORACLE_Q224,
 }
