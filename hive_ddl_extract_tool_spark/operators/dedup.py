@@ -1982,7 +1982,7 @@ def q222_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus because prefix filtering is lossless -- this audit needs
     no sampled ground truth."""
     truth = q202_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
-    n_truth = truth.count()
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     methods = [
         ("lsh_bands", q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")),
         ("sorted_neighborhood",
@@ -2001,10 +2001,10 @@ def q222_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_true_found"),
         ).crossJoin(
             F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
-        ).select(
+        ).crossJoin(F.broadcast(truth_n)).select(
             "method", "n_pairs", "n_true_found",
-            F.lit(n_truth).cast("bigint").alias("n_truth"),
-            F.expr(f"CAST(n_true_found * 1000000 DIV {max(n_truth, 1)} AS BIGINT)")
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.expr("CAST(n_true_found * 1000000 DIV greatest(n_truth, 1) AS BIGINT)")
             .alias("completeness_ppm"),
         )
         out = row if out is None else out.unionByName(row)
