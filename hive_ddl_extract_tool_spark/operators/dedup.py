@@ -1900,7 +1900,11 @@ def q218_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = _doc_shingles(spark, sf_dir, cache=True)
     keys = ds.groupBy("doc_id").agg(F.min("sh").alias("minsh"))
-    w = W.partitionBy((F.col("minsh") / F.lit(1 << SNM_BAND_SHIFT)).cast("bigint")).orderBy(
+    # exact integer band: minsh is a non-negative 60-bit hash, so DIV is
+    # floor division exactly like the oracle's `//` -- a double-division
+    # cast could misband a minsh within ~2^7 of a 2^54 boundary (double
+    # rounds bigints above 2^53) and diverge from DuckDB on that doc
+    w = W.partitionBy(F.expr(f"minsh DIV {1 << SNM_BAND_SHIFT}")).orderBy(
         "minsh", "doc_id"
     )
     neighbors = keys.select(
