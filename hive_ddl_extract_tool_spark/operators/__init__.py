@@ -134,6 +134,14 @@ _PRIORITY = [
     "q222_blocking_audit",
     "q223_referential_integrity",
     "q224_seasonal_index",
+    "q225_cms_estimator_audit",
+    "q226_merkle_reconcile",
+    "q227_fd_audit",
+    "q228_lr_apportionment",
+    "q229_fellegi_sunter",
+    "q230_local_supplier_volume",
+    "q231_kcore_peel",
+    "q232_cramers_v",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

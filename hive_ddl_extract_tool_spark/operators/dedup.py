@@ -2050,6 +2050,228 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q231: k-core peeling rounds over the duplicate graph
+# --------------------------------------------------------------------------
+
+KCORE_K = 2       # degree threshold: the 2-core strips pendant/chain dups
+KCORE_ROUNDS = 4  # fixed peel rounds -- enough to converge on this graph,
+                  # and a FIXED count so both engines run the same program
+
+
+def q231_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (Matula & Beck 1983)
+    over the verified near-dup graph: each round removes nodes of
+    degree < 2 and the edges they carried; what survives distinguishes
+    densely cross-linked duplicate CLUSTERS (cycles, cliques -- template
+    farms) from pendant chains that PageRank (q124) and the triangle
+    census (q191) bracket but don't peel. Per round: surviving nodes
+    and undirected edges -- the convergence trace is the data. Rounds
+    are FIXED (4), so the oracle is the same straight-line program as
+    chained CTEs; this graph converges within them (final two rounds
+    equal = fixpoint reached, visible in the output).
+
+    Scale: per round one degree aggregate plus two semi-joins, all on
+    the near-dup-sized edge set (never the corpus); each round's edge
+    set is parquet-staged because the next round reads it twice
+    (degree + filter) and Spark does not CSE across subtrees. O(rounds)
+    bounded work on a bounded artifact -- the large-star discipline of
+    q68 applied to peeling."""
+    def build_edges() -> DataFrame:
+        p = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+        return p.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionByName(p.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+
+    edges = cached_df(spark, f"q231_edges_r0:{sf_dir}", build_edges)
+    out = None
+    for r in range(KCORE_ROUNDS + 1):
+        stats = edges.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.countDistinct("u").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+        if r == KCORE_ROUNDS:
+            break
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
+        nxt = edges.join(F.broadcast(keep), "u", "semi").join(
+            F.broadcast(keep.withColumnRenamed("u", "v")), "v", "semi"
+        )
+        r1 = r + 1
+        edges = cached_df(
+            spark, f"q231_edges_r{r1}:{sf_dir}", lambda df=nxt: df
+        )
+    return out
+
+
+def _kcore_round_ctes() -> str:
+    parts = []
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (SELECT u, count(*) AS deg FROM e{r} GROUP BY u),
+k{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE deg >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT u FROM k{r}) AND v IN (SELECT u FROM k{r})
+)"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLE_Q231 = f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
+e0 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+{_kcore_round_ctes()}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS INT) AS round,"
+    f" CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,"
+    f" CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e{r}"
+    for r in range(KCORE_ROUNDS + 1)
+)}
+"""
+
+
+# --------------------------------------------------------------------------
+# q229: Fellegi-Sunter record-linkage match weights
+# --------------------------------------------------------------------------
+
+FS_LEN_BAND = 64  # n_chars DIV 64: the coarse length field compared
+
+
+def q229_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969): score the
+    LSH candidate pairs (q42) by per-field agreement likelihood ratios
+    m/u, where m = P(fields agree | true match) is estimated from the
+    LOSSLESS truth pairs (q202, exact by the prefix lemma) and
+    u = P(agree | random pair) from the value histogram identity
+    sum(c_v^2)/N^2 -- no sampled random pairs, the exact closed form.
+    Fields: lang, source, and the coarse length band n_chars DIV 64.
+
+    All m/u estimates are exact integer ppm; the composite weight
+    multiplies the three field ratios in ONE identical double
+    expression tree per engine and floor-quantizes to milli (the
+    q221/q197 discipline), so the driver hash-matches it exactly.
+
+    Scale: the attribute projection stages once; u is three
+    histogram aggregates over it (value-cardinality-sized), m is one
+    bounded join over the truth pairs, and scoring broadcasts the
+    1-row parameter table over the candidate set -- nothing pairwise
+    beyond the already-bucketed candidates."""
+    def build() -> DataFrame:
+        return load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source",
+            F.expr(f"n_chars DIV {FS_LEN_BAND}").alias("lb"),
+        )
+
+    attrs = cached_df(spark, f"q229_attrs:{sf_dir}", build)
+    fields = ["lang", "source", "lb"]
+
+    # u_f in ppm: sum over values of c^2, divided by N^2 (both decimal-wide)
+    params = None
+    for f in fields:
+        hist = attrs.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        u = hist.agg(
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * c) * 1000000"
+                " DIV (sum(CAST(c AS DECIMAL(38,0))) * sum(c)) AS BIGINT)"
+            ).alias(f"u_{f}")
+        )
+        params = u if params is None else params.crossJoin(F.broadcast(u))
+
+    truth = q202_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    ta, tb = attrs.alias("ta"), attrs.alias("tb")
+    # the PAIR side broadcasts (near-dup-sized); attrs streams corpus-sized
+    m = (
+        F.broadcast(
+            F.broadcast(truth).join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        )
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .agg(
+            *[
+                F.expr(
+                    f"CAST(sum(CASE WHEN ta.{f} = tb.{f} THEN 1 ELSE 0 END)"
+                    f" * 1000000 DIV greatest(count(1), 1) AS BIGINT)"
+                ).alias(f"m_{f}")
+                for f in fields
+            ]
+        )
+    )
+    params = params.crossJoin(F.broadcast(m))
+
+    pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    pa, pb = attrs.alias("pa"), attrs.alias("pb")
+    scored = (
+        F.broadcast(
+            F.broadcast(pairs).join(pa, F.col("doc_a") == F.col("pa.doc_id"))
+        )
+        .join(pb, F.col("doc_b") == F.col("pb.doc_id"))
+        .crossJoin(F.broadcast(params))
+    )
+    ratio = " * ".join(
+        f"(CASE WHEN pa.{f} = pb.{f}"
+        f" THEN CAST(m_{f} AS DOUBLE) / greatest(u_{f}, 1)"
+        f" ELSE CAST(1000000 - m_{f} AS DOUBLE) / greatest(1000000 - u_{f}, 1)"
+        f" END)"
+        for f in fields
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        *[(F.col(f"pa.{f}") == F.col(f"pb.{f}")).alias(f"agree_{f}") for f in fields],
+        F.expr(f"CAST(floor(1000.0 * {ratio}) AS BIGINT)").alias("weight_milli"),
+    )
+
+
+def _fs_ratio_sql() -> str:
+    return " * ".join(
+        f"(CASE WHEN pa.{f} = pb.{f}"
+        f" THEN CAST(m_{f} AS DOUBLE) / greatest(u_{f}, 1)"
+        f" ELSE CAST(1000000 - m_{f} AS DOUBLE) / greatest(1000000 - u_{f}, 1)"
+        f" END)"
+        for f in ["lang", "source", "lb"]
+    )
+
+
+ORACLE_Q229 = f"""
+WITH attrs AS (
+  SELECT doc_id, lang, source, n_chars // {FS_LEN_BAND} AS lb FROM documents
+),
+{", ".join(
+    f'''h_{f} AS (
+  SELECT CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+              // (sum(CAST(c AS HUGEINT)) * sum(c)) AS BIGINT) AS u_{f}
+  FROM (SELECT {f}, count(*) AS c FROM attrs GROUP BY {f})
+)''' for f in ["lang", "source", "lb"]
+)},
+truth AS (SELECT doc_a, doc_b FROM ({ORACLE_Q202})),
+m AS (
+  SELECT {", ".join(
+    f"CAST(sum(CASE WHEN ta.{f} = tb.{f} THEN 1 ELSE 0 END)"
+    f" * 1000000 // greatest(count(*), 1) AS BIGINT) AS m_{f}"
+    for f in ["lang", "source", "lb"]
+  )}
+  FROM truth
+  JOIN attrs ta ON doc_a = ta.doc_id
+  JOIN attrs tb ON doc_b = tb.doc_id
+),
+params AS (SELECT * FROM h_lang, h_source, h_lb, m),
+pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42}))
+SELECT doc_a, doc_b,
+       {", ".join(f"pa.{f} = pb.{f} AS agree_{f}" for f in ["lang", "source", "lb"])},
+       CAST(floor(1000.0 * {_fs_ratio_sql()}) AS BIGINT) AS weight_milli
+FROM pairs
+JOIN attrs pa ON doc_a = pa.doc_id
+JOIN attrs pb ON doc_b = pb.doc_id
+CROSS JOIN params
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_minhash_signatures": q41_minhash_signatures,
@@ -2076,6 +2298,8 @@ QUERIES = {
     "q202_prefix_filter_join": q202_prefix_filter_join,
     "q218_sorted_neighborhood": q218_sorted_neighborhood,
     "q222_blocking_audit": q222_blocking_audit,
+    "q229_fellegi_sunter": q229_fellegi_sunter,
+    "q231_kcore_peel": q231_kcore_peel,
 }
 
 ORACLES = {
@@ -2104,4 +2328,6 @@ ORACLES = {
     "q202_prefix_filter_join": ORACLE_Q202,
     "q218_sorted_neighborhood": ORACLE_Q218,
     "q222_blocking_audit": ORACLE_Q222,
+    "q229_fellegi_sunter": ORACLE_Q229,
+    "q231_kcore_peel": ORACLE_Q231,
 }

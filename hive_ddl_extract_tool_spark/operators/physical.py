@@ -463,6 +463,141 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q226: Merkle-style replica reconciliation (anti-entropy diff)
+# --------------------------------------------------------------------------
+
+MKL_LEAVES = 256     # leaf buckets (level 4); fanout 4 -> 64, 16, 4, 1
+MKL_FANOUT = 4
+MKL_DEL_MOD = 97     # replica B lost rows where o_orderkey % 97 == 0
+MKL_CORRUPT_MOD = 131  # replica B shifted the total by 1 cent where % 131 == 0
+
+
+def q226_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy replica reconciliation (the Cassandra/Dynamo repair
+    pattern): two copies of the orders table are compared by a 5-level
+    hash tree -- 256 leaf buckets of order-free mod-sum row hashes rolled
+    up by fanout 4 -- so divergence localizes by exchanging O(log n)
+    digests instead of shipping either replica. Replica B is derived
+    in-query by deterministic key arithmetic both engines reproduce
+    exactly: rows with o_orderkey % 97 == 0 are missing (lost writes)
+    and rows with o_orderkey % 131 == 0 carry a 1-cent corruption.
+
+    Output: per tree level, node count, mismatched-node count, and the
+    A/B row volume under mismatched nodes -- the narrowing property
+    (level 0 implicates the whole table; the leaf level confines repair
+    to the divergent buckets' rows) is the data.
+
+    Scale: ONE scan of the table computes both replicas' bucket
+    digests (B is a projection of the same rows), staged as a 256-row
+    table that the five per-level rollups read; every rollup is
+    driver-tiny. At real scale each replica computes its own bucket
+    digests locally and only the 256-row digest tables travel."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        o = load(spark, sf_dir, "orders")
+        key = F.col("o_orderkey")
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        cents_b = cents + F.when(key % MKL_CORRUPT_MOD == 0, 1).otherwise(0)
+        in_b = (key % MKL_DEL_MOD != 0).cast("int")
+
+        def rowh(c):
+            return h60(
+                F.concat_ws(
+                    "\x1f",
+                    key.cast("string"),
+                    c.cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ) % _FP_MOD
+
+        return (
+            o.select(
+                (h60(key.cast("string")) % MKL_LEAVES).alias("bucket"),
+                rowh(cents).cast("decimal(38,0)").alias("ha"),
+                (rowh(cents_b) * in_b).cast("decimal(38,0)").alias("hb"),
+                in_b.alias("nb"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_a"),
+                (F.sum("ha") % _FP_MOD).cast("bigint").alias("h_a"),
+                F.sum("nb").alias("n_b"),
+                (F.sum("hb") % _FP_MOD).cast("bigint").alias("h_b"),
+            )
+        )
+
+    buckets = cached_df(spark, f"q226_buckets:{sf_dir}", build)
+    out = None
+    for level in range(5):
+        # level 4 = leaves (256 nodes), then 64, 16, 4, root
+        div = MKL_FANOUT ** (4 - level)
+        node = buckets.groupBy(
+            F.expr(f"bucket DIV {div}").alias("node")
+        ).agg(
+            F.sum("n_a").alias("n_a"),
+            (F.sum("h_a") % _FP_MOD).alias("h_a"),
+            F.sum("n_b").alias("n_b"),
+            (F.sum("h_b") % _FP_MOD).alias("h_b"),
+        )
+        mismatch = (F.col("h_a") != F.col("h_b")) | (F.col("n_a") != F.col("n_b"))
+        row = node.agg(
+            F.lit(level).cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(mismatch.cast("int")).alias("n_mismatch"),
+            F.sum(F.when(mismatch, F.col("n_a")).otherwise(0)).alias("rows_a_affected"),
+            F.sum(F.when(mismatch, F.col("n_b")).otherwise(0)).alias("rows_b_affected"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mkl_rowh_sql(cents_expr: str) -> str:
+    rr = (
+        "concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), "
+        f"CAST({cents_expr} AS VARCHAR), o_orderstatus)"
+    )
+    return f"({h60_sql(rr)} % {_FP_MOD})"
+
+
+ORACLE_Q226 = f"""
+WITH rows_h AS (
+  SELECT {h60_sql('CAST(o_orderkey AS VARCHAR)')} % {MKL_LEAVES} AS bucket,
+         {_mkl_rowh_sql('CAST(round(o_totalprice * 100) AS BIGINT)')} AS ha,
+         CASE WHEN o_orderkey % {MKL_DEL_MOD} = 0 THEN 0
+              ELSE {_mkl_rowh_sql(
+                  f'CAST(round(o_totalprice * 100) AS BIGINT) '
+                  f'+ CASE WHEN o_orderkey % {MKL_CORRUPT_MOD} = 0 THEN 1 ELSE 0 END'
+              )} END AS hb,
+         CASE WHEN o_orderkey % {MKL_DEL_MOD} = 0 THEN 0 ELSE 1 END AS nb
+  FROM orders
+), buckets AS (
+  SELECT bucket,
+         count(*) AS n_a,
+         CAST(CAST(sum(CAST(ha AS HUGEINT)) AS HUGEINT) % {_FP_MOD} AS BIGINT) AS h_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(CAST(sum(CAST(hb AS HUGEINT)) AS HUGEINT) % {_FP_MOD} AS BIGINT) AS h_b
+  FROM rows_h GROUP BY bucket
+)
+{" UNION ALL ".join(f'''
+SELECT CAST({level} AS INT) AS level,
+       count(*) AS n_nodes,
+       CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(sum(CASE WHEN mis THEN n_a ELSE 0 END) AS BIGINT) AS rows_a_affected,
+       CAST(sum(CASE WHEN mis THEN n_b ELSE 0 END) AS BIGINT) AS rows_b_affected
+FROM (
+  SELECT bucket // {MKL_FANOUT ** (4 - level)} AS node,
+         CAST(sum(n_a) AS BIGINT) AS n_a,
+         CAST(CAST(sum(CAST(h_a AS HUGEINT)) AS HUGEINT) % {_FP_MOD} AS BIGINT)
+           != CAST(CAST(sum(CAST(h_b AS HUGEINT)) AS HUGEINT) % {_FP_MOD} AS BIGINT)
+           OR sum(n_a) != sum(n_b) AS mis,
+         CAST(sum(n_b) AS BIGINT) AS n_b
+  FROM buckets GROUP BY node
+)''' for level in range(5))}
+"""
+
+
 QUERIES = {
     "q56_salted_join": q56_salted_join,
     "q58_bucketed_join": q58_bucketed_join,
@@ -471,6 +606,7 @@ QUERIES = {
     "q179_schema_evolution_merge": q179_schema_evolution_merge,
     "q204_compaction_roundtrip": q204_compaction_roundtrip,
     "q205_partition_pruned_scan": q205_partition_pruned_scan,
+    "q226_merkle_reconcile": q226_merkle_reconcile,
 }
 
 ORACLES = {
@@ -481,4 +617,5 @@ ORACLES = {
     "q179_schema_evolution_merge": ORACLE_Q179,
     "q204_compaction_roundtrip": ORACLE_Q204,
     "q205_partition_pruned_scan": ORACLE_Q205,
+    "q226_merkle_reconcile": ORACLE_Q226,
 }

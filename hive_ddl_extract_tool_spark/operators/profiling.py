@@ -579,6 +579,314 @@ FROM {child}"""
 )
 
 
+# --------------------------------------------------------------------------
+# q232: Cramer's V categorical-association matrix
+# --------------------------------------------------------------------------
+
+# (table, X expr, Y expr, label) -- SQL exprs valid in BOTH engines.
+CV_PAIRS = [
+    ("documents", "source", "lang", "documents.source~lang"),
+    ("customer", "c_nationkey", "c_mktsegment", "customer.nation~segment"),
+    ("events", "event_type", "user_id % 16", "events.type~userband"),
+    ("lineitem", "l_returnflag", "l_linestatus", "lineitem.flag~status"),
+]
+
+
+def q232_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association profile: chi-square and Cramer's V for
+    four column pairs -- the profiling complement of q227's FDs (an FD
+    is the V=1 extreme; this measures the whole dependence spectrum,
+    e.g. l_returnflag~l_linestatus are strongly associated without
+    either determining the other).
+
+    No logarithms cross the engine boundary (libm log is not
+    correctly-rounded, so ln-based mutual information could differ in
+    the last ulp per engine); chi-square uses only + * / and sqrt,
+    all IEEE-exact on identical inputs. Missing contingency cells are
+    handled by the identity sum-over-all-cells(expected) = N:
+    chi2 = N + sum over PRESENT cells of ((c-ex)^2/ex - ex), each
+    cell's term floor-quantized to micro units so the cross-cell sum
+    is an order-free int64 (the q203/q221 discipline -- a raw double
+    sum accumulates in partition order).
+
+    Scale: one corpus scan per pair into a value-pair-sized
+    contingency table (staged: margins and the statistic are three
+    consumers); everything downstream is bounded by category
+    cardinalities."""
+    from ._cache import cached_df
+
+    out = None
+    for table, xe, ye, label in CV_PAIRS:
+        def build(t=table, x=xe, y=ye) -> DataFrame:
+            return (
+                load(spark, sf_dir, t)
+                .groupBy(F.expr(x).alias("x"), F.expr(y).alias("y"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+
+        ct = cached_df(spark, f"q232_ct_{label}:{sf_dir}", build)
+        mx = ct.groupBy("x").agg(F.sum("c").alias("cx"))
+        my = ct.groupBy("y").agg(F.sum("c").alias("cy"))
+        tot = ct.agg(
+            F.sum("c").alias("n_rows"),
+            F.countDistinct("x").alias("nx"),
+            F.countDistinct("y").alias("ny"),
+        )
+        cells = (
+            ct.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        # ex = cx*cy/n as double; per-cell term floored to micro units
+        term = (
+            "CAST(floor(1000000.0 * ((CAST(c AS DOUBLE)"
+            " - CAST(cx AS DOUBLE) * cy / n_rows)"
+            " * (CAST(c AS DOUBLE) - CAST(cx AS DOUBLE) * cy / n_rows)"
+            " / (CAST(cx AS DOUBLE) * cy / n_rows)"
+            " - CAST(cx AS DOUBLE) * cy / n_rows)) AS BIGINT)"
+        )
+        row = cells.agg(
+            F.lit(label).alias("pair"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("nx").alias("nx"),
+            F.max("ny").alias("ny"),
+            # floor error is < 1 micro-unit per cell, so the micro total can
+            # dip a hair below the true chi2>=0; clamp so DIV (truncating)
+            # and // (flooring) agree -- they differ on negatives
+            F.expr(
+                f"CAST(greatest(max(n_rows) * 1000000"
+                f" + sum({term}), 0) DIV 1000 AS BIGINT)"
+            ).alias("chi2_milli"),
+        ).select(
+            "pair", "n_rows", "nx", "ny", "chi2_milli",
+            F.expr(
+                "CAST(floor(1000.0 * sqrt((CAST(chi2_milli AS DOUBLE) / 1000.0)"
+                " / (CAST(n_rows AS DOUBLE)"
+                " * least(nx - 1, ny - 1)))) AS BIGINT)"
+            ).alias("v_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _cv_pair_sql(table: str, xe: str, ye: str, label: str) -> str:
+    term = (
+        "CAST(floor(1000000.0 * ((CAST(c AS DOUBLE)"
+        " - CAST(cx AS DOUBLE) * cy / n_rows)"
+        " * (CAST(c AS DOUBLE) - CAST(cx AS DOUBLE) * cy / n_rows)"
+        " / (CAST(cx AS DOUBLE) * cy / n_rows)"
+        " - CAST(cx AS DOUBLE) * cy / n_rows)) AS BIGINT)"
+    )
+    return f"""
+SELECT pair, n_rows, nx, ny, chi2_milli,
+       CAST(floor(1000.0 * sqrt((CAST(chi2_milli AS DOUBLE) / 1000.0)
+            / (CAST(n_rows AS DOUBLE) * least(nx - 1, ny - 1)))) AS BIGINT)
+         AS v_milli
+FROM (
+  SELECT '{label}' AS pair,
+         CAST(max(n_rows) AS BIGINT) AS n_rows,
+         CAST(max(nx) AS BIGINT) AS nx,
+         CAST(max(ny) AS BIGINT) AS ny,
+         CAST(greatest(max(n_rows) * 1000000 + sum({term}), 0) // 1000 AS BIGINT)
+           AS chi2_milli
+  FROM (
+    SELECT c, cx, cy, n_rows, nx, ny
+    FROM (SELECT {xe} AS x, {ye} AS y, count(*) AS c FROM {table} GROUP BY 1, 2) ct
+    JOIN (SELECT {xe} AS x, count(*) AS cx FROM {table} GROUP BY 1) USING (x)
+    JOIN (SELECT {ye} AS y, count(*) AS cy FROM {table} GROUP BY 1) USING (y)
+    CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(count(DISTINCT x) AS BIGINT) AS nx,
+                       CAST(count(DISTINCT y) AS BIGINT) AS ny
+                FROM (SELECT {xe} AS x, {ye} AS y, count(*) AS c
+                      FROM {table} GROUP BY 1, 2))
+  )
+)"""
+
+
+ORACLE_Q232 = "\nUNION ALL\n".join(
+    _cv_pair_sql(t, x, y, lbl) for t, x, y, lbl in CV_PAIRS
+)
+
+
+# --------------------------------------------------------------------------
+# q227: approximate functional-dependency discovery (g3 measure)
+# --------------------------------------------------------------------------
+
+# (table, determinant, dependent): candidates an FD miner would score.
+# Mixed on purpose -- exact keys (g3 = 0) and genuine violations, so the
+# audit separates rather than rubber-stamps.
+FD_SPEC = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_orderkey", "l_partkey"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+]
+
+
+def q227_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the TANE/Pyro
+    profiling step): for each candidate X -> Y, the g3 error -- the
+    minimum number of rows to delete so the FD holds exactly
+    (Kivinen & Mannila 1995), computed as N - sum over X-groups of the
+    group's majority-Y count. Emitted per candidate: rows, distinct
+    determinant values, violating groups, g3 rows and ppm -- the
+    schema-inference signal that says which "keys" are trustworthy
+    before a 100 TB join assumes them (q223 audits declared FKs; this
+    DISCOVERS dependency strength without declarations).
+
+    Scale: per FD one map-side-combinable (X, Y) count shuffle whose
+    output is value-pair-sized, then an X-sized combine; candidates
+    never join each other, and the union is 6 one-row aggregates."""
+    out = None
+    for table, lhs, rhs in FD_SPEC:
+        pair = (
+            load(spark, sf_dir, table)
+            .groupBy(F.col(lhs).alias("x"), F.col(rhs).alias("y"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        grp = pair.groupBy("x").agg(
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("n_majority"),
+            F.count(F.lit(1)).alias("n_y"),
+        )
+        row = grp.agg(
+            F.lit(f"{table}.{lhs} -> {rhs}").alias("fd"),
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum((F.col("n_y") > 1).cast("int")).alias("n_violating_lhs"),
+            F.sum(F.col("n_rows") - F.col("n_majority")).alias("g3_rows"),
+        ).select(
+            "fd", "n_rows", "n_lhs", "n_violating_lhs", "g3_rows",
+            F.expr("CAST(g3_rows * 1000000 DIV n_rows AS BIGINT)").alias("g3_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_Q227 = "\nUNION ALL\n".join(
+    f"""SELECT '{table}.{lhs} -> {rhs}' AS fd,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       count(*) AS n_lhs,
+       CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+       CAST(sum(n_rows - n_majority) AS BIGINT) AS g3_rows,
+       CAST(sum(n_rows - n_majority) * 1000000 // sum(n_rows) AS BIGINT) AS g3_ppm
+FROM (
+  SELECT x, CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS n_majority,
+         count(*) AS n_y
+  FROM (SELECT {lhs} AS x, {rhs} AS y, count(*) AS c FROM {table} GROUP BY 1, 2)
+  GROUP BY x
+)"""
+    for table, lhs, rhs in FD_SPEC
+)
+
+
+# --------------------------------------------------------------------------
+# q225: count-min sketch estimator audit
+# --------------------------------------------------------------------------
+
+CMS_D = 4    # sketch depth: independent hash rows (min over these)
+CMS_W = 64   # sketch width: buckets per row -- deliberately LEAN so
+             # collisions (the phenomenon this audits) occur at every SF;
+             # keys > CMS_W guarantees them by pigeonhole
+CMS_TOPK = 20
+
+
+def q225_cms_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimator audit -- the heavy-hitter counting
+    sketch (Cormode & Muthukrishnan 2005) that q76's exact top-k would
+    be replaced by at stream scale: d=4 universal-hash rows of w=64
+    counters, point estimate = min over rows of the landed counter.
+    CMS never undercounts (each counter is a sum INCLUDING the key's
+    own count), so the audit reports per-key overestimate ppm for the
+    top-20 users by exact count -- with w sized below the key
+    cardinality, collisions are guaranteed by pigeonhole and the audit
+    measures real error at every SF (house rule: an audit that cannot
+    err is not an audit).
+
+    Both engines build the SAME sketch from the same md5-derived
+    universal hash family (_hashing.MINHASH_SEEDS), so cells, minima,
+    and ppm are exact-integer identical; the oracle is the full
+    construction, not a rubber stamp.
+
+    Scale: one corpus shuffle for the exact per-key counts (needed by
+    the audit regardless); the sketch itself is d key-sized aggregates
+    whose outputs are d*w = 256 cells, broadcast back over the
+    key-sized table -- at stream scale the same construction runs as
+    d*w counters per partition merged by addition (counters are
+    mergeable by construction), never a per-key state."""
+    from ._cache import cached_df
+    from ._hashing import MINHASH_SEEDS, minhash
+
+    def build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+        )
+
+    # staged: the sketch build reads it d times and the estimate join once
+    counts = cached_df(spark, f"q225_counts:{sf_dir}", build)
+    key_str = F.col("user_id").cast("string")
+    keyed = counts.select(
+        "user_id",
+        "n_exact",
+        *[
+            (minhash(key_str, *MINHASH_SEEDS[i]) % CMS_W).alias(f"b{i}")
+            for i in range(CMS_D)
+        ],
+    )
+    out = keyed
+    for i in range(CMS_D):
+        cells = keyed.groupBy(f"b{i}").agg(F.sum("n_exact").alias(f"cell{i}"))
+        out = out.join(F.broadcast(cells), f"b{i}")
+    est = F.least(*[F.col(f"cell{i}") for i in range(CMS_D)])
+    return (
+        out.withColumn("n_est", est)
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            F.expr(
+                "CAST((n_est - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("over_ppm"),
+        )
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(CMS_TOPK)
+    )
+
+
+def _cms_bucket_sql(i: int) -> str:
+    from ._hashing import MINHASH_SEEDS, minhash_sql
+
+    a, b = MINHASH_SEEDS[i]
+    return f"({minhash_sql('CAST(user_id AS VARCHAR)', a, b)} % {CMS_W})"
+
+
+ORACLE_Q225 = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+), keyed AS (
+  SELECT user_id, n_exact,
+         {", ".join(f"{_cms_bucket_sql(i)} AS b{i}" for i in range(CMS_D))}
+  FROM counts
+),
+{", ".join(
+    f"c{i} AS (SELECT b{i}, CAST(sum(n_exact) AS BIGINT) AS cell{i} "
+    f"FROM keyed GROUP BY b{i})"
+    for i in range(CMS_D)
+)}
+SELECT user_id, n_exact,
+       least({", ".join(f"cell{i}" for i in range(CMS_D))}) AS n_est,
+       CAST((least({", ".join(f"cell{i}" for i in range(CMS_D))}) - n_exact)
+            * 1000000 // n_exact AS BIGINT) AS over_ppm
+FROM keyed {" ".join(f"JOIN c{i} USING (b{i})" for i in range(CMS_D))}
+ORDER BY n_exact DESC, user_id
+LIMIT {CMS_TOPK}
+"""
+
+
 QUERIES = {
     "q157_dataset_profile": q157_dataset_profile,
     "q168_incremental_stats_merge": q168_incremental_stats_merge,
@@ -587,6 +895,9 @@ QUERIES = {
     "q203_mad_outliers": q203_mad_outliers,
     "q221_benford_audit": q221_benford_audit,
     "q223_referential_integrity": q223_referential_integrity,
+    "q225_cms_estimator_audit": q225_cms_estimator_audit,
+    "q227_fd_audit": q227_fd_audit,
+    "q232_cramers_v": q232_cramers_v,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
@@ -596,4 +907,7 @@ ORACLES = {
     "q203_mad_outliers": ORACLE_Q203,
     "q221_benford_audit": ORACLE_Q221,
     "q223_referential_integrity": ORACLE_Q223,
+    "q225_cms_estimator_audit": ORACLE_Q225,
+    "q227_fd_audit": ORACLE_Q227,
+    "q232_cramers_v": ORACLE_Q232,
 }

@@ -1,12 +1,13 @@
 """Classic analytic join shapes, second batch (SURVEY.md §2B X55):
 the remaining TPC-H query patterns expressible on this schema — Q3
-(shipping priority), Q17 (correlated-average small-quantity revenue),
-Q19 (disjunctive OR-of-ANDs predicate bands), Q14 (conditional-aggregate
-promo share), Q10 (returned-item top customers), Q9 (profit by nation and
-year). Together with relational.py (Q1/Q2/Q4/Q5/Q7/Q8/Q11/Q13/Q15/Q18/
-Q21/Q22 shapes) this closes every TPC-H pattern the fixture schema can
-express — the remaining queries (Q12/Q16/Q20) need columns the fixtures
-do not carry (l_shipmode, partsupp).
+(shipping priority), Q5 (local-supplier volume with the same-nation
+cross-dimension predicate, X130), Q17 (correlated-average small-quantity
+revenue), Q19 (disjunctive OR-of-ANDs predicate bands), Q14
+(conditional-aggregate promo share), Q10 (returned-item top customers),
+Q9 (profit by nation and year). Together with relational.py (Q1/Q2/Q4/
+Q7/Q8/Q11/Q13/Q15/Q18/Q21/Q22 shapes) this closes every TPC-H pattern
+the fixture schema can express — the remaining queries (Q12/Q16/Q20)
+need columns the fixtures do not carry (l_shipmode, partsupp).
 
 Money follows q01's exact-integer discipline (cents / 1e-4 units in
 decimal(30,0)): sums are order-free under any partitioning and
@@ -496,6 +497,80 @@ GROUP BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# q230: TPC-H Q5 shape -- local-supplier volume (same-nation join predicate)
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q230_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5's distinguishing shape: revenue by nation where the
+    CUSTOMER and the SUPPLIER of each lineitem sit in the SAME nation
+    (c_nationkey = s_nationkey) -- a cross-table equality that only
+    materializes after both dimension chains join, which q02's plain
+    star join never exercises. Region and order-year filters prune
+    before the fact joins.
+
+    Scale: the fact shuffles twice (orderkey, then suppkey) -- Q5's
+    irreducible cost; customer and supplier join by key with AQE
+    choosing build sides, nation/region broadcast, and the same-nation
+    predicate applies as a post-join filter on already-joined rows (no
+    extra exchange). Money is q01's exact 1e-4-unit discipline."""
+    lo = F.lit(Q5_DATE_LO).cast("timestamp")
+    hi = F.lit(Q5_DATE_HI).cast("timestamp")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev4().alias("rev4")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == Q5_REGION)
+        .groupBy("n_name")
+        .agg(
+            mround(
+                F.sum(F.col("rev4").cast("decimal(38,0)")).cast("double") / 10000.0,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_Q230 = f"""
+SELECT n_name,
+       round(1.37e-6 + CAST(sum(CAST({_REV4_SQL} AS HUGEINT)) AS DOUBLE)
+             / 10000.0, 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+  AND r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q150_shipping_priority": q150_shipping_priority,
     "q151_small_qty_revenue": q151_small_qty_revenue,
@@ -504,6 +579,7 @@ QUERIES = {
     "q154_returned_items": q154_returned_items,
     "q155_nation_profit": q155_nation_profit,
     "q209_weighted_median": q209_weighted_median,
+    "q230_local_supplier_volume": q230_local_supplier_volume,
 }
 
 ORACLES = {
@@ -514,4 +590,5 @@ ORACLES = {
     "q154_returned_items": ORACLE_Q154,
     "q155_nation_profit": ORACLE_Q155,
     "q209_weighted_median": ORACLE_Q209,
+    "q230_local_supplier_volume": ORACLE_Q230,
 }

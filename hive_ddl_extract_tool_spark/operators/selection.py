@@ -1321,6 +1321,95 @@ FROM dec CROSS JOIN auc
 """
 
 
+# --------------------------------------------------------------------------
+# q228: largest-remainder (Hamilton) budget apportionment
+# --------------------------------------------------------------------------
+
+LR_BUDGET = 1_000_000  # training-slot budget to apportion across sources
+
+
+def q228_lr_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer apportionment of a fixed training-slot budget across
+    sources by the largest-remainder (Hamilton) method: floor the exact
+    proportional quota, then hand the leftover slots to the largest
+    fractional remainders -- the standard way a data-mixing config
+    turns q101/q132-style real-valued weights into an INTEGER sample
+    plan whose parts sum exactly to the budget (naive per-source
+    rounding over- or under-shoots; the emitted total_alloc == budget
+    on every row is the proof, as data).
+
+    Quotas never touch floats: quota = budget * n_tokens as
+    decimal/HUGEINT, floor = quotient, remainder = modulus -- exact in
+    both engines at any corpus size.
+
+    Scale: one corpus scan to source-level token masses, then all
+    arithmetic lives on the source-cardinality table (a full-frame
+    window over ~20 rows, the bounded-result idiom)."""
+    per = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.size(_words()).cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    w_all = W.partitionBy()
+    base = per.withColumn("total", F.sum("n_tokens").over(w_all)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"CAST(CAST(n_tokens AS DECIMAL(38,0)) * {LR_BUDGET} DIV total AS BIGINT)"
+        ).alias("floor_alloc"),
+        F.expr(
+            f"CAST(CAST(n_tokens AS DECIMAL(38,0)) * {LR_BUDGET} % total AS BIGINT)"
+        ).alias("rem"),
+    )
+    ranked = base.withColumn(
+        "leftover", F.lit(LR_BUDGET) - F.sum("floor_alloc").over(w_all)
+    ).withColumn(
+        "rnk", F.row_number().over(W.partitionBy().orderBy(F.desc("rem"), "source"))
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_tokens",
+            (F.col("floor_alloc")
+             + (F.col("rnk") <= F.col("leftover")).cast("bigint")).alias("alloc"),
+            (F.col("rnk") <= F.col("leftover")).alias("got_extra"),
+        )
+        .withColumn("total_alloc", F.sum("alloc").over(w_all))
+    )
+
+
+ORACLE_Q228 = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CAST(len({_WORDS_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_tokens, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per
+), b AS (
+  SELECT source, n_tokens,
+         CAST(CAST(n_tokens AS HUGEINT) * {LR_BUDGET} // total AS BIGINT)
+           AS floor_alloc,
+         CAST(CAST(n_tokens AS HUGEINT) * {LR_BUDGET} % total AS BIGINT) AS rem
+  FROM t
+), r AS (
+  SELECT source, n_tokens, floor_alloc,
+         CAST({LR_BUDGET} - sum(floor_alloc) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source) AS rnk
+  FROM b
+), alloc AS (
+  SELECT source, n_tokens,
+         CAST(floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc,
+         rnk <= leftover AS got_extra
+  FROM r
+)
+SELECT source, n_tokens, alloc, got_extra,
+       CAST(sum(alloc) OVER () AS BIGINT) AS total_alloc
+FROM alloc
+"""
+
+
 QUERIES = {
     "q100_gopher_rules": q100_gopher_rules,
     "q101_source_mixing": q101_source_mixing,
@@ -1336,6 +1425,7 @@ QUERIES = {
     "q164_source_ablation": q164_source_ablation,
     "q187_weighted_sample": q187_weighted_sample,
     "q214_classifier_gains": q214_classifier_gains,
+    "q228_lr_apportionment": q228_lr_apportionment,
 }
 
 ORACLES = {
@@ -1353,4 +1443,5 @@ ORACLES = {
     "q164_source_ablation": ORACLE_Q164,
     "q187_weighted_sample": ORACLE_Q187,
     "q214_classifier_gains": ORACLE_Q214,
+    "q228_lr_apportionment": ORACLE_Q228,
 }

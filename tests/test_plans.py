@@ -1076,3 +1076,87 @@ def test_blocking_audit_rides_staged_artifacts(spark, sf_dir):
     shingle stage), not re-run their pipelines per comparison."""
     plan = formatted_plan(QUERIES["q222_blocking_audit"](spark, sf_dir))
     assert "q42_pairs" in plan, f"LSH pairs not staged:\n{plan[:2000]}"
+
+
+def test_cms_sketch_rides_staged_counts(spark, sf_dir):
+    """q225: the exact per-key counts stage once; the d sketch rows and the
+    estimate join all read the stage (events never re-scanned), cells come
+    back as bounded broadcasts, and top-k avoids a global sort."""
+    df = QUERIES["q225_cms_estimator_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q225_counts" in plan, f"counts not staged:\n{plan[:2000]}"
+    assert plan.count("events.parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert_top_k_plan(df)
+    assert_no_python_udf(df)
+
+
+def test_merkle_digests_ride_staged_buckets(spark, sf_dir):
+    """q226: ONE orders scan builds both replicas' bucket digests; the five
+    per-level rollups read the staged 256-row table."""
+    plan = formatted_plan(QUERIES["q226_merkle_reconcile"](spark, sf_dir))
+    assert "q226_buckets" in plan, f"bucket digests not staged:\n{plan[:2000]}"
+    assert plan.count("orders.parquet") == 0, plan
+
+
+def test_fd_audit_two_stage_aggregation(spark, sf_dir):
+    """q227: each FD is a (X, Y) count then an X-sized combine -- partial
+    aggregation applies, no joins between candidates, no Python."""
+    df = QUERIES["q227_fd_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan, plan
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
+
+
+def test_apportionment_full_frame_window_is_post_agg(spark, sf_dir):
+    """q228: the full-frame window runs over the SOURCE-level aggregate
+    (bounded ~20 rows), never the raw corpus -- the single corpus exchange
+    is the source groupBy."""
+    df = QUERIES["q228_lr_apportionment"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_fellegi_sunter_broadcasts_pairs_not_attrs(spark, sf_dir):
+    """q229: the pair sides (truth, candidates) broadcast; the corpus-sized
+    attribute projection is always the streamed side; the 1-row parameter
+    table enters as a broadcast scalar."""
+    df = QUERIES["q229_fellegi_sunter"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q229_attrs" in plan, f"attrs not staged:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_q5_filters_push_to_scans(spark, sf_dir):
+    """q230: the order-date and region filters reach their scans; nation and
+    region broadcast; no cartesian anywhere in the 6-table tree."""
+    df = QUERIES["q230_local_supplier_volume"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
+
+
+def test_kcore_rounds_ride_staged_edges(spark, sf_dir):
+    """q231: every peel round reads a STAGED edge set (the q42 pipeline runs
+    once, not once per round) and the keep-lists broadcast."""
+    plan = formatted_plan(QUERIES["q231_kcore_peel"](spark, sf_dir))
+    assert "q231_edges_r0" in plan, f"round-0 edges not staged:\n{plan[:2000]}"
+    assert "q231_edges_r3" in plan, plan
+    assert plan.count("documents.parquet") == 0, plan
+
+
+def test_cramers_v_stages_contingency(spark, sf_dir):
+    """q232: each pair's contingency table stages once; margins and the
+    statistic read the stage, never re-scanning the base table."""
+    df = QUERIES["q232_cramers_v"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q232_ct_" in plan, f"contingency not staged:\n{plan[:2000]}"
+    for t in ("documents.parquet", "customer.parquet", "events.parquet",
+              "lineitem.parquet"):
+        assert plan.count(t) == 0, (t, plan[:2000])
+    assert_no_python_udf(df)
