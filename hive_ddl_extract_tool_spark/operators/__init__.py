@@ -142,6 +142,9 @@ _PRIORITY = [
     "q230_local_supplier_volume",
     "q231_kcore_peel",
     "q232_cramers_v",
+    "q233_k_anonymity",
+    "q234_vocab_growth",
+    "q235_decile_calibration",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

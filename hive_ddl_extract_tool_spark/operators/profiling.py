@@ -580,6 +580,90 @@ FROM {child}"""
 
 
 # --------------------------------------------------------------------------
+# q233: k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+KANON_KS = [2, 5, 10]
+# $1000 balance bands; the +10_000_000 shift keeps the dividend positive so
+# Spark's truncating DIV and DuckDB's flooring // agree (acctbal < 0 exists)
+KANON_BAND_SQL = (
+    "(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) DIV 100000"
+)
+
+
+def q233_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifier tuple (nation, market segment, $1000 balance
+    band): the privacy screen a training-data release runs before
+    publishing joinable attributes. Per k in {2, 5, 10}: equivalence
+    classes, classes below k, rows re-identifiable at that k (risk
+    mass in ppm), plus the table's k-anonymity level (the minimum
+    class size -- the k the release actually provides).
+
+    Negative balances make the band a floor-division trap: Spark DIV
+    truncates toward zero while DuckDB // floors, so the band shifts
+    the dividend positive first (documented house rule).
+
+    Scale: ONE shuffle on the quasi-identifier tuple; the staged
+    class-size table (bounded by QI-combination cardinality) serves
+    the three k rows."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "customer")
+            .select(
+                "c_nationkey", "c_mktsegment",
+                F.expr(KANON_BAND_SQL).alias("bal_band"),
+            )
+            .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+            .agg(F.count(F.lit(1)).alias("csize"))
+        )
+
+    classes = cached_df(spark, f"q233_classes:{sf_dir}", build)
+    out = None
+    for k in KANON_KS:
+        row = classes.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("csize").alias("k_anonymity"),
+            F.sum((F.col("csize") < k).cast("int")).alias("n_small_classes"),
+            F.sum(F.when(F.col("csize") < k, F.col("csize")).otherwise(0)).alias(
+                "rows_at_risk"
+            ),
+            F.sum("csize").alias("n_rows"),
+        ).select(
+            "k", "n_classes", "k_anonymity", "n_small_classes", "rows_at_risk",
+            F.expr("CAST(rows_at_risk * 1000000 DIV n_rows AS BIGINT)")
+            .alias("risk_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_Q233 = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+           AS bal_band,
+         count(*) AS csize
+  FROM customer GROUP BY 1, 2, 3
+)
+{" UNION ALL ".join(f'''
+SELECT CAST({k} AS INT) AS k,
+       count(*) AS n_classes,
+       CAST(min(csize) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN csize < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(sum(CASE WHEN csize < {k} THEN csize ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(sum(CASE WHEN csize < {k} THEN csize ELSE 0 END) * 1000000
+            // sum(csize) AS BIGINT) AS risk_ppm
+FROM classes''' for k in KANON_KS)}
+"""
+
+
+# --------------------------------------------------------------------------
 # q232: Cramer's V categorical-association matrix
 # --------------------------------------------------------------------------
 
@@ -898,6 +982,7 @@ QUERIES = {
     "q225_cms_estimator_audit": q225_cms_estimator_audit,
     "q227_fd_audit": q227_fd_audit,
     "q232_cramers_v": q232_cramers_v,
+    "q233_k_anonymity": q233_k_anonymity,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
@@ -910,4 +995,5 @@ ORACLES = {
     "q225_cms_estimator_audit": ORACLE_Q225,
     "q227_fd_audit": ORACLE_Q227,
     "q232_cramers_v": ORACLE_Q232,
+    "q233_k_anonymity": ORACLE_Q233,
 }

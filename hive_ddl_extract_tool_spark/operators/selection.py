@@ -1322,6 +1322,90 @@ FROM dec CROSS JOIN auc
 
 
 # --------------------------------------------------------------------------
+# q235: per-source calibration against global score deciles
+# --------------------------------------------------------------------------
+
+CAL_BUCKETS = 10  # global score deciles
+
+
+def q235_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-distribution shift per source: every document is assigned
+    its GLOBAL quality-score decile and the (source, decile) census
+    shows which sources crowd the top or bottom of the corpus-wide
+    distribution -- the cross-source calibration check run before
+    trusting one threshold for all sources (q142 compares two gates;
+    this compares each source against the corpus).
+
+    Deciles are exact rank statistics at score-bucket granularity (the
+    q174 cell trick): the corpus is never globally sorted -- the staged
+    per-doc bucket table (shared with q102/q142) aggregates to a
+    bounded bucket histogram, a cumulative window over that tiny table
+    assigns each bucket its decile, and the bucket->decile map joins
+    back as a broadcast. A heavy bucket may swallow whole deciles,
+    deterministically in both engines.
+
+    Scale: one staged corpus scoring pass (amortized across its three
+    consumers), one bounded histogram, one broadcast join, one
+    (source, decile) aggregate."""
+    per = _quality_buckets(spark, sf_dir).filter(F.col("qb").isNotNull())
+    cells = per.groupBy("qb").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy().orderBy("qb")
+    decile_map = cells.select(
+        "qb",
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cb"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    ).select("qb", F.expr(f"CAST(cb * {CAL_BUCKETS} DIV n AS BIGINT)").alias("decile"))
+    counts = (
+        per.join(F.broadcast(decile_map), "qb")
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ws = W.partitionBy("source")
+    return counts.select(
+        "source",
+        "decile",
+        "n_docs",
+        F.sum("n_docs").over(ws).alias("n_source"),
+    ).select(
+        "source", "decile", "n_docs",
+        F.expr("CAST(n_docs * 1000000 DIV n_source AS BIGINT)").alias("src_ppm"),
+    )
+
+
+ORACLE_Q235 = f"""
+WITH w AS (
+  SELECT doc_id, source, text, {_WORDS_SQL} AS w FROM documents
+),
+per AS (
+  SELECT doc_id, source,
+         CAST(floor((CASE WHEN len(w) > 0 AND length(text) > 0
+                          THEN {_Q102_SCORE_SQL} END) * {QB_SCALE}) AS BIGINT) AS qb
+  FROM w
+),
+perq AS (SELECT * FROM per WHERE qb IS NOT NULL),
+cells AS (SELECT qb, count(*) AS c FROM perq GROUP BY qb),
+dmap AS (
+  SELECT qb,
+         CAST(coalesce(sum(c) OVER (ORDER BY qb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              * {CAL_BUCKETS} // (SELECT sum(c) FROM cells) AS BIGINT) AS decile
+  FROM cells
+),
+counts AS (
+  SELECT source, decile, count(*) AS n_docs
+  FROM perq JOIN dmap USING (qb)
+  GROUP BY source, decile
+)
+SELECT source, decile, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source)
+            AS BIGINT) AS src_ppm
+FROM counts
+"""
+
+
+# --------------------------------------------------------------------------
 # q228: largest-remainder (Hamilton) budget apportionment
 # --------------------------------------------------------------------------
 
@@ -1426,6 +1510,7 @@ QUERIES = {
     "q187_weighted_sample": q187_weighted_sample,
     "q214_classifier_gains": q214_classifier_gains,
     "q228_lr_apportionment": q228_lr_apportionment,
+    "q235_decile_calibration": q235_decile_calibration,
 }
 
 ORACLES = {
@@ -1444,4 +1529,5 @@ ORACLES = {
     "q187_weighted_sample": ORACLE_Q187,
     "q214_classifier_gains": ORACLE_Q214,
     "q228_lr_apportionment": ORACLE_Q228,
+    "q235_decile_calibration": ORACLE_Q235,
 }

@@ -353,13 +353,111 @@ FROM top, t
 """
 
 
+# --------------------------------------------------------------------------
+# q234: vocabulary growth curve (Heaps'-law checkpoints)
+# --------------------------------------------------------------------------
+
+HEAPS_CKPTS = 10  # deciles of the doc_id range
+
+
+def q234_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve -- the empirical Heaps'-law trace a
+    tokenizer-training run reads to decide when the corpus stops
+    yielding new types: at each of 10 checkpoints over the deterministic
+    doc_id ingest order, the cumulative token mass, the cumulative
+    vocabulary (types whose FIRST occurrence lies at or before the
+    checkpoint), and the type/token ratio in ppm. No curve fitting
+    crosses the engine boundary (a log-log OLS would ride libm log);
+    the checkpoints ARE the curve, all exact integers.
+
+    A type's first occurrence is min(doc_id) over its postings -- one
+    vocabulary-sized shuffle off one corpus scan; checkpoint k covers
+    doc_id <= (k * max_id) DIV 10, so a type's checkpoint index is the
+    exact integer ceil division (first*10 + max-1) DIV max. Both
+    10-row decile tables cumulate with a bounded window.
+
+    Scale: two aggregates off the token stream (first-occurrence and
+    per-decile mass), everything downstream is 10 rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", _words(F.lower("text")).alias("w"))
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    toks = docs.select("doc_id", F.explode("w").alias("tok"))
+
+    def ck(col: str) -> F.Column:
+        # smallest k with col <= k*max_id DIV 10  ==  ceil(col*10 / max_id)
+        return F.expr(f"CAST(({col} * {HEAPS_CKPTS} + max_id - 1) DIV max_id AS BIGINT)")
+
+    firsts = (
+        toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(ck("first_doc").alias("ckpt"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    mass = (
+        toks.crossJoin(F.broadcast(mx))
+        .groupBy(ck("doc_id").alias("ckpt"))
+        .agg(F.count(F.lit(1)).alias("toks"), F.countDistinct("doc_id").alias("docs"))
+    )
+    w = W.partitionBy().orderBy("ckpt")
+    joined = mass.join(firsts, "ckpt", "full").select(
+        "ckpt",
+        F.coalesce("toks", F.lit(0)).alias("toks"),
+        F.coalesce("docs", F.lit(0)).alias("docs"),
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    return joined.select(
+        "ckpt",
+        F.sum("docs").over(w).alias("n_docs"),
+        F.sum("toks").over(w).alias("n_tokens"),
+        F.sum("new_types").over(w).alias("vocab"),
+    ).select(
+        "ckpt", "n_docs", "n_tokens", "vocab",
+        F.expr("CAST(vocab * 1000000 DIV n_tokens AS BIGINT)").alias("ttr_ppm"),
+    )
+
+
+ORACLE_Q234 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({LOWER_WORDS_SQL}) AS tok FROM documents
+),
+mx AS (SELECT max(doc_id) AS max_id FROM documents),
+firsts AS (
+  SELECT CAST((doc_id * {HEAPS_CKPTS} + max_id - 1) // max_id AS BIGINT) AS ckpt,
+         count(*) AS new_types
+  FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok), mx
+  GROUP BY 1
+),
+mass AS (
+  SELECT CAST((doc_id * {HEAPS_CKPTS} + max_id - 1) // max_id AS BIGINT) AS ckpt,
+         count(*) AS toks, count(DISTINCT doc_id) AS docs
+  FROM toks, mx
+  GROUP BY 1
+),
+joined AS (
+  SELECT coalesce(mass.ckpt, firsts.ckpt) AS ckpt,
+         coalesce(toks, 0) AS toks, coalesce(docs, 0) AS docs,
+         coalesce(new_types, 0) AS new_types
+  FROM mass FULL JOIN firsts ON mass.ckpt = firsts.ckpt
+)
+SELECT ckpt,
+       CAST(sum(docs) OVER wd AS BIGINT) AS n_docs,
+       CAST(sum(toks) OVER wd AS BIGINT) AS n_tokens,
+       CAST(sum(new_types) OVER wd AS BIGINT) AS vocab,
+       CAST(CAST(sum(new_types) OVER wd AS BIGINT) * 1000000
+            // CAST(sum(toks) OVER wd AS BIGINT) AS BIGINT) AS ttr_ppm
+FROM joined
+WINDOW wd AS (ORDER BY ckpt ROWS UNBOUNDED PRECEDING)
+"""
+
+
 QUERIES = {
     "q156_bpe_merge_rounds": q156_bpe_merge_rounds,
     "q161_char_coverage": q161_char_coverage,
     "q162_negative_sampling_table": q162_negative_sampling_table,
+    "q234_vocab_growth": q234_vocab_growth,
 }
 ORACLES = {
     "q156_bpe_merge_rounds": ORACLE_Q156,
     "q161_char_coverage": ORACLE_Q161,
     "q162_negative_sampling_table": ORACLE_Q162,
+    "q234_vocab_growth": ORACLE_Q234,
 }

@@ -1160,3 +1160,31 @@ def test_cramers_v_stages_contingency(spark, sf_dir):
               "lineitem.parquet"):
         assert plan.count(t) == 0, (t, plan[:2000])
     assert_no_python_udf(df)
+
+
+def test_k_anonymity_single_qi_shuffle(spark, sf_dir):
+    """q233: the three k rows read the STAGED class-size table; customer is
+    scanned once (inside the stage), never per k."""
+    plan = formatted_plan(QUERIES["q233_k_anonymity"](spark, sf_dir))
+    assert "q233_classes" in plan, f"class table not staged:\n{plan[:2000]}"
+    assert plan.count("customer.parquet") == 0, plan
+
+
+def test_vocab_growth_bounded_windows(spark, sf_dir):
+    """q234: the cumulative windows run over the 10-row checkpoint tables;
+    the max-id scalar broadcasts; no Python stages."""
+    df = QUERIES["q234_vocab_growth"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_decile_calibration_rides_staged_scores(spark, sf_dir):
+    """q235: the per-doc score pass is the STAGED quality-buckets artifact
+    (shared with q102/q142); the bucket->decile map joins back broadcast."""
+    df = QUERIES["q235_decile_calibration"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "quality_buckets" in plan, f"score pass not staged:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("documents.parquet") == 0, plan
+    assert_no_python_udf(df)
