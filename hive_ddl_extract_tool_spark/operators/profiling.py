@@ -24,7 +24,7 @@ normalizes it (tables.py probe); o_orderdate covers the timestamp kind.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .text import ngrams_sql, word_ngrams
@@ -580,6 +580,134 @@ FROM {child}"""
 
 
 # --------------------------------------------------------------------------
+# q237: key-space gap census (sequence completeness audit)
+# --------------------------------------------------------------------------
+
+GAP_BAND = 256        # keys per ordering band: key DIV 256
+GAP_DROP_CHUNK = 5    # planted lost chunk: keys with k DIV 128 == 5
+GAP_DROP_SCATTER = 377  # planted scattered losses: k % 377 == 0
+
+
+def q237_keyspace_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit over the order key space: gap count,
+    total missing keys, the largest gap, and key density in ppm -- the
+    ingest check that catches a dropped chunk before a downstream join
+    silently shrinks. The fixture's keys are dense, so the audit's
+    subject is a deterministically damaged ingest (the q226 planting
+    discipline): one contiguous 128-key chunk (k DIV 128 == 5, a lost
+    file) and scattered single keys (k % 377 == 0, lost rows) are
+    dropped by key arithmetic both engines replicate -- the audit must
+    find exactly that chunk as max_gap plus the scatter, at every SF.
+
+    No global sort: keys order WITHIN bands of 4096 (key DIV 4096) for
+    the lead()-based within-band gaps, and the per-band (min, max,
+    count) summary table -- bounded at keyspace/4096 rows -- closes the
+    cross-band boundaries with its own lead() over bands, which also
+    accounts for entirely-missing bands. Gap count, missing mass, and
+    max gap decompose exactly into within-band + boundary terms.
+
+    Scale: one exchange on the band key, one bounded summary pass --
+    the same banding discipline as q218's SNM sort."""
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .filter(
+            (F.expr("k DIV 128") != GAP_DROP_CHUNK)
+            & (F.col("k") % GAP_DROP_SCATTER != 0)
+        )
+        .withColumn("band", F.expr(f"k DIV {GAP_BAND}"))
+    )
+    wb = W.partitionBy("band").orderBy("k")
+    inband = keys.withColumn("nxt", F.lead("k").over(wb)).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(((F.col("nxt") - F.col("k")) > 1).cast("int")).alias("n_gaps_in"),
+        F.sum(
+            F.when(F.col("nxt") - F.col("k") > 1, F.col("nxt") - F.col("k") - 1)
+            .otherwise(0)
+        ).alias("missing_in"),
+        F.max(
+            F.when(F.col("nxt") - F.col("k") > 1, F.col("nxt") - F.col("k") - 1)
+            .otherwise(0)
+        ).alias("max_gap_in"),
+    )
+    wo = W.partitionBy().orderBy("band")
+    bands = inband.withColumn("nxt_min", F.lead("k_min").over(wo))
+    return bands.agg(
+        F.sum("n_keys").alias("n_keys"),
+        F.min("k_min").alias("key_lo"),
+        F.max("k_max").alias("key_hi"),
+        (
+            F.sum("n_gaps_in")
+            + F.sum(
+                F.when(F.col("nxt_min") - F.col("k_max") > 1, 1).otherwise(0)
+            )
+        ).alias("n_gaps"),
+        (
+            F.sum("missing_in")
+            + F.sum(
+                F.when(
+                    F.col("nxt_min") - F.col("k_max") > 1,
+                    F.col("nxt_min") - F.col("k_max") - 1,
+                ).otherwise(0)
+            )
+        ).alias("missing_keys"),
+        F.greatest(
+            F.max("max_gap_in"),
+            F.max(
+                F.when(
+                    F.col("nxt_min") - F.col("k_max") > 1,
+                    F.col("nxt_min") - F.col("k_max") - 1,
+                ).otherwise(0)
+            ),
+        ).alias("max_gap"),
+    ).select(
+        "n_keys", "key_lo", "key_hi", "n_gaps", "missing_keys", "max_gap",
+        F.expr(
+            "CAST(n_keys * 1000000 DIV (key_hi - key_lo + 1) AS BIGINT)"
+        ).alias("density_ppm"),
+    )
+
+
+ORACLE_Q237 = f"""
+WITH keys AS (
+  SELECT o_orderkey AS k, o_orderkey // {GAP_BAND} AS band FROM orders
+  WHERE o_orderkey // 128 != {GAP_DROP_CHUNK}
+    AND o_orderkey % {GAP_DROP_SCATTER} != 0
+),
+inband AS (
+  SELECT band,
+         count(*) AS n_keys, min(k) AS k_min, max(k) AS k_max,
+         CAST(sum(CASE WHEN nxt - k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_in,
+         CAST(sum(CASE WHEN nxt - k > 1 THEN nxt - k - 1 ELSE 0 END) AS BIGINT)
+           AS missing_in,
+         CAST(max(CASE WHEN nxt - k > 1 THEN nxt - k - 1 ELSE 0 END) AS BIGINT)
+           AS max_gap_in
+  FROM (SELECT k, band, lead(k) OVER (PARTITION BY band ORDER BY k) AS nxt
+        FROM keys)
+  GROUP BY band
+),
+bands AS (SELECT *, lead(k_min) OVER (ORDER BY band) AS nxt_min FROM inband)
+SELECT CAST(sum(n_keys) AS BIGINT) AS n_keys,
+       min(k_min) AS key_lo,
+       max(k_max) AS key_hi,
+       CAST(sum(n_gaps_in)
+            + sum(CASE WHEN nxt_min - k_max > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       CAST(sum(missing_in)
+            + sum(CASE WHEN nxt_min - k_max > 1 THEN nxt_min - k_max - 1
+                       ELSE 0 END) AS BIGINT) AS missing_keys,
+       CAST(greatest(max(max_gap_in),
+            max(CASE WHEN nxt_min - k_max > 1 THEN nxt_min - k_max - 1
+                     ELSE 0 END)) AS BIGINT) AS max_gap,
+       CAST(sum(n_keys) * 1000000 // (max(k_max) - min(k_min) + 1) AS BIGINT)
+         AS density_ppm
+FROM bands
+"""
+
+
+# --------------------------------------------------------------------------
 # q233: k-anonymity audit over quasi-identifiers
 # --------------------------------------------------------------------------
 
@@ -983,6 +1111,7 @@ QUERIES = {
     "q227_fd_audit": q227_fd_audit,
     "q232_cramers_v": q232_cramers_v,
     "q233_k_anonymity": q233_k_anonymity,
+    "q237_keyspace_gaps": q237_keyspace_gaps,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
@@ -996,4 +1125,5 @@ ORACLES = {
     "q227_fd_audit": ORACLE_Q227,
     "q232_cramers_v": ORACLE_Q232,
     "q233_k_anonymity": ORACLE_Q233,
+    "q237_keyspace_gaps": ORACLE_Q237,
 }

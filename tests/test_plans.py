@@ -1188,3 +1188,24 @@ def test_decile_calibration_rides_staged_scores(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("documents.parquet") == 0, plan
     assert_no_python_udf(df)
+
+
+def test_sequence_match_single_window_sort(spark, sf_dir):
+    """q236: both lead() pairs share ONE user-keyed window sort; the top-k
+    is a heap, not a global sort."""
+    df = QUERIES["q236_sequence_match"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("- Window") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert_top_k_plan(df)
+    assert_no_python_udf(df)
+
+
+def test_keyspace_gaps_banded_never_global(spark, sf_dir):
+    """q237: the per-key lead() windows partition by band (never a
+    SinglePartition sort over the corpus); only the bounded band summary
+    uses a full-frame window."""
+    df = QUERIES["q237_keyspace_gaps"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(band" in plan, plan
+    assert_no_python_udf(df)
