@@ -147,6 +147,8 @@ _PRIORITY = [
     "q235_decile_calibration",
     "q236_sequence_match",
     "q237_keyspace_gaps",
+    "q238_stream_cms",
+    "q239_sampling_audit",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

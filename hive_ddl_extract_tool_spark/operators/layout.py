@@ -415,11 +415,96 @@ FROM est, actual
 """
 
 
+# --------------------------------------------------------------------------
+# q239: sampling-based approximate query processing, audited
+# --------------------------------------------------------------------------
+
+AQP_RATE = 16  # 1-in-16 deterministic hash sample
+
+
+def q239_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by uniform sampling, audited against
+    ground truth: a deterministic 1/16 hash sample of lineitem (h60 of
+    the unique (orderkey, linenumber) row key -- reproducible in both
+    engines, unlike Bernoulli rand()) estimates per (returnflag,
+    linestatus) row counts and revenue by scaling the sample sum by 16;
+    the audit reports the exact values and the estimator's signed error
+    in ppm. Sampling is THE 100 TB trick this repo's exact tier
+    deliberately avoids -- this query measures what it costs: group
+    sizes vary, so errors are visibly nonzero and differ per group
+    (an audit that cannot err is not an audit).
+
+    Scale: ONE scan computes both tiers -- the sample contributes via
+    conditional aggregation (sum-if-sampled), never a second pass or a
+    join; the output is group-cardinality-sized."""
+    rowkey = F.concat_ws(
+        "#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    rev4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).cast("decimal(38,0)")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        rev4.alias("rev4"),
+        (h60(rowkey) % AQP_RATE == 0).cast("int").alias("in_sample"),
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("rev4").alias("rev4_exact"),
+        F.sum("in_sample").alias("n_sampled"),
+        F.sum(F.when(F.col("in_sample") == 1, F.col("rev4")).otherwise(0)).alias(
+            "rev4_sampled"
+        ),
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "n_exact",
+        (F.col("n_sampled") * AQP_RATE).alias("n_est"),
+        # ABSOLUTE ppm: a signed quotient would diverge (Spark DIV
+        # truncates toward zero, DuckDB // floors on negatives); the sign
+        # is already in n_est vs n_exact
+        F.expr(
+            f"CAST(abs(n_sampled * {AQP_RATE} - n_exact) * 1000000"
+            " DIV n_exact AS BIGINT)"
+        ).alias("rows_err_ppm"),
+        F.expr(
+            f"CAST(abs(rev4_sampled * {AQP_RATE} - rev4_exact) * 1000000"
+            " DIV rev4_exact AS BIGINT)"
+        ).alias("rev_err_ppm"),
+    )
+
+
+_AQP_REV4 = (
+    "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)"
+)
+_AQP_KEY = h60_sql(
+    "(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR))"
+)
+
+ORACLE_Q239 = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN {_AQP_KEY} % {AQP_RATE} = 0 THEN 1 ELSE 0 END)
+            * {AQP_RATE} AS BIGINT) AS n_est,
+       CAST(abs(sum(CASE WHEN {_AQP_KEY} % {AQP_RATE} = 0 THEN 1 ELSE 0 END)
+             * {AQP_RATE} - count(*)) * 1000000 // count(*) AS BIGINT)
+         AS rows_err_ppm,
+       CAST(abs(sum(CASE WHEN {_AQP_KEY} % {AQP_RATE} = 0 THEN {_AQP_REV4}
+                      ELSE 0 END) * {AQP_RATE}
+             - sum({_AQP_REV4})) * 1000000 // sum({_AQP_REV4}) AS BIGINT)
+         AS rev_err_ppm
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "q172_zorder_layout": q172_zorder_layout,
     "q173_bloom_prune_audit": q173_bloom_prune_audit,
     "q174_equidepth_histogram": q174_equidepth_histogram,
     "q177_join_cardinality_audit": q177_join_cardinality_audit,
+    "q239_sampling_audit": q239_sampling_audit,
 }
 
 ORACLES = {
@@ -427,4 +512,5 @@ ORACLES = {
     "q173_bloom_prune_audit": _oracle_q173(),
     "q174_equidepth_histogram": ORACLE_Q174,
     "q177_join_cardinality_audit": ORACLE_Q177,
+    "q239_sampling_audit": ORACLE_Q239,
 }

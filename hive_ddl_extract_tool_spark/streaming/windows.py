@@ -1420,6 +1420,166 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q238: streaming count-min sketch accumulation (mergeability, executed)
+# --------------------------------------------------------------------------
+
+def _cms_batch_cells(bdf: DataFrame) -> DataFrame:
+    """One micro-batch's counter increments as a long-form (row, bucket,
+    cell) table -- d*w rows at most, whatever the batch size."""
+    from ..operators._hashing import MINHASH_SEEDS, minhash
+    from ..operators.profiling import CMS_D, CMS_W
+
+    key = F.col("user_id").cast("string")
+    arr = F.array(*[minhash(key, *MINHASH_SEEDS[i]) % CMS_W for i in range(CMS_D)])
+    return (
+        bdf.select(F.posexplode(arr).alias("i", "b"))
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+def _cms_merge_batch(
+    spark: SparkSession, base: str, state_dir: str, bdf: DataFrame, batch_id: int
+) -> None:
+    """foreachBatch merge of counter increments into the parquet state --
+    counters are ADDITIVE, so the q175 batch-id ledger (written atomically
+    inside the dir an os.rename publishes) makes replays exactly-once."""
+    import os
+    import shutil
+
+    ledger = f"{state_dir}/_applied_batch_id"
+    if _os.path.exists(ledger):
+        with open(ledger) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return
+    inc = _cms_batch_cells(bdf)
+    if _os.path.exists(state_dir):
+        inc = (
+            spark.read.parquet(state_dir)
+            .unionByName(inc)
+            .groupBy("i", "b")
+            .agg(F.sum("cell").alias("cell"))
+        )
+    tmp = f"{base}/state_v{batch_id}"
+    inc.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(f"{tmp}/_applied_batch_id", "w") as fh:
+        fh.write(str(batch_id))
+    shutil.rmtree(state_dir, ignore_errors=True)
+    _os.rename(tmp, state_dir)
+
+
+def q238_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q225's mergeability claim EXECUTED: the count-min sketch is built
+    incrementally -- events replay as 4 day-quartile micro-batches
+    (pinned mtimes, maxFilesPerTrigger=1) and each batch's d*w counter
+    increments merge additively into a parquet state table under a
+    batch-id ledger (exactly-once under foreachBatch replay). Because
+    counter addition commutes, the streamed sketch must equal the
+    batch-built sketch CELL FOR CELL, so the final estimates match
+    q225's construction exactly and the oracle is the full batch
+    construction plus n_batches = 4 pinning that the run was truly
+    incremental.
+
+    Scale: this is the production shape for stream-scale heavy
+    hitters -- per-batch increments are at most d*w rows regardless of
+    batch size, state is d*w counters forever, and the exact
+    per-key pass exists only for the audit."""
+    import shutil
+    import tempfile
+
+    from ..operators._hashing import MINHASH_SEEDS, minhash
+    from ..operators.profiling import CMS_D, CMS_TOPK, CMS_W
+
+    name = "q238_stream_cms"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = _os.path.join(tempfile.gettempdir(), f"q238_cms_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base)
+    src = f"{base}/src"
+    _os.makedirs(src)
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) DIV 86400000000")
+    )
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    span = hi - lo + 1
+    for k in range(INCR_SHARDS):
+        d0 = lo + (span * k) // INCR_SHARDS
+        d1 = lo + (span * (k + 1)) // INCR_SHARDS
+        shard_tmp = f"{base}/_build{k}"
+        (ev.filter((F.col("day") >= d0) & (F.col("day") < d1))
+           .drop("day").coalesce(1).write.parquet(shard_tmp))
+        part = next(f for f in _os.listdir(shard_tmp) if f.endswith(".parquet"))
+        dst = f"{src}/shard-{k}.parquet"
+        shutil.move(f"{shard_tmp}/{part}", dst)
+        shutil.rmtree(shard_tmp)
+        _pin_mtime(dst, 1_000_000_000.0 + 10 * k)
+
+    state_dir = f"{base}/state"
+    schema = spark.read.parquet(f"{src}/shard-0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.queryName(name)
+        .foreachBatch(
+            lambda bdf, bid: _cms_merge_batch(spark, base, state_dir, bdf, bid)
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    finally:
+        q.stop()
+
+    cells = spark.read.parquet(state_dir)
+    counts = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    key = F.col("user_id").cast("string")
+    out = counts.select(
+        "user_id", "n_exact",
+        *[(minhash(key, *MINHASH_SEEDS[i]) % CMS_W).alias(f"b{i}")
+          for i in range(CMS_D)],
+    )
+    for i in range(CMS_D):
+        ci = cells.filter(F.col("i") == i).select(
+            F.col("b").alias(f"b{i}"), F.col("cell").alias(f"cell{i}")
+        )
+        out = out.join(F.broadcast(ci), f"b{i}")
+    est = F.least(*[F.col(f"cell{i}") for i in range(CMS_D)])
+    return (
+        out.withColumn("n_est", est)
+        .select(
+            "user_id", "n_exact", "n_est",
+            F.expr("CAST((n_est - n_exact) * 1000000 DIV n_exact AS BIGINT)")
+            .alias("over_ppm"),
+            F.lit(n_batches).cast("bigint").alias("n_batches"),
+        )
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(CMS_TOPK)
+    )
+
+
+def _oracle_q238() -> str:
+    from ..operators.profiling import ORACLE_Q225
+
+    return (
+        f"SELECT *, CAST({INCR_SHARDS} AS BIGINT) AS n_batches"
+        f" FROM ({ORACLE_Q225})"
+    )
+
+
 QUERIES = {
     "q60_tumbling_window": q60_tumbling_window,
     "q61_sliding_window": q61_sliding_window,
@@ -1429,6 +1589,7 @@ QUERIES = {
     "q70_stream_static_join": q70_stream_static_join,
     "q212_stream_pit_enrich": q212_stream_pit_enrich,
     "q220_incremental_equivalence": q220_incremental_equivalence,
+    "q238_stream_cms": q238_stream_cms,
     "q98_stream_sessionize": q98_stream_sessionize,
     "q107_stream_interval_join": q107_stream_interval_join,
     "q131_stream_dedup_gate": q131_stream_dedup_gate,
@@ -1449,6 +1610,7 @@ ORACLES = {
     "q70_stream_static_join": ORACLE_Q70,
     "q212_stream_pit_enrich": ORACLE_Q212,
     "q220_incremental_equivalence": ORACLE_Q220,
+    "q238_stream_cms": _oracle_q238(),
     "q98_stream_sessionize": ORACLE_Q88,
     "q107_stream_interval_join": ORACLE_Q107,
     "q131_stream_dedup_gate": _oracle_q131(),

@@ -40,7 +40,7 @@ PYTHON_OK = {
     "q181_arrow_python_udf",   # ArrowEvalPython IS the surface under test
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
-SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window", "q212_stream_pit_enrich", "q220_incremental_equivalence"}
+SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window", "q212_stream_pit_enrich", "q220_incremental_equivalence", "q238_stream_cms"}
 
 
 def test_priority_names_exist():
@@ -1208,4 +1208,14 @@ def test_keyspace_gaps_banded_never_global(spark, sf_dir):
     df = QUERIES["q237_keyspace_gaps"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "hashpartitioning(band" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_sampling_audit_single_scan_no_join(spark, sf_dir):
+    """q239: one lineitem scan computes both tiers via conditional
+    aggregation -- no join, no second scan, no Python."""
+    df = QUERIES["q239_sampling_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Join" not in plan, plan
     assert_no_python_udf(df)

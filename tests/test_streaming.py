@@ -482,3 +482,30 @@ def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):
     out = all_queries()["q212_stream_pit_enrich"](spark, sf_dir).collect()
     assert sum(r["n_events"] for r in out) == load(spark, sf_dir, "events").count()
     assert len(out) == 3, out
+
+
+def test_cms_merge_replays_are_noops(spark, tmp_path):
+    """q238's crash-replay discipline: CMS counter merges are ADDITIVE, so
+    a foreachBatch re-delivery with the same batch_id must be a no-op (the
+    batch-id ledger), while a genuinely new batch still accumulates."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.streaming.windows import _cms_merge_batch
+
+    base = str(tmp_path / "cms")
+    state_dir = f"{base}/state"
+    (tmp_path / "cms").mkdir()
+    b0 = spark.createDataFrame([(7,), (7,), (9,)], "user_id long")
+    _cms_merge_batch(spark, base, state_dir, b0, 0)
+    total0 = spark.read.parquet(state_dir).agg(F.sum("cell")).first()[0]
+
+    # crash-replay of batch 0: same batch_id, counters must not double
+    _cms_merge_batch(spark, base, state_dir, b0, 0)
+    assert spark.read.parquet(state_dir).agg(F.sum("cell")).first()[0] == total0
+
+    # a new batch accumulates: 1 more row -> d more cell increments
+    b1 = spark.createDataFrame([(9,)], "user_id long")
+    _cms_merge_batch(spark, base, state_dir, b1, 1)
+    total1 = spark.read.parquet(state_dir).agg(F.sum("cell")).first()[0]
+    from hive_ddl_extract_tool_spark.operators.profiling import CMS_D
+    assert total1 == total0 + CMS_D
