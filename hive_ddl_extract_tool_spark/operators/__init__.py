@@ -149,6 +149,9 @@ _PRIORITY = [
     "q237_keyspace_gaps",
     "q238_stream_cms",
     "q239_sampling_audit",
+    "q240_winsorize_audit",
+    "q241_iter_pandas_udf",
+    "q242_weekly_quantiles",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -797,6 +797,189 @@ FROM daily d JOIN totals t USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# q240: winsorization audit (exact rank-statistic clipping)
+# --------------------------------------------------------------------------
+
+WINSOR_LO_PCT = 5   # clip below the exact p05 rank statistic
+WINSOR_HI_PCT = 95  # and above the exact p95
+
+
+def q240_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per event type: the p05/p95 clip bounds as
+    EXACT rank statistics (the value at ascending rank ceil(p*n) --
+    integer arithmetic (p*n + 99) DIV 100, never an interpolated
+    percentile, whose semantics are not pinned across engines: the
+    q116 rule), the rows each side would clip, and the total value
+    mass the clip removes in exact cents -- what a robust-metrics
+    pipeline reports before replacing means with winsorized means.
+
+    ONE corpus scan: everything derives from the bounded per-(type,
+    cents) count map -- bounds via a cumulative window over it, clip
+    counts and drift by re-aggregating THE SAME map against the
+    broadcast bounds, so the fact is never re-read."""
+    from ._cache import cached_df
+
+    def build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    vmap = cached_df(spark, f"q240_vmap:{sf_dir}", build)
+    wt = W.partitionBy("event_type").orderBy("cents")
+    cum = vmap.select(
+        "event_type", "cents", "c",
+        F.sum("c").over(wt).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    bounds = cum.groupBy("event_type", "n").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({WINSOR_LO_PCT} * n + 99) DIV 100"),
+                F.col("cents"),
+            )
+        ).alias("lo_cents"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({WINSOR_HI_PCT} * n + 99) DIV 100"),
+                F.col("cents"),
+            )
+        ).alias("hi_cents"),
+    )
+    return (
+        vmap.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), F.col("c")).otherwise(0))
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("c")).otherwise(0))
+            .alias("n_clip_hi"),
+            F.sum(
+                F.when(
+                    F.col("cents") < F.col("lo_cents"),
+                    F.col("c") * (F.col("lo_cents") - F.col("cents")),
+                )
+                .when(
+                    F.col("cents") > F.col("hi_cents"),
+                    F.col("c") * (F.col("cents") - F.col("hi_cents")),
+                )
+                .otherwise(0)
+            ).alias("drift_cents"),
+        )
+        .select(
+            "event_type", "n", "lo_cents", "hi_cents",
+            "n_clip_lo", "n_clip_hi", "drift_cents",
+        )
+    )
+
+
+ORACLE_Q240 = f"""
+WITH vmap AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM vmap
+),
+bounds AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         min(CASE WHEN cum >= ({WINSOR_LO_PCT} * n + 99) // 100
+                  THEN cents END) AS lo_cents,
+         min(CASE WHEN cum >= ({WINSOR_HI_PCT} * n + 99) // 100
+                  THEN cents END) AS hi_cents
+  FROM cum GROUP BY event_type, n
+)
+SELECT v.event_type, n, lo_cents, hi_cents,
+       CAST(sum(CASE WHEN cents < lo_cents THEN c ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN cents > hi_cents THEN c ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(sum(CASE WHEN cents < lo_cents THEN c * (lo_cents - cents)
+                     WHEN cents > hi_cents THEN c * (cents - hi_cents)
+                     ELSE 0 END) AS BIGINT) AS drift_cents
+FROM vmap v JOIN bounds USING (event_type)
+GROUP BY v.event_type, n, lo_cents, hi_cents
+"""
+
+
+# --------------------------------------------------------------------------
+# q242: weekly quantile trend (exact rank statistics per period)
+# --------------------------------------------------------------------------
+
+TREND_WEEK_US = 7 * 86_400_000_000  # TZ-free week index: epoch-micros DIV week
+
+
+def q242_weekly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p95 trend per event type -- the monitoring series a
+    latency/value dashboard plots, with every quantile an EXACT rank
+    statistic (the value at ascending rank ceil(p*n) in pure integer
+    arithmetic; interpolated percentile semantics are not pinned
+    across engines: the q116 rule). Weeks are TZ-free epoch-micros
+    integer division, the hostile-TZ-proven pattern.
+
+    Scale: one scan map-side-combines to the (type, week, cents)
+    count map (bounded by value levels x periods, not rows); the
+    cumulative window and the min-when rank selections run per
+    (type, week) partition on that map."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    vmap = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {TREND_WEEK_US}").alias("week"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "week", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = W.partitionBy("event_type", "week").orderBy("cents")
+    cum = vmap.select(
+        "event_type", "week", "cents", "c",
+        F.sum("c").over(wt).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type", "week")).alias("n"),
+    )
+    return cum.groupBy("event_type", "week", "n").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(50 * n + 99) DIV 100"), F.col("cents"))
+        ).alias("p50_cents"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"), F.col("cents"))
+        ).alias("p95_cents"),
+    )
+
+
+ORACLE_Q242 = f"""
+WITH vmap AS (
+  SELECT event_type, epoch_us(ts) // {TREND_WEEK_US} AS week,
+         CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, week, cents, c,
+         sum(c) OVER (PARTITION BY event_type, week ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type, week) AS n
+  FROM vmap
+)
+SELECT event_type, week, CAST(n AS BIGINT) AS n,
+       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS p50_cents,
+       min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS p95_cents
+FROM cum
+GROUP BY event_type, week, n
+"""
+
+
+# --------------------------------------------------------------------------
 # q236: strict-sequence pattern matching with time constraints
 # --------------------------------------------------------------------------
 
@@ -890,6 +1073,8 @@ QUERIES = {
     "q219_cusum_drift": q219_cusum_drift,
     "q224_seasonal_index": q224_seasonal_index,
     "q236_sequence_match": q236_sequence_match,
+    "q240_winsorize_audit": q240_winsorize_audit,
+    "q242_weekly_quantiles": q242_weekly_quantiles,
 }
 ORACLES = {
     "q195_position_attribution": ORACLE_Q195,
@@ -903,4 +1088,6 @@ ORACLES = {
     "q219_cusum_drift": ORACLE_Q219,
     "q224_seasonal_index": ORACLE_Q224,
     "q236_sequence_match": ORACLE_Q236,
+    "q240_winsorize_audit": ORACLE_Q240,
+    "q242_weekly_quantiles": ORACLE_Q242,
 }

@@ -38,6 +38,7 @@ PYTHON_OK = {
     "q171_polymorphic_udtf",   # the polymorphic UDTF IS a Python stage
     "q176_grouped_agg_udf",    # grouped-agg pandas UDF + WindowInPandas
     "q181_arrow_python_udf",   # ArrowEvalPython IS the surface under test
+    "q241_iter_pandas_udf",    # the SCALAR_ITER transport IS the surface
 }
 # Streaming / driver-side queries whose plan isn't a single batch pipeline.
 SKIP_PLAN_AUDIT = {"q63_stream_tumbling", "q64_stream_dedup", "q70_stream_static_join", "q98_stream_sessionize", "q107_stream_interval_join", "q131_stream_dedup_gate", "q140_stream_outer_join", "q170_stream_file_sink", "q175_stream_upsert_sink", "q178_state_store_reader", "q180_stream_update_mode", "q182_stream_session_window", "q212_stream_pit_enrich", "q220_incremental_equivalence", "q238_stream_cms"}
@@ -1218,4 +1219,26 @@ def test_sampling_audit_single_scan_no_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("lineitem.parquet") == 1, plan
     assert "Join" not in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_winsorize_rides_staged_count_map(spark, sf_dir):
+    """q240: bounds and clip stats both read the STAGED (type, cents) count
+    map; events is never re-scanned; the bounds broadcast back."""
+    df = QUERIES["q240_winsorize_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q240_vmap" in plan, f"count map not staged:\n{plan[:2000]}"
+    assert plan.count("events.parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_weekly_quantiles_bounded_map_no_join(spark, sf_dir):
+    """q242: one events scan into the (type, week, cents) map; rank
+    selection is window + aggregate, no join anywhere."""
+    df = QUERIES["q242_weekly_quantiles"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(event_type" in plan, plan
     assert_no_python_udf(df)
