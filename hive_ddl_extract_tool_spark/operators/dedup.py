@@ -1781,6 +1781,18 @@ PF_TAU_PPM = 800_000  # Jaccard threshold tau = 0.8, as integer ppm
 
 
 def q202_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged wrapper: the (tiny, near-dup-sized) exact pair set is THE
+    lossless truth artifact three consumers read (q222's audit twice,
+    q229's m-estimation, this query's own driver row) -- Catalyst does
+    not CSE across their subtrees, so without the stage each consumer
+    re-runs the whole prefix-filter pipeline (measured: q222 11.5 s ->
+    ~2 s in-sweep). Same discipline as q42_pairs."""
+    return cached_df(
+        spark, f"q202_pairs:{sf_dir}", lambda: _q202_build(spark, sf_dir)
+    )
+
+
+def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.8 similarity join via prefix filtering
     (SSJoin/PPJoin family) -- the lossless counterpart of q42's LSH: no
     probabilistic bands, yet no all-pairs join either. Each document
@@ -1876,6 +1888,15 @@ SNM_BAND_SHIFT = 54   # sort-order bands: minhash DIV 2^54 (64 coarse bands)
 
 
 def q218_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged wrapper (q42_pairs/q202_pairs discipline): q222 consumes
+    the SNM pair set twice (count + truth semi-join); the stage makes
+    that two reads of a tiny parquet instead of two pipeline runs."""
+    return cached_df(
+        spark, f"q218_pairs:{sf_dir}", lambda: _q218_build(spark, sf_dir)
+    )
+
+
+def _q218_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood dedup (the Hernandez-Stolfo merge/purge
     method): sort documents by a similarity-correlated key and compare
     each only to its next W neighbors -- candidate generation by

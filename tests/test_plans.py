@@ -926,8 +926,13 @@ def test_prefix_filter_join_shapes(spark, sf_dir):
     """q202: equi-joins only (the prefix lemma removes any need for a
     theta/cartesian candidate step), and the verify joins must run on
     candidate-doc SEMI-filtered shingles."""
-    df = QUERIES["q202_prefix_filter_join"](spark, sf_dir)
-    plan = formatted_plan(df)
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+    from hive_ddl_extract_tool_spark.operators.dedup import _q202_build
+
+    clear_cache()
+    # assert on the BUILD pipeline: the registered q202 stages its result
+    # (three consumers), so its own plan is just the staged read
+    plan = formatted_plan(_q202_build(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, f"shingles not semi-filtered:\n{plan[:2000]}"
 
@@ -1048,7 +1053,11 @@ def test_sorted_neighborhood_banded_window(spark, sf_dir):
     """q218's lead() windows must partition by the minhash band -- a
     SinglePartition window over the whole sorted key table would be the
     scale regression SNM's banding exists to avoid."""
-    plan = formatted_plan(QUERIES["q218_sorted_neighborhood"](spark, sf_dir))
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+    from hive_ddl_extract_tool_spark.operators.dedup import _q218_build
+
+    clear_cache()
+    plan = formatted_plan(_q218_build(spark, sf_dir))
     assert "SinglePartition" not in plan, f"unbanded global sort window:\n{plan[:2000]}"
     assert "LeftSemi" in plan, plan
 
