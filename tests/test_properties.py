@@ -296,6 +296,9 @@ import pytest as _pytest
         "q158_pq_distortion",    # integer milli-unit argmin + distortion sums
         "q162_negative_sampling_table",  # exact integer c^0.75 + ppm shares
         "q164_source_ablation",  # 1e-9 floor-quantized divergence terms
+        "q226_merkle_reconcile",  # mod-sum digests are order-free by design
+        "q232_cramers_v",        # micro-floored per-cell chi-square terms
+        "q240_winsorize_audit",  # count-map rank statistics + integer drift
     ],
 )
 def test_results_invariant_to_shuffle_partitioning(qname, spark, sf_dir):
@@ -389,3 +392,99 @@ def test_z_interleave_agrees_cross_engine_and_with_python(spark):
         ).fetchall()
     }
     assert got_duck == want
+
+
+def test_apportionment_invariants(spark, sf_dir):
+    """q228 must behave like the Hamilton method it claims to be: the
+    allocations sum EXACTLY to the budget (the method's reason to exist),
+    every source's allocation is within 1 of its real-valued quota
+    (Hamilton satisfies quota), and exactly `leftover` sources got the
+    +1 top-up."""
+    from hive_ddl_extract_tool_spark.operators.selection import (
+        LR_BUDGET,
+        q228_lr_apportionment,
+    )
+
+    rows = q228_lr_apportionment(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == LR_BUDGET
+    assert all(r["total_alloc"] == LR_BUDGET for r in rows)
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        quota = LR_BUDGET * r["n_tokens"] / total
+        assert quota - 1 < r["alloc"] < quota + 1, (r, quota)
+    assert sum(r["got_extra"] for r in rows) == LR_BUDGET - sum(
+        (LR_BUDGET * r["n_tokens"]) // total for r in rows
+    )
+
+
+def test_cms_never_undercounts_and_matches_python(spark, sf_dir):
+    """q225's two contracts, checked against an independent Python CMS:
+    the estimate is NEVER below the exact count (each counter includes
+    the key's own mass), and the Spark-built sketch minimum equals a
+    from-scratch Python construction over the same exact counts."""
+    import hashlib
+
+    from hive_ddl_extract_tool_spark.operators._hashing import MINHASH_SEEDS, P31
+    from hive_ddl_extract_tool_spark.operators.profiling import (
+        CMS_D,
+        CMS_W,
+        q225_cms_estimator_audit,
+    )
+    from hive_ddl_extract_tool_spark.tables import load
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["user_id"]: r["c"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cells = [[0] * CMS_W for _ in range(CMS_D)]
+    for uid, c in counts.items():
+        for i in range(CMS_D):
+            a, b = MINHASH_SEEDS[i]
+            cells[i][((a * (h60_py(str(uid)) % P31) + b) % P31) % CMS_W] += c
+    for r in q225_cms_estimator_audit(spark, sf_dir).collect():
+        uid = r["user_id"]
+        assert r["n_est"] >= r["n_exact"]
+        py_est = min(
+            cells[i][((MINHASH_SEEDS[i][0] * (h60_py(str(uid)) % P31)
+                       + MINHASH_SEEDS[i][1]) % P31) % CMS_W]
+            for i in range(CMS_D)
+        )
+        assert r["n_est"] == py_est, (uid, r["n_est"], py_est)
+
+
+def test_rank_statistic_quantiles_match_python(spark, sf_dir):
+    """q242's ceil(p*n) rank selection vs Python's sorted-list indexing on
+    the same data: the exact-order-statistic claim, verified off-engine."""
+    from hive_ddl_extract_tool_spark.operators.behavior import (
+        TREND_WEEK_US,
+        q242_weekly_quantiles,
+    )
+    from hive_ddl_extract_tool_spark.tables import load
+    from pyspark.sql import functions as F
+
+    raw = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {TREND_WEEK_US}").alias("week"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in raw:
+        groups.setdefault((r["event_type"], r["week"]), []).append(r["cents"])
+    for r in q242_weekly_quantiles(spark, sf_dir).collect():
+        vals = sorted(groups[(r["event_type"], r["week"])])
+        n = len(vals)
+        assert r["n"] == n
+        assert r["p50_cents"] == vals[(50 * n + 99) // 100 - 1]
+        assert r["p95_cents"] == vals[(95 * n + 99) // 100 - 1]
