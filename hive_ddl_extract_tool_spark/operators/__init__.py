@@ -152,6 +152,7 @@ _PRIORITY = [
     "q240_winsorize_audit",
     "q241_iter_pandas_udf",
     "q242_weekly_quantiles",
+    "q243_mmr_rerank",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

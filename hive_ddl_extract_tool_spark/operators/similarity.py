@@ -1579,7 +1579,202 @@ SELECT CAST(i - 1 AS INT) AS dim, v AS loading FROM {prev}
 ORACLE_Q117 = _oracle_q117()
 
 
+# --------------------------------------------------------------------------
+# q243: maximal-marginal-relevance (MMR) diversified re-ranking
+# --------------------------------------------------------------------------
+
+MMR_NQ = 4          # query vectors: vec_id < 4
+MMR_CAND = 20       # relevance candidates fed to the MMR loop
+MMR_K = 5           # diversified picks returned per query
+MMR_LAMBDA_PPM = 700_000  # relevance weight; 1 - lambda penalizes redundancy
+
+
+def q243_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's top-20 cosine candidates, pick 5 results
+    that trade relevance against redundancy -- pick r maximizes
+    lambda*sim(q,d) - (1-lambda)*max over already-picked s of
+    sim(d,s). This is THE post-retrieval diversifier for near-dup-heavy
+    corpora: a plain top-k returns 5 copies of the same document, MMR
+    returns the cluster once plus genuinely different results.
+
+    Exactness: similarities floor-quantize to integer micro units
+    (floor of bit-identical doubles -- the shared ascending-index
+    cosine tree), so every MMR score is the exact integer
+    LAMBDA_PPM*sim_micro - (1e6-LAMBDA_PPM)*penalty_micro and the
+    greedy argmax ties break on vec_id; no float ordering crosses the
+    engine boundary. Scores emit raw (1e-12-scaled) -- dividing could
+    hit the signed DIV/floor divergence.
+
+    Scale: candidate generation is the broadcast-query scan (q46's
+    shape); the MMR loop runs on the STAGED candidate and pairwise
+    tables -- NQ*CAND and NQ*CAND^2 rows, driver-composed fixed K
+    rounds of bounded joins, independent of corpus size. The 400-cell
+    pairwise table is the whole quadratic cost, confined to the
+    candidate set by construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+
+    def build_cand() -> DataFrame:
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id", "cand_id", "ce",
+                F.floor(_cosine(F.col("qe"), F.col("ce")) * 1_000_000)
+                .cast("bigint").alias("squ"),
+            )
+        )
+        wq = W.partitionBy("query_id").orderBy(F.desc("squ"), "cand_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= MMR_CAND)
+            .select("query_id", "cand_id", "ce", "squ")
+        )
+
+    cand = cached_df(spark, f"q243_cand:{sf_dir}", build_cand)
+
+    def build_pairs() -> DataFrame:
+        a, b = cand.alias("a"), cand.alias("b")
+        return a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        ).select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("cand_id"),
+            F.col("b.cand_id").alias("other_id"),
+            F.floor(_cosine(F.col("a.ce"), F.col("b.ce")) * 1_000_000)
+            .cast("bigint").alias("sp"),
+        )
+
+    pairs = cached_df(spark, f"q243_pairs:{sf_dir}", build_pairs)
+    simq = cand.select("query_id", "cand_id", "squ")
+
+    wpick = W.partitionBy("query_id")
+    first = (
+        simq.withColumn(
+            "rn", F.row_number().over(wpick.orderBy(F.desc("squ"), "cand_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("pick_round"),
+            F.col("cand_id").alias("vec_id"),
+            (F.col("squ") * MMR_LAMBDA_PPM).alias("mmr_score_p12"),
+        )
+    )
+    picked = first
+    for r in range(2, MMR_K + 1):
+        pk = picked.select("query_id", F.col("vec_id").alias("other_id"))
+        remaining = simq.join(
+            picked.select("query_id", F.col("vec_id").alias("cand_id")),
+            ["query_id", "cand_id"],
+            "anti",
+        )
+        pen = (
+            pairs.join(F.broadcast(pk), ["query_id", "other_id"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sp").alias("pen"))
+        )
+        scored_r = remaining.join(pen, ["query_id", "cand_id"]).select(
+            "query_id", "cand_id",
+            (
+                F.col("squ") * MMR_LAMBDA_PPM
+                - F.col("pen") * (1_000_000 - MMR_LAMBDA_PPM)
+            ).alias("score"),
+        )
+        pick_r = (
+            scored_r.withColumn(
+                "rn",
+                F.row_number().over(wpick.orderBy(F.desc("score"), "cand_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("int").alias("pick_round"),
+                F.col("cand_id").alias("vec_id"),
+                F.col("score").alias("mmr_score_p12"),
+            )
+        )
+        picked = picked.unionByName(pick_r)
+    return picked
+
+
+def _oracle_q243() -> str:
+    L = MMR_LAMBDA_PPM
+    rounds = []
+    prev = "p1"
+    for r in range(2, MMR_K + 1):
+        rounds.append(f"""r{r} AS MATERIALIZED (
+  SELECT query_id, {r} AS pick_round, cand_id AS vec_id, score AS mmr_score_p12
+  FROM (
+    SELECT s.query_id, s.cand_id,
+           s.squ * {L} - pen.pen * {1_000_000 - L} AS score,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY s.squ * {L} - pen.pen * {1_000_000 - L} DESC, s.cand_id
+           ) AS rn
+    FROM simq s
+    JOIN (
+      SELECT p.query_id, p.cand_id, max(p.sp) AS pen
+      FROM pairs p JOIN {prev} k
+        ON p.query_id = k.query_id AND p.other_id = k.vec_id
+      GROUP BY p.query_id, p.cand_id
+    ) pen ON s.query_id = pen.query_id AND s.cand_id = pen.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} k2
+                      WHERE k2.query_id = s.query_id AND k2.vec_id = s.cand_id)
+  ) WHERE rn = 1
+),
+p{r} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM r{r})""")
+        prev = f"p{r}"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {MMR_NQ}),
+c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+cand AS MATERIALIZED (
+  SELECT query_id, cand_id, ce, squ FROM (
+    SELECT query_id, cand_id, ce,
+           CAST(floor(({COSINE_SQL}) * 1000000) AS BIGINT) AS squ,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(floor(({COSINE_SQL}) * 1000000) AS BIGINT) DESC,
+                      cand_id) AS rn
+    FROM q, c WHERE query_id <> cand_id
+  ) WHERE rn <= {MMR_CAND}
+),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+         CAST(floor((
+  list_sum(list_transform(range(1, len(a.ce) + 1),
+           i -> CAST(a.ce[i] AS DOUBLE) * CAST(b.ce[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(b.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         ) * 1000000) AS BIGINT) AS sp
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+),
+simq AS MATERIALIZED (SELECT query_id, cand_id, squ FROM cand),
+p1 AS MATERIALIZED (
+  SELECT query_id, 1 AS pick_round, cand_id AS vec_id,
+         squ * {L} AS mmr_score_p12
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY squ DESC, cand_id) AS rn
+        FROM simq) WHERE rn = 1
+),
+{",".join(rounds)}
+SELECT query_id, CAST(pick_round AS INT) AS pick_round, vec_id,
+       CAST(mmr_score_p12 AS BIGINT) AS mmr_score_p12
+FROM {prev}
+"""
+
+
 QUERIES = {
+    "q243_mmr_rerank": q243_mmr_rerank,
     "q46_cosine_topk": q46_cosine_topk,
     "q49_cosine_neardup": q49_cosine_neardup,
     "q49b_cosine_neardup_lsh": q49b_cosine_neardup_lsh,
@@ -1599,6 +1794,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q243_mmr_rerank": _oracle_q243(),
     "q46_cosine_topk": ORACLE_Q46,
     "q47_ann_lsh": ORACLE_Q47,
     "q49_cosine_neardup": ORACLE_Q49,

@@ -1251,3 +1251,12 @@ def test_weekly_quantiles_bounded_map_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "hashpartitioning(event_type" in plan, plan
     assert_no_python_udf(df)
+
+
+def test_mmr_rounds_ride_staged_candidates(spark, sf_dir):
+    """q243: every greedy round reads the STAGED candidate/pairwise tables
+    (embeddings scanned only inside the stages, never per round)."""
+    plan = formatted_plan(QUERIES["q243_mmr_rerank"](spark, sf_dir))
+    assert "q243_cand" in plan, f"candidates not staged:\n{plan[:2000]}"
+    assert "q243_pairs" in plan, plan
+    assert plan.count("embeddings.parquet") == 0, plan
