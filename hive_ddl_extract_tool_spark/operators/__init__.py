@@ -51,11 +51,13 @@ from pyspark.sql import DataFrame, SparkSession
 # cutoff, never driver-checked (all pass the local sweep + the round-5
 # judge's independent re-run); (2) q06/q15b -- upgraded this round from
 # rows-only to oracle-backed (deterministic sketch-vs-exact bound booleans),
-# first oracle row needed; plus the round-6 additions q185-q214; (3)
+# first oracle row needed; plus the round-6 additions q185-q243; (3)
 # stalest greens: the r2-era block, then r3-era, then r4-era. Everything
 # green in r5 carries the freshest evidence and falls through to module
-# order. The prefix now exceeds the ~50-query budget, so the round-6
-# additions past the cutoff roll forward as next round's class (1).
+# order. The prefix far exceeds the ~50-query budget: a 50-query round-6
+# sweep covers q153-q184 + q06/q15b + q185-q200, so ROUND 7's class (1)
+# is q201-q243 (43 never-checked queries -- likely two more rounds of
+# budget); rotate them first, then the round-6 greens go to the back.
 _PRIORITY = [
     # (1) never driver-checked: past r5's cutoff
     "q153_promo_share",
