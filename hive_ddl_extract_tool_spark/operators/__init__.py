@@ -155,6 +155,7 @@ _PRIORITY = [
     "q241_iter_pandas_udf",
     "q242_weekly_quantiles",
     "q243_mmr_rerank",
+    "q244_activity_trend",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

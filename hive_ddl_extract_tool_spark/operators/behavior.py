@@ -797,6 +797,94 @@ FROM daily d JOIN totals t USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# q244: per-type activity trend (integer-exact grouped OLS over time)
+# --------------------------------------------------------------------------
+
+def q244_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear activity trend per event type: OLS slope of daily event
+    count on the day index, entirely in EXACT integers -- the
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are integer sums over
+    the daily pre-aggregate, and the slope's closed form
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is an exact integer ratio. The
+    milli-scaled slope divides via sign·(|num|·1000 DIV den) because a
+    SIGNED quotient diverges cross-engine (Spark DIV truncates toward
+    zero, DuckDB // floors) -- growth trends are positive, decay
+    trends negative, both must hash-match. Complements q219 (level
+    SHIFTS) and q224 (seasonality): this is the monotone drift term.
+
+    Scale: events collapse to the calendar-bounded (type, day) table
+    in one map-side-combined pass; the regression is a 5-integer
+    aggregate per type over that tiny table."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    # x = day - min(day) per type keeps Σx² small and the intercept
+    # interpretable; min(day) rides a window over the calendar-bounded
+    # daily table (a groupBy+join would re-derive the events scan --
+    # Catalyst does not CSE the daily subtree across consumers)
+    stats = (
+        daily.withColumn("d0", F.min("day").over(W.partitionBy("event_type")))
+        .select("event_type", (F.col("day") - F.col("d0")).alias("x"), "y")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type", "n_days", "sy",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (
+            F.signum(num).cast("bigint")
+            * F.expr(
+                "CAST(abs(n_days * sxy - sx * sy) * 1000"
+                " DIV (n_days * sxx - sx * sx) AS BIGINT)"
+            )
+        ).cast("bigint").alias("slope_milli"),
+    )
+
+
+ORACLE_Q244 = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS x, y
+  FROM daily
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n_days, sy,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n_days * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+            * (abs(n_days * sxy - sx * sy) * 1000
+               // (n_days * sxx - sx * sx)) AS BIGINT) AS slope_milli
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
 # q240: winsorization audit (exact rank-statistic clipping)
 # --------------------------------------------------------------------------
 
@@ -1075,6 +1163,7 @@ QUERIES = {
     "q236_sequence_match": q236_sequence_match,
     "q240_winsorize_audit": q240_winsorize_audit,
     "q242_weekly_quantiles": q242_weekly_quantiles,
+    "q244_activity_trend": q244_activity_trend,
 }
 ORACLES = {
     "q195_position_attribution": ORACLE_Q195,
@@ -1090,4 +1179,5 @@ ORACLES = {
     "q236_sequence_match": ORACLE_Q236,
     "q240_winsorize_audit": ORACLE_Q240,
     "q242_weekly_quantiles": ORACLE_Q242,
+    "q244_activity_trend": ORACLE_Q244,
 }

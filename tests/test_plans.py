@@ -1260,3 +1260,14 @@ def test_mmr_rounds_ride_staged_candidates(spark, sf_dir):
     assert "q243_cand" in plan, f"candidates not staged:\n{plan[:2000]}"
     assert "q243_pairs" in plan, plan
     assert plan.count("embeddings.parquet") == 0, plan
+
+
+def test_activity_trend_regresses_over_daily_aggregate(spark, sf_dir):
+    """q244: the OLS sums run over the calendar-bounded daily table (ONE
+    map-side-combined events pass); the per-type min-day rides a window
+    over that tiny table, never a join that would re-derive the scan."""
+    df = QUERIES["q244_activity_trend"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert_no_python_udf(df)
