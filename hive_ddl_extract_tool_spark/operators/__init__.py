@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 # green in r5 carries the freshest evidence and falls through to module
 # order. The prefix far exceeds the ~50-query budget: a 50-query round-6
 # sweep covers q153-q184 + q06/q15b + q185-q200, so ROUND 7's class (1)
-# is q201-q243 (43 never-checked queries -- likely two more rounds of
+# is q201-q244 (44 never-checked queries -- likely two more rounds of
 # budget); rotate them first, then the round-6 greens go to the back.
 _PRIORITY = [
     # (1) never driver-checked: past r5's cutoff

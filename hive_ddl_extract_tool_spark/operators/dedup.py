@@ -2234,13 +2234,9 @@ def q229_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pb, F.col("doc_b") == F.col("pb.doc_id"))
         .crossJoin(F.broadcast(params))
     )
-    ratio = " * ".join(
-        f"(CASE WHEN pa.{f} = pb.{f}"
-        f" THEN CAST(m_{f} AS DOUBLE) / greatest(u_{f}, 1)"
-        f" ELSE CAST(1000000 - m_{f} AS DOUBLE) / greatest(1000000 - u_{f}, 1)"
-        f" END)"
-        for f in fields
-    )
+    # the SAME generated expression string the oracle embeds -- one
+    # definition, so the two engines cannot drift apart
+    ratio = _fs_ratio_sql()
     return scored.select(
         "doc_a",
         "doc_b",

@@ -437,13 +437,14 @@ def q239_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE scan computes both tiers -- the sample contributes via
     conditional aggregation (sum-if-sampled), never a second pass or a
     join; the output is group-cardinality-sized."""
+    from .relational2 import _rev4
+
     rowkey = F.concat_ws(
         "#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
     )
-    rev4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("bigint")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
-    ).cast("decimal(38,0)")
+    # the ONE money-discipline definition (relational2._rev4), widened for
+    # the scaled-error arithmetic below
+    rev4 = _rev4().cast("decimal(38,0)")
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus",
         rev4.alias("rev4"),
@@ -474,10 +475,9 @@ def q239_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AQP_REV4 = (
-    "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)"
-)
+from .relational2 import _REV4_SQL as _AQP_REV4_BASE
+
+_AQP_REV4 = f"CAST({_AQP_REV4_BASE} AS HUGEINT)"
 _AQP_KEY = h60_sql(
     "(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR))"
 )

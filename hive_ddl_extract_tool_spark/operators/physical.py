@@ -562,7 +562,7 @@ def _mkl_rowh_sql(cents_expr: str) -> str:
 
 
 ORACLE_Q226 = f"""
-WITH rows_h AS (
+WITH rows_h AS MATERIALIZED (
   SELECT {h60_sql('CAST(o_orderkey AS VARCHAR)')} % {MKL_LEAVES} AS bucket,
          {_mkl_rowh_sql('CAST(round(o_totalprice * 100) AS BIGINT)')} AS ha,
          CASE WHEN o_orderkey % {MKL_DEL_MOD} = 0 THEN 0
@@ -572,7 +572,7 @@ WITH rows_h AS (
               )} END AS hb,
          CASE WHEN o_orderkey % {MKL_DEL_MOD} = 0 THEN 0 ELSE 1 END AS nb
   FROM orders
-), buckets AS (
+), buckets AS MATERIALIZED (
   SELECT bucket,
          count(*) AS n_a,
          CAST(CAST(sum(CAST(ha AS HUGEINT)) AS HUGEINT) % {_FP_MOD} AS BIGINT) AS h_a,

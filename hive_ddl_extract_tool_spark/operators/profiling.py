@@ -599,9 +599,9 @@ def q237_keyspace_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped by key arithmetic both engines replicate -- the audit must
     find exactly that chunk as max_gap plus the scatter, at every SF.
 
-    No global sort: keys order WITHIN bands of 4096 (key DIV 4096) for
-    the lead()-based within-band gaps, and the per-band (min, max,
-    count) summary table -- bounded at keyspace/4096 rows -- closes the
+    No global sort: keys order WITHIN bands of GAP_BAND=256 (key DIV
+    256) for the lead()-based within-band gaps, and the per-band (min,
+    max, count) summary table -- bounded at keyspace/256 rows -- closes the
     cross-band boundaries with its own lead() over bands, which also
     accounts for entirely-missing bands. Gap count, missing mass, and
     max gap decompose exactly into within-band + boundary terms.
@@ -770,7 +770,7 @@ def q233_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q233 = f"""
-WITH classes AS (
+WITH classes AS MATERIALIZED (
   SELECT c_nationkey, c_mktsegment,
          (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
            AS bal_band,

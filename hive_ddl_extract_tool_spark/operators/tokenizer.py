@@ -416,10 +416,10 @@ def q234_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q234 = f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, unnest({LOWER_WORDS_SQL}) AS tok FROM documents
 ),
-mx AS (SELECT max(doc_id) AS max_id FROM documents),
+mx AS MATERIALIZED (SELECT max(doc_id) AS max_id FROM documents),
 firsts AS (
   SELECT CAST((doc_id * {HEAPS_CKPTS} + max_id - 1) // max_id AS BIGINT) AS ckpt,
          count(*) AS new_types

@@ -1445,7 +1445,6 @@ def _cms_merge_batch(
     """foreachBatch merge of counter increments into the parquet state --
     counters are ADDITIVE, so the q175 batch-id ledger (written atomically
     inside the dir an os.rename publishes) makes replays exactly-once."""
-    import os
     import shutil
 
     ledger = f"{state_dir}/_applied_batch_id"
