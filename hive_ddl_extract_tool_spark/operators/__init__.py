@@ -156,6 +156,7 @@ _PRIORITY = [
     "q242_weekly_quantiles",
     "q243_mmr_rerank",
     "q244_activity_trend",
+    "q245_tfidf_simjoin",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -2072,6 +2072,133 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q245: tf-idf weighted sparse cosine similarity join
+# --------------------------------------------------------------------------
+
+SIMJ_TAU2_NUM = 9    # cosine threshold 0.6: 25 * dot^2 >= 9 * n2a * n2b
+SIMJ_TAU2_DEN = 25
+SIMJ_DF_MAX_PCT = 10  # prune terms present in > 10% of documents
+
+
+def q245_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity join: documents as tf-idf weighted
+    shingle vectors, pairwise COSINE over the shared-term inner product
+    -- the term-at-a-time self-join family (Bayardo et al. 2007) that
+    complements the set-resemblance tiers (q42 Jaccard bands, q202
+    prefix filter): idf makes a shared RARE shingle count for more
+    than a shared common one, so boilerplate overlap no longer masks
+    real near-dups. Candidate generation is the postings self-join
+    with the classic df prune (terms in > 10% of docs are dropped
+    before the join -- exactly the hot keys that would dominate both
+    the shuffle and the score while carrying no signal).
+
+    Exactness: idf floor-quantizes to integer micro units off the
+    shared ln((N+1)/(df+1)) tree (the q35/q92 discipline), weights and
+    inner products are then exact integers, and the threshold is the
+    cross-multiplied SQUARE comparison 25·dot² >= 9·|a|²·|b|² in
+    decimal -- no sqrt crosses the decision boundary; the reported
+    sim_milli floors the identical double tree.
+
+    Scale: postings stage once (tf join df join the 1-row corpus
+    size); the self-join shuffles on the term key whose hottest keys
+    the df prune just removed; norms join back keyed by doc. Σdf² over
+    surviving terms bounds the join exactly as in the SSJoin
+    literature."""
+    raw = _doc_shingles_raw(spark, sf_dir)
+    tf = raw.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    nd = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def build_postings() -> DataFrame:
+        return (
+            tf.join(dfreq, "sh")
+            .crossJoin(F.broadcast(nd))
+            .filter(F.col("df") * 100 <= SIMJ_DF_MAX_PCT * F.col("n_docs"))
+            .select(
+                "doc_id", "sh",
+                (
+                    F.col("tf")
+                    * F.floor(
+                        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                        * 1_000_000
+                    ).cast("bigint")
+                ).alias("w"),
+            )
+        )
+
+    postings = cached_df(spark, f"q245_postings:{sf_dir}", build_postings)
+    norms = postings.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    dots = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,0)")).alias("dot")
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(
+            F.lit(SIMJ_TAU2_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(SIMJ_TAU2_NUM) * F.col("na.n2") * F.col("nb.n2")
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("dot").cast("bigint").alias("dot_w"),
+            F.floor(
+                1000.0
+                * F.col("dot").cast("double")
+                / F.sqrt(F.col("na.n2").cast("double") * F.col("nb.n2").cast("double"))
+            ).cast("bigint").alias("sim_milli"),
+        )
+    )
+
+
+ORACLE_Q245 = f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id, {h60_sql("shingle")} AS sh FROM ({SHINGLES_SQL})
+),
+tf AS MATERIALIZED (SELECT doc_id, sh, count(*) AS tf FROM raw GROUP BY 1, 2),
+dfq AS MATERIALIZED (SELECT sh, count(*) AS df FROM tf GROUP BY sh),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+postings AS MATERIALIZED (
+  SELECT doc_id, sh,
+         tf * CAST(floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT)
+           AS w
+  FROM tf JOIN dfq USING (sh) CROSS JOIN nd
+  WHERE df * 100 <= {SIMJ_DF_MAX_PCT} * n_docs
+),
+norms AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2
+  FROM postings GROUP BY doc_id
+),
+dots AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CAST(a.w AS HUGEINT) * b.w) AS HUGEINT) AS dot
+  FROM postings a JOIN postings b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(dot AS BIGINT) AS dot_w,
+       CAST(floor(1000.0 * CAST(dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+            AS BIGINT) AS sim_milli
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+WHERE {SIMJ_TAU2_DEN} * dot * dot >= {SIMJ_TAU2_NUM} * na.n2 * nb.n2
+"""
+
+
+# --------------------------------------------------------------------------
 # q231: k-core peeling rounds over the duplicate graph
 # --------------------------------------------------------------------------
 
@@ -2317,6 +2444,7 @@ QUERIES = {
     "q222_blocking_audit": q222_blocking_audit,
     "q229_fellegi_sunter": q229_fellegi_sunter,
     "q231_kcore_peel": q231_kcore_peel,
+    "q245_tfidf_simjoin": q245_tfidf_simjoin,
 }
 
 ORACLES = {
@@ -2347,4 +2475,5 @@ ORACLES = {
     "q222_blocking_audit": ORACLE_Q222,
     "q229_fellegi_sunter": ORACLE_Q229,
     "q231_kcore_peel": ORACLE_Q231,
+    "q245_tfidf_simjoin": ORACLE_Q245,
 }

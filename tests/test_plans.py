@@ -1271,3 +1271,14 @@ def test_activity_trend_regresses_over_daily_aggregate(spark, sf_dir):
     assert plan.count("events.parquet") == 1, plan
     assert "Join" not in plan, plan
     assert_no_python_udf(df)
+
+
+def test_tfidf_simjoin_rides_staged_postings(spark, sf_dir):
+    """q245: norms and the term self-join both read the STAGED df-pruned
+    postings; documents is never re-scanned; no cartesian anywhere."""
+    df = QUERIES["q245_tfidf_simjoin"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q245_postings" in plan, f"postings not staged:\n{plan[:2000]}"
+    assert plan.count("documents.parquet") == 0, plan
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
