@@ -556,6 +556,189 @@ LIMIT {PHRASE_TOP_DOCS}
 """
 
 
+# --------------------------------------------------------------------------
+# q246: pseudo-relevance feedback (Rocchio-style query expansion)
+# --------------------------------------------------------------------------
+
+PRF_FB = 5    # feedback documents: the original query's top-5
+PRF_EXP = 3   # expansion terms mined from the feedback set
+PRF_TOP = 10  # re-ranked results returned
+
+
+def q246_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio 1971 / RM-lite): run the fixed
+    3-term query, ASSUME its top-5 documents are relevant, mine the 3
+    highest-signal NEW terms from them (feedback term frequency x
+    micro-floored idf -- common words score low, feedback-specific
+    words high), then re-score the corpus with the expanded 6-term
+    query. Output: the re-ranked top-10 with both scores -- documents
+    that match only the mined terms enter with bm25_orig = 0, the
+    retrieval-recall lift PRF exists to produce.
+
+    Exactness: both scoring passes are q81's fixed-point discipline
+    (per-term scores floor-quantized to 1e-9 and integer-summed); the
+    expansion ranking is an exact integer product with term
+    tie-breaks, so the mined set is deterministic cross-engine.
+
+    Scale: the token stream stages ONCE and serves document lengths,
+    both tf passes, the feedback mining, and the global df -- five
+    consumers, one corpus scan; feedback docs and the expanded term
+    set are broadcast scalars; everything else is term- or doc-keyed
+    aggregation."""
+    def build_toks() -> DataFrame:
+        return (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
+        )
+
+    toks = cached_df(spark, f"q246_toks:{sf_dir}", build_toks)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
+
+    def bm25(term_tf: DataFrame) -> DataFrame:
+        df_ = term_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        term_score = (
+            idf
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+               + BM25_B * F.col("dl") * F.col("n_docs") / F.col("tot_dl")))
+        )
+        return (
+            term_tf.join(F.broadcast(df_), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                F.floor(term_score * F.lit(float(Q9))).cast("bigint").alias("s9"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("s9").alias("score9"))
+        )
+
+    tf_orig = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    orig = bm25(tf_orig)
+    fb = (
+        orig.orderBy(F.desc("score9"), "doc_id")
+        .limit(PRF_FB)
+        .select("doc_id")
+    )
+    # global df for idf weighting of candidate expansion terms
+    df_all = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfa"))
+    exp_terms = (
+        toks.join(F.broadcast(fb), "doc_id", "semi")
+        .filter(~F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+        .join(df_all, "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            (
+                F.col("fb_tf")
+                * F.floor(
+                    F.log((F.col("n_docs") + 1.0) / (F.col("dfa") + 1.0))
+                    * 1_000_000
+                ).cast("bigint")
+            ).alias("exp_score"),
+        )
+        .orderBy(F.desc("exp_score"), "term")
+        .limit(PRF_EXP)
+        .select("term")
+    )
+    all_terms = exp_terms.unionByName(
+        spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    )
+    tf_exp = (
+        toks.join(F.broadcast(all_terms), "term", "semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    expanded = bm25(tf_exp)
+    return (
+        expanded.join(orig.withColumnRenamed("score9", "orig9"), "doc_id", "left")
+        .select(
+            "doc_id",
+            mround(
+                F.coalesce(F.col("orig9"), F.lit(0)) / F.lit(float(Q9)), 6
+            ).alias("bm25_orig"),
+            mround(F.col("score9") / F.lit(float(Q9)), 6).alias("bm25_expanded"),
+            "score9",
+        )
+        .orderBy(F.desc("score9"), "doc_id")
+        .limit(PRF_TOP)
+        .drop("score9")
+    )
+
+
+ORACLE_Q246 = f"""
+WITH tok AS MATERIALIZED ({_TOK_SQL}),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS MATERIALIZED (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+tf_orig AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2
+),
+df_orig AS (SELECT term, count(*) AS df FROM tf_orig GROUP BY 1),
+orig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl * n_docs / tot_dl))
+           * {Q9}.0) AS BIGINT)) AS BIGINT) AS score9
+  FROM tf_orig JOIN df_orig USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+),
+fb AS MATERIALIZED (
+  SELECT doc_id FROM orig ORDER BY score9 DESC, doc_id LIMIT {PRF_FB}
+),
+df_all AS MATERIALIZED (
+  SELECT term, count(DISTINCT doc_id) AS dfa FROM tok GROUP BY term
+),
+exp_terms AS MATERIALIZED (
+  SELECT term FROM (
+    SELECT t.term,
+           count(*) * CAST(floor(ln((n_docs + 1.0) / (dfa + 1.0)) * 1000000)
+                           AS BIGINT) AS exp_score
+    FROM tok t JOIN fb USING (doc_id) JOIN df_all USING (term), stats
+    WHERE t.term NOT IN ({_TERMS_SQL})
+    GROUP BY t.term, dfa, n_docs
+  ) ORDER BY exp_score DESC, term LIMIT {PRF_EXP}
+),
+all_terms AS MATERIALIZED (
+  SELECT term FROM exp_terms UNION ALL SELECT unnest([{_TERMS_SQL}]) AS term
+),
+tf_exp AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM all_terms) GROUP BY 1, 2
+),
+df_exp AS (SELECT term, count(*) AS df FROM tf_exp GROUP BY 1),
+expanded AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl * n_docs / tot_dl))
+           * {Q9}.0) AS BIGINT)) AS BIGINT) AS score9
+  FROM tf_exp JOIN df_exp USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       round(1.37e-6 + coalesce(orig.score9, 0) / {Q9}.0, 6) AS bm25_orig,
+       round(1.37e-6 + expanded.score9 / {Q9}.0, 6) AS bm25_expanded
+FROM expanded LEFT JOIN orig USING (doc_id)
+ORDER BY expanded.score9 DESC, doc_id
+LIMIT {PRF_TOP}
+"""
+
+
 QUERIES = {
     "q81_bm25_topk": q81_bm25_topk,
     "q82_collocations": q82_collocations,
@@ -563,6 +746,7 @@ QUERIES = {
     "q92_bigram_lm_score": q92_bigram_lm_score,
     "q121_rrf_fusion": q121_rrf_fusion,
     "q213_phrase_search": q213_phrase_search,
+    "q246_prf_expansion": q246_prf_expansion,
 }
 
 ORACLES = {
@@ -572,4 +756,5 @@ ORACLES = {
     "q92_bigram_lm_score": ORACLE_Q92,
     "q121_rrf_fusion": ORACLE_Q121,
     "q213_phrase_search": ORACLE_Q213,
+    "q246_prf_expansion": ORACLE_Q246,
 }

@@ -1282,3 +1282,14 @@ def test_tfidf_simjoin_rides_staged_postings(spark, sf_dir):
     assert plan.count("documents.parquet") == 0, plan
     assert_no_cartesian(df)
     assert_no_python_udf(df)
+
+
+def test_prf_rides_staged_tokens(spark, sf_dir):
+    """q246: the token stream stages ONCE for its five consumers; documents
+    is never re-scanned; the expanded term set enters as a broadcast."""
+    df = QUERIES["q246_prf_expansion"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "q246_toks" in plan, f"token stream not staged:\n{plan[:2000]}"
+    assert plan.count("documents.parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert_no_python_udf(df)
