@@ -158,6 +158,7 @@ _PRIORITY = [
     "q244_activity_trend",
     "q245_tfidf_simjoin",
     "q246_prf_expansion",
+    "q247_coverage_select",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -1322,6 +1322,105 @@ FROM dec CROSS JOIN auc
 
 
 # --------------------------------------------------------------------------
+# q247: greedy coverage-maximizing selection (submodular curation)
+# --------------------------------------------------------------------------
+
+COV_K = 5  # greedy picks -- fixed rounds, same straight-line program per engine
+
+
+def q247_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-maximizing subset selection: greedily pick K documents,
+    each maximizing the number of NOT-YET-COVERED trigram shingles --
+    the classic (1-1/e)-approximate greedy for submodular coverage
+    (Nemhauser et al. 1978), which is how a diversity-first curation
+    pass picks seed documents (maximize vocabulary/phrase coverage per
+    document budget) where q102 maximizes quality mass and q243
+    diversifies a RANKING. Emitted per round: the pick, its marginal
+    gain, and the cumulative covered-shingle count -- the diminishing-
+    returns curve is the data.
+
+    All counts are exact integers with doc_id tie-breaks, so the
+    greedy trajectory is deterministic cross-engine; the oracle runs
+    the same fixed-round program as MATERIALIZED CTE chains.
+
+    Scale: the shingle set stages once (shared artifact); each round
+    is one anti-join against the covered set (bounded by K documents'
+    shingles -- broadcast-sized by construction) plus a doc-keyed
+    count and a 1-row argmax. K rounds of bounded work after one
+    corpus scan -- the q68/q231 fixed-round discipline."""
+    from ._cache import cached_df
+    from .dedup import _doc_shingles
+
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    out = None
+    covered = None
+    for r in range(1, COV_K + 1):
+        gains = ds if covered is None else ds.join(
+            F.broadcast(covered), "sh", "anti"
+        )
+        # argmax as TakeOrderedAndProject (per-partition heap), never a
+        # full-frame window that would drag the doc-gain table into one task
+        pick = (
+            gains.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+        )
+        new_cov = ds.join(F.broadcast(pick.select("doc_id")), "doc_id", "semi").select("sh")
+        covered = cached_df(
+            spark,
+            f"q247_covered_r{r}:{sf_dir}",
+            (lambda nc=new_cov, cv=covered: (
+                nc if cv is None else cv.unionByName(nc).distinct()
+            )),
+        )
+        row = pick.crossJoin(
+            F.broadcast(covered.agg(F.count(F.lit(1)).alias("covered_after")))
+        ).select(
+            F.lit(r).cast("int").alias("pick_round"),
+            "doc_id", "gain", "covered_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_q247() -> str:
+    from .dedup import DS_HASH_SQL
+
+    parts = [f"ds AS MATERIALIZED ({DS_HASH_SQL})"]
+    prev_cov = None
+    selects = []
+    for r in range(1, COV_K + 1):
+        gain_src = (
+            "ds"
+            if prev_cov is None
+            else f"(SELECT * FROM ds WHERE sh NOT IN (SELECT sh FROM {prev_cov}))"
+        )
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, gain FROM (
+    SELECT doc_id, count(*) AS gain,
+           row_number() OVER (ORDER BY count(*) DESC, doc_id) AS rn
+    FROM {gain_src} GROUP BY doc_id
+  ) WHERE rn = 1
+)""")
+        cov = f"c{r}"
+        base = f"SELECT sh FROM ds WHERE doc_id = (SELECT doc_id FROM p{r})"
+        if prev_cov is None:
+            parts.append(f"{cov} AS MATERIALIZED ({base})")
+        else:
+            parts.append(
+                f"{cov} AS MATERIALIZED (SELECT DISTINCT sh FROM "
+                f"(SELECT sh FROM {prev_cov} UNION ALL {base}))"
+            )
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS pick_round, doc_id, CAST(gain AS BIGINT)"
+            f" AS gain, (SELECT count(*) FROM {cov}) AS covered_after FROM p{r}"
+        )
+        prev_cov = cov
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# --------------------------------------------------------------------------
 # q235: per-source calibration against global score deciles
 # --------------------------------------------------------------------------
 
@@ -1511,6 +1610,7 @@ QUERIES = {
     "q214_classifier_gains": q214_classifier_gains,
     "q228_lr_apportionment": q228_lr_apportionment,
     "q235_decile_calibration": q235_decile_calibration,
+    "q247_coverage_select": q247_coverage_select,
 }
 
 ORACLES = {
@@ -1530,4 +1630,5 @@ ORACLES = {
     "q214_classifier_gains": ORACLE_Q214,
     "q228_lr_apportionment": ORACLE_Q228,
     "q235_decile_calibration": ORACLE_Q235,
+    "q247_coverage_select": _oracle_q247(),
 }

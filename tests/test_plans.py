@@ -1293,3 +1293,16 @@ def test_prf_rides_staged_tokens(spark, sf_dir):
     assert plan.count("documents.parquet") == 0, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert_no_python_udf(df)
+
+
+def test_coverage_greedy_bounded_rounds(spark, sf_dir):
+    """q247: rounds ride the staged shingle set and staged covered sets;
+    documents never re-scans; the argmax is a heap, not a window."""
+    plan = formatted_plan(QUERIES["q247_coverage_select"](spark, sf_dir))
+    assert "q247_covered_r4" in plan, f"covered sets not staged:\n{plan[:2000]}"
+    assert plan.count("documents.parquet") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # SinglePartition appears only for the bounded tail (limit-1 head merge,
+    # 1-row coverage scalars); a Window node would mean the argmax regressed
+    # to a full-frame sort
+    assert "- Window" not in plan, f"windowed argmax crept in:\n{plan[:2000]}"
