@@ -159,6 +159,7 @@ _PRIORITY = [
     "q245_tfidf_simjoin",
     "q246_prf_expansion",
     "q247_coverage_select",
+    "q248_anova_sources",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -580,6 +580,102 @@ FROM {child}"""
 
 
 # --------------------------------------------------------------------------
+# q248: one-way ANOVA across sources (k-sample inference)
+# --------------------------------------------------------------------------
+
+def q248_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across sources -- the k-sample
+    generalization of q197's two-arm Welch test: does ANY source differ
+    in mean length, before pairwise drill-downs? Per-source sufficient
+    statistics (n, Σx, Σx² over integral n_chars) are EXACT integers;
+    SSB, SSW, the F statistic, and the η² effect share are the only
+    doubles, computed from those moments by the same expression text
+    in both engines and floor-quantized to 1e-6/ppm (the q197
+    discipline). One row: k groups, N, dfs, F, η².
+
+    Scale: one map-side-combined pass to source-level moments, then a
+    k-row aggregate -- the statistic costs a narrow groupBy at any
+    corpus size, and the per-source moment table is the same
+    shard-mergeable artifact q168 maintains incrementally."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(
+                (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+    )
+    # SSB = sum(s_g^2/n_g) - S^2/N ; SSW = sum(ss_g) - sum(s_g^2/n_g)
+    # per-group s^2/n is fractional: floor-quantize EACH term to 1e-6
+    # fixed point before the cross-group sum, so the sum is an order-free
+    # int64 (a raw double sum across groups accumulates in partition
+    # order -- the q192/q122 rule)
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("s_total"),
+        F.sum(F.col("ss")).cast("decimal(38,0)").alias("ss_all_d"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s") / F.col("n") * 1_000_000
+            ).cast("bigint")
+        ).alias("sq_over_n_u"),
+    )
+    sq_over_n = F.col("sq_over_n_u").cast("double") / 1_000_000
+    ss_all = F.col("ss_all_d").cast("double")
+    s2_over_n = (
+        F.col("s_total").cast("double") * F.col("s_total") / F.col("n_total")
+    )
+    ssb = sq_over_n - s2_over_n
+    ssw = ss_all - sq_over_n
+    sst = ss_all - s2_over_n
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return agg.select(
+        "k",
+        "n_total",
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n_total") - F.col("k")).cast("bigint").alias("df_within"),
+        F.floor(fstat * 1_000_000).cast("bigint").alias("f_micro"),
+        F.floor(ssb / sst * 1_000_000).cast("bigint").alias("eta2_ppm"),
+    )
+
+
+ORACLE_Q248 = """
+WITH g AS (
+  SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+  FROM documents GROUP BY source
+),
+agg AS (
+  SELECT count(*) AS k,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(s) AS BIGINT) AS s_total,
+         CAST(CAST(sum(ss) AS HUGEINT) AS DOUBLE) AS ss_all,
+         CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n * 1000000) AS BIGINT))
+              AS BIGINT) AS sq_over_n_u
+  FROM g
+)
+SELECT k, n_total,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n_total - k AS BIGINT) AS df_within,
+       CAST(floor(((CAST(sq_over_n_u AS DOUBLE) / 1000000
+                    - CAST(s_total AS DOUBLE) * s_total / n_total)
+                   / (k - 1))
+                  / ((ss_all - CAST(sq_over_n_u AS DOUBLE) / 1000000)
+                     / (n_total - k))
+                  * 1000000) AS BIGINT) AS f_micro,
+       CAST(floor((CAST(sq_over_n_u AS DOUBLE) / 1000000
+                   - CAST(s_total AS DOUBLE) * s_total / n_total)
+                  / (ss_all - CAST(s_total AS DOUBLE) * s_total / n_total)
+                  * 1000000) AS BIGINT) AS eta2_ppm
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # q237: key-space gap census (sequence completeness audit)
 # --------------------------------------------------------------------------
 
@@ -1112,6 +1208,7 @@ QUERIES = {
     "q232_cramers_v": q232_cramers_v,
     "q233_k_anonymity": q233_k_anonymity,
     "q237_keyspace_gaps": q237_keyspace_gaps,
+    "q248_anova_sources": q248_anova_sources,
 }
 ORACLES = {
     "q157_dataset_profile": ORACLE_Q157,
@@ -1126,4 +1223,5 @@ ORACLES = {
     "q232_cramers_v": ORACLE_Q232,
     "q233_k_anonymity": ORACLE_Q233,
     "q237_keyspace_gaps": ORACLE_Q237,
+    "q248_anova_sources": ORACLE_Q248,
 }

@@ -1306,3 +1306,13 @@ def test_coverage_greedy_bounded_rounds(spark, sf_dir):
     # 1-row coverage scalars); a Window node would mean the argmax regressed
     # to a full-frame sort
     assert "- Window" not in plan, f"windowed argmax crept in:\n{plan[:2000]}"
+
+
+def test_anova_single_pass_no_join(spark, sf_dir):
+    """q248: one documents scan to group moments, one k-row aggregate; no
+    join, no Python, no window."""
+    df = QUERIES["q248_anova_sources"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert_no_python_udf(df)

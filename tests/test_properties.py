@@ -299,6 +299,8 @@ import pytest as _pytest
         "q226_merkle_reconcile",  # mod-sum digests are order-free by design
         "q232_cramers_v",        # micro-floored per-cell chi-square terms
         "q240_winsorize_audit",  # count-map rank statistics + integer drift
+        "q243_mmr_rerank",       # micro-floored sims, integer greedy scores
+        "q245_tfidf_simjoin",    # micro-floored idf, integer inner products
     ],
 )
 def test_results_invariant_to_shuffle_partitioning(qname, spark, sf_dir):
