@@ -846,7 +846,10 @@ def q244_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_days", "sy",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (
+        # den = 0 exactly when a type has a single active day (all x
+        # equal): no trend is estimable, emit 0 -- without the guard
+        # ANSI-mode DIV raises DIVIDE_BY_ZERO on a degenerate fixture
+        F.when(den == 0, F.lit(0).cast("bigint")).otherwise(
             F.signum(num).cast("bigint")
             * F.expr(
                 "CAST(abs(n_days * sxy - sx * sy) * 1000"
@@ -877,9 +880,10 @@ stats AS (
 SELECT event_type, n_days, sy,
        CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
-       CAST(CASE WHEN n_days * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
-            * (abs(n_days * sxy - sx * sy) * 1000
-               // (n_days * sxx - sx * sx)) AS BIGINT) AS slope_milli
+       CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+            ELSE CASE WHEN n_days * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+                 * (abs(n_days * sxy - sx * sy) * 1000
+                    // (n_days * sxx - sx * sx)) END AS BIGINT) AS slope_milli
 FROM stats
 """
 

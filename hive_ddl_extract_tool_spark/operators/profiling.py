@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ._hashing import h60_sql
 from .text import ngrams_sql, word_ngrams
 from ..tables import load
 
@@ -236,7 +237,7 @@ g AS (
 {ngrams_sql(GT_N)}) AS gram
   FROM wa
 ),
-c AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2)
+c AS (SELECT source, {h60_sql('gram')} AS gh, count(*) AS c FROM g GROUP BY 1, 2)
 SELECT source,
        CAST(sum(c) AS BIGINT)                                   AS n_tokens,
        count(*)                                                 AS vocab,

@@ -968,7 +968,11 @@ def q185_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").alias("n_phones"),
         F.sum("i").alias("n_ips"),
         F.sum((F.col("e") + F.col("p") + F.col("i") > 0).cast("bigint")).alias("n_pii_docs"),
-        (F.sum(h60(F.col("red")) % 1_000_000_007) % 1_000_000_007).alias("redacted_fp"),
+        # per-row term widened to decimal(38,0) before the sum (q194's
+        # pattern): an int64 accumulator of ~1e9 terms overflows at ~9.2e9
+        # docs, and the oracle side already sums in HUGEINT
+        ((F.sum((h60(F.col("red")) % 1_000_000_007).cast("decimal(38,0)")) % 1_000_000_007)
+         .cast("bigint").alias("redacted_fp")),
     )
 
 
