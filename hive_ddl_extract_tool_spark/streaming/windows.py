@@ -1339,17 +1339,68 @@ GROUP BY tier
 
 INCR_SHARDS = 4  # day-quartile files, replayed one micro-batch each
 
+# Non-empty day-quartile count, derivable by BOTH engines: quartile k spans
+# [lo + span*k//4, lo + span*(k+1)//4). A degenerate fixture (all events in
+# one day, tiny drop) can leave a quartile empty -- the staging below skips
+# those files (q180's guard), so the oracle must count non-empty quartiles
+# from the data instead of hardcoding INCR_SHARDS.
+_SHARD_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN day - lo < (span * {k}) // {INCR_SHARDS} THEN {k - 1}"
+        for k in range(1, INCR_SHARDS)
+    )
+    + f" ELSE {INCR_SHARDS - 1} END"
+)
+_NB_SQL = f"""
+WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+bb AS (SELECT min(day) AS lo, max(day) - min(day) + 1 AS span FROM dd)
+SELECT count(DISTINCT {_SHARD_CASE}) FROM dd, bb
+"""
+
+
+def _stage_day_shards(spark: SparkSession, ev_with_day: DataFrame, dst_dir: str) -> list[str]:
+    """Stage events as up to INCR_SHARDS day-range parquet files with
+    strictly increasing pinned mtimes, SKIPPING empty quartiles: staging a
+    0-row shard either breaks the part-file lookup or produces an empty
+    micro-batch that silently shifts the n_batches evidence. Returns the
+    staged paths (mtime order = replay order)."""
+    import shutil
+
+    lo, hi = ev_with_day.agg(F.min("day"), F.max("day")).first()
+    span = hi - lo + 1
+    staged: list[str] = []
+    for k in range(INCR_SHARDS):
+        d0 = lo + (span * k) // INCR_SHARDS
+        d1 = lo + (span * (k + 1)) // INCR_SHARDS
+        shard = (
+            ev_with_day.filter((F.col("day") >= d0) & (F.col("day") < d1)).drop("day")
+        )
+        shard_tmp = f"{dst_dir}/_build{k}"
+        shard.coalesce(1).write.parquet(shard_tmp)
+        parts = [f for f in _os.listdir(shard_tmp) if f.endswith(".parquet")]
+        if parts and spark.read.parquet(f"{shard_tmp}/{parts[0]}").limit(1).count() > 0:
+            dst = f"{dst_dir}/shard-{k}.parquet"
+            shutil.move(f"{shard_tmp}/{parts[0]}", dst)
+            _pin_mtime(dst, 1_000_000_000.0 + 10 * len(staged))
+            staged.append(dst)
+        shutil.rmtree(shard_tmp)
+    if not staged:
+        raise ValueError(f"no events to stage into {dst_dir}")
+    return staged
+
 
 def q220_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The incremental-processing contract, audited: events staged as 4
-    day-range files (strictly increasing pinned mtimes), replayed with
-    maxFilesPerTrigger=1 so the aggregation state builds across FOUR
-    micro-batches, must end in exactly the state one batch pass
-    computes. n_batches (micro-batches that carried rows, from the
-    query's progress log) is emitted AS DATA, so the oracle's
-    n_batches = 4 pins that the run truly was incremental -- a
-    single-drain regression fails the compare even though its
-    aggregates would match.
+    """The incremental-processing contract, audited: events staged as
+    day-quartile files (strictly increasing pinned mtimes, empty
+    quartiles skipped), replayed with maxFilesPerTrigger=1 so the
+    aggregation state builds across one micro-batch per staged file,
+    must end in exactly the state one batch pass computes. n_batches
+    (micro-batches that carried rows, from the query's progress log) is
+    emitted AS DATA, and the oracle independently derives the non-empty
+    quartile count from events (_NB_SQL), so it pins that the run truly
+    was incremental -- a single-drain regression fails the compare even
+    though its aggregates would match.
 
     Scale: this is the nightly-incremental pattern (state carries,
     arrivals stream in); complete-mode memory sink at test SF, a keyed
@@ -1370,21 +1421,9 @@ def q220_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "day", F.expr("unix_micros(ts) DIV 86400000000")
     )
-    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
-    span = (hi - lo + 1)
-    for k in range(INCR_SHARDS):
-        d0 = lo + (span * k) // INCR_SHARDS
-        d1 = lo + (span * (k + 1)) // INCR_SHARDS
-        shard_tmp = f"{base}/_build{k}"
-        (ev.filter((F.col("day") >= d0) & (F.col("day") < d1))
-           .drop("day").coalesce(1).write.parquet(shard_tmp))
-        part = next(f for f in os.listdir(shard_tmp) if f.endswith(".parquet"))
-        dst = f"{base}/shard-{k}.parquet"
-        shutil.move(f"{shard_tmp}/{part}", dst)
-        shutil.rmtree(shard_tmp)
-        _pin_mtime(dst, 1_000_000_000.0 + 10 * k)
+    staged = _stage_day_shards(spark, ev, base)
 
-    schema = spark.read.parquet(f"{base}/shard-0.parquet").schema
+    schema = spark.read.parquet(staged[0]).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1414,7 +1453,7 @@ ORACLE_Q220 = f"""
 SELECT event_type,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-       CAST({INCR_SHARDS} AS BIGINT) AS n_batches
+       CAST(({_NB_SQL}) AS BIGINT) AS n_batches
 FROM events
 GROUP BY event_type
 """
@@ -1470,11 +1509,12 @@ def _cms_merge_batch(
 
 def q238_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q225's mergeability claim EXECUTED: the count-min sketch is built
-    incrementally -- events replay as 4 day-quartile micro-batches
-    (pinned mtimes, maxFilesPerTrigger=1) and each batch's d*w counter
-    increments merge additively into a parquet state table under a
-    batch-id ledger (exactly-once under foreachBatch replay). Because
-    counter addition commutes, the streamed sketch must equal the
+    incrementally -- events replay as day-quartile micro-batches
+    (pinned mtimes, maxFilesPerTrigger=1, empty quartiles skipped; the
+    oracle derives the non-empty count via _NB_SQL) and each batch's
+    d*w counter increments merge additively into a parquet state table
+    under a batch-id ledger (exactly-once under foreachBatch replay).
+    Because counter addition commutes, the streamed sketch must equal the
     batch-built sketch CELL FOR CELL, so the final estimates match
     q225's construction exactly and the oracle is the full batch
     construction plus n_batches = 4 pinning that the run was truly
@@ -1504,22 +1544,10 @@ def q238_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "day", F.expr("unix_micros(ts) DIV 86400000000")
     )
-    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
-    span = hi - lo + 1
-    for k in range(INCR_SHARDS):
-        d0 = lo + (span * k) // INCR_SHARDS
-        d1 = lo + (span * (k + 1)) // INCR_SHARDS
-        shard_tmp = f"{base}/_build{k}"
-        (ev.filter((F.col("day") >= d0) & (F.col("day") < d1))
-           .drop("day").coalesce(1).write.parquet(shard_tmp))
-        part = next(f for f in _os.listdir(shard_tmp) if f.endswith(".parquet"))
-        dst = f"{src}/shard-{k}.parquet"
-        shutil.move(f"{shard_tmp}/{part}", dst)
-        shutil.rmtree(shard_tmp)
-        _pin_mtime(dst, 1_000_000_000.0 + 10 * k)
+    staged = _stage_day_shards(spark, ev, src)
 
     state_dir = f"{base}/state"
-    schema = spark.read.parquet(f"{src}/shard-0.parquet").schema
+    schema = spark.read.parquet(staged[0]).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1574,7 +1602,7 @@ def _oracle_q238() -> str:
     from ..operators.profiling import ORACLE_Q225
 
     return (
-        f"SELECT *, CAST({INCR_SHARDS} AS BIGINT) AS n_batches"
+        f"SELECT *, CAST(({_NB_SQL}) AS BIGINT) AS n_batches"
         f" FROM ({ORACLE_Q225})"
     )
 

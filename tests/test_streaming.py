@@ -509,3 +509,44 @@ def test_cms_merge_replays_are_noops(spark, tmp_path):
     total1 = spark.read.parquet(state_dir).agg(F.sum("cell")).first()[0]
     from hive_ddl_extract_tool_spark.operators.profiling import CMS_D
     assert total1 == total0 + CMS_D
+
+
+def test_day_shard_staging_skips_empty_quartiles(spark, tmp_path):
+    """q220/q238's degenerate-fixture guard: a corpus whose events all land
+    on ONE day leaves three of the four day-quartiles empty. Staging must
+    skip them (no 0-row files, no empty micro-batches), and the oracle-side
+    non-empty-quartile expression (_NB_SQL's CASE) must agree with the
+    number of files actually staged."""
+    import duckdb
+
+    from hive_ddl_extract_tool_spark.streaming.windows import (
+        _NB_SQL,
+        _stage_day_shards,
+    )
+
+    base = str(tmp_path / "oneday")
+    (tmp_path / "oneday").mkdir()
+    ev = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "event_id long, day long"
+    )
+    staged = _stage_day_shards(spark, ev, base)
+    assert len(staged) == 1
+    # every staged file is non-empty
+    for p in staged:
+        assert spark.read.parquet(p).count() > 0
+
+    # the oracle-side count matches: single-day span -> 1 non-empty quartile
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT make_timestamp(100 * 86400000000) AS ts"
+        " FROM range(3)"
+    )
+    assert con.execute(_NB_SQL).fetchone()[0] == 1
+
+    # a 4-day span fills all four quartiles
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW events AS SELECT make_timestamp((100 + r.range) * 86400000000)"
+        " AS ts FROM range(4) r"
+    )
+    assert con2.execute(_NB_SQL).fetchone()[0] == 4
