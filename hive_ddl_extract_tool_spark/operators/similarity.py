@@ -11,7 +11,8 @@
 All vector math is built-in higher-order functions (zip_with/aggregate) in
 double precision -- no UDFs, no Python in the hot path. Per-element work is
 codegen'd; at real scale the natural upgrade is a pandas_udf that BLAS-batches
-the dot products, which q48 demonstrates (rows-only check).
+the dot products, which q48 demonstrates (oracle-backed via a float32-vs-
+float64 tolerance boolean plus margin-safe argmax evidence).
 """
 
 from __future__ import annotations
@@ -187,41 +188,94 @@ WHERE rn <= 3
 # q48: vectorized (Arrow/pandas) cosine top-k -- the BLAS-batched upgrade
 # --------------------------------------------------------------------------
 
+BLAS_TOL = 1e-4  # float32 BLAS vs exact float64 cosine; observed error ~1e-6
+
+
 def q48_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics as q46 via mapInPandas: queries are closed over (small,
+    """q46's scoring via mapInPandas -- queries are closed over (small,
     broadcast-style), each corpus partition arrives as Arrow batches, and
-    numpy does the matrix multiply. Rows-only check (float32 BLAS accumulation
-    differs from the exact double oracle by design)."""
+    float32 BLAS does the matrix multiply. Oracle-backed since round 7 (the
+    q06/q15b graduation pattern): raw float32 scores can't bit-match a
+    float64 oracle, so the emitted row is per-query evidence the oracle CAN
+    state exactly -- (a) n_scored, proving the batched scan covered every
+    corpus vector exactly once regardless of Arrow batch boundaries; (b)
+    within_tol, asserting every float32 score sits within BLAS_TOL=1e-4 of
+    the float64 score for the same pair (observed error ~1e-6, so the
+    boolean is stable under any BLAS kernel/batch-shape choice); (c)
+    top1_neighbor, the float32 argmax (ties by lowest vec_id) -- exact-
+    matchable because the fixture's smallest rank-1-to-rank-2 margin is
+    >=4.5e-4 at every SF, ~100x the float32 error, so the argmax cannot
+    flip. Selection evidence stays, bit-fragile rank tails don't."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in qrows])
-    q_mat = np.array([r["embedding"] for r in qrows], dtype="float32")
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q32 = np.array([r["embedding"] for r in qrows], dtype="float32")
+    q32 /= np.linalg.norm(q32, axis=1, keepdims=True)
+    q64 = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q64 /= np.linalg.norm(q64, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
-            c_mat = np.array(list(pdf["embedding"]), dtype="float32")
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = q_mat @ c_mat.T  # (nq, batch)
+            c32 = np.array(list(pdf["embedding"]), dtype="float32")
+            c32 /= np.linalg.norm(c32, axis=1, keepdims=True)
+            c64 = np.array(list(pdf["embedding"]), dtype="float64")
+            c64 /= np.linalg.norm(c64, axis=1, keepdims=True)
+            sims = q32 @ c32.T  # the BLAS float32 path under test
+            ref = q64 @ c64.T   # float64 reference for the tolerance bound
             nq, nb = sims.shape
             yield pd.DataFrame({
                 "query_id": np.repeat(q_ids, nb),
                 "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), nq),
                 "cos_sim": sims.reshape(-1).astype("float64"),
+                "abs_err": np.abs(sims.astype("float64") - ref).reshape(-1),
             })
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_sim double"
+        score, schema="query_id long, neighbor_id long, cos_sim double, abs_err double"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"),
-                F.col("rn").cast("int").alias("rn"))
+        scored.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            (F.sum((F.col("abs_err") > BLAS_TOL).cast("int")) == 0).alias("within_tol"),
+            # struct max = highest cos, ties -> highest -neighbor_id = lowest id
+            F.max(F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg_id"))).alias("m"),
+        )
+        .select(
+            "query_id", "n_scored", "within_tol",
+            (-F.col("m.neg_id")).cast("bigint").alias("top1_neighbor"),
+        )
     )
+
+
+ORACLE_Q48 = f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.u) + 1), i -> q.u[i] * c.u[i])) AS cos
+  FROM q, n c
+  WHERE q.vec_id <> c.vec_id
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS n
+  FROM s
+)
+SELECT query_id,
+       CAST(n AS BIGINT)           AS n_scored,
+       TRUE                        AS within_tol,
+       CAST(neighbor_id AS BIGINT) AS top1_neighbor
+FROM rk WHERE rn = 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1810,5 +1864,6 @@ ORACLES = {
     "q133_semantic_decontam": ORACLE_Q133,
     "q146_source_embedding_drift": ORACLE_Q146,
     "q117_pca_power_iteration": ORACLE_Q117,
-    # q48: rows-only (float32 BLAS path, intentionally not bit-matched)
+    # q48: oracle-backed since round 7 (tolerance boolean + argmax evidence)
+    "q48_cosine_topk_pandas": ORACLE_Q48,
 }

@@ -92,7 +92,8 @@ def test_run_cli_lists_and_rejects(capsys):
     out = capsys.readouterr().out
     assert "q01_pricing_summary  [oracle]" in out
     assert "q06_approx_distinct_users  [oracle]" in out
-    assert "q48_cosine_topk_pandas  [rows-only]" in out
+    assert "q48_cosine_topk_pandas  [oracle]" in out
+    assert "q51_decode_features  [rows-only]" in out
 
     assert main(["q01_pricing_summry"]) == 2
     err = capsys.readouterr().err
@@ -106,7 +107,7 @@ def test_run_cli_check_mode(capsys, sf_dir):
 
     assert main(["q05_distinct_users", sf_dir, "--check"]) == 0
     assert "OK: q05_distinct_users" in capsys.readouterr().out
-    assert main(["q48_cosine_topk_pandas", sf_dir, "--check"]) == 2
+    assert main(["q51_decode_features", sf_dir, "--check"]) == 2
 
 
 def test_bpe_merge_rounds_are_monotone(spark, sf_dir):
