@@ -1812,7 +1812,12 @@ def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the verify joins run on candidate-doc semi-filtered shingles
     (the q42/q193 staging discipline)."""
     ds = _doc_shingles(spark, sf_dir, cache=True)
-    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # dfreq is corpus-sized (one row per distinct shingle) but the static
+    # estimator sizes the aggregate under the broadcast threshold -- at a
+    # 10x-inflated sf0.1 the driver-side broadcast build OOMs (measured by
+    # tools/scale_stress.py). The MERGE hint pins a shuffle join: both
+    # sides exchange on sh, nothing corpus-scaling ever lands on the driver.
+    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).hint("merge")
     per_doc = (
         ds.join(dfreq, "sh")
         .groupBy("doc_id")
@@ -2080,6 +2085,32 @@ SIMJ_TAU2_DEN = 25
 SIMJ_DF_MAX_PCT = 10  # prune terms present in > 10% of documents
 
 
+def _q245_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf weighted postings, df-pruned. The MERGE hint pins the dfreq
+    join to a shuffle: dfreq scales with the distinct-shingle count, so it
+    must never broadcast (same driver-OOM failure mode as q202's dfreq
+    join; see tools/scale_stress.py)."""
+    raw = _doc_shingles_raw(spark, sf_dir)
+    tf = raw.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).hint("merge")
+    nd = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "sh")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 100 <= SIMJ_DF_MAX_PCT * F.col("n_docs"))
+        .select(
+            "doc_id", "sh",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    * 1_000_000
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+
+
 def q245_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical similarity join: documents as tf-idf weighted
     shingle vectors, pairwise COSINE over the shared-term inner product
@@ -2104,29 +2135,9 @@ def q245_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the df prune just removed; norms join back keyed by doc. Σdf² over
     surviving terms bounds the join exactly as in the SSJoin
     literature."""
-    raw = _doc_shingles_raw(spark, sf_dir)
-    tf = raw.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    nd = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
-
-    def build_postings() -> DataFrame:
-        return (
-            tf.join(dfreq, "sh")
-            .crossJoin(F.broadcast(nd))
-            .filter(F.col("df") * 100 <= SIMJ_DF_MAX_PCT * F.col("n_docs"))
-            .select(
-                "doc_id", "sh",
-                (
-                    F.col("tf")
-                    * F.floor(
-                        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
-                        * 1_000_000
-                    ).cast("bigint")
-                ).alias("w"),
-            )
-        )
-
-    postings = cached_df(spark, f"q245_postings:{sf_dir}", build_postings)
+    postings = cached_df(
+        spark, f"q245_postings:{sf_dir}", lambda: _q245_postings(spark, sf_dir)
+    )
     norms = postings.groupBy("doc_id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
     )

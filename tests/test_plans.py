@@ -935,6 +935,21 @@ def test_prefix_filter_join_shapes(spark, sf_dir):
     plan = formatted_plan(_q202_build(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, f"shingles not semi-filtered:\n{plan[:2000]}"
+    # the shingle-frequency table scales with the corpus: its join must be
+    # a shuffle (MERGE hint), never a driver-side broadcast build -- at a
+    # 10x-inflated sf0.1 the static under-estimate OOM'd the driver
+    # (tools/scale_stress.py finding, round 7)
+    assert "SortMergeJoin" in plan, f"dfreq join not pinned to shuffle:\n{plan[:2000]}"
+
+
+def test_tfidf_simjoin_never_broadcasts_dfreq(spark, sf_dir):
+    """q245's document-frequency aggregate is corpus-sized; the postings
+    build must join it with a shuffle, never a driver-side broadcast
+    (same scale_stress finding as q202's dfreq)."""
+    from hive_ddl_extract_tool_spark.operators.dedup import _q245_postings
+
+    plan = formatted_plan(_q245_postings(spark, sf_dir))
+    assert "SortMergeJoin" in plan, f"dfreq join not pinned to shuffle:\n{plan[:2000]}"
 
 
 def test_mad_outliers_broadcast_medians(spark, sf_dir):

@@ -1,0 +1,210 @@
+"""Empirical scale-stress for the dedup/similarity scale paths.
+
+SCALE.md's cost models claim the staged pipelines grow with the TRUE
+near-dup structure, never with N^2 corpus pairs. This tool measures that
+claim instead of arguing it: it inflates the sf0.1 corpus by K in
+{1, 3, 10} with deterministically DISTINCT copies and records, per
+family, candidate-set sizes, output pair counts, and wall-clock.
+
+Inflation keeps the truth linear on purpose:
+
+- documents: copy j suffixes every word with ``x{j}`` -- every shingle of
+  copy j is disjoint from every other copy's, so NO cross-copy near-dups
+  exist; each copy replicates the original's internal near-dup pairs
+  exactly. True pairs therefore grow K-fold while candidate-pair SPACE
+  (N^2) grows K^2-fold: a pipeline whose candidates scale ~K is
+  structure-bound (the claim); ~K^2 would be a scan-the-space scale
+  killer.
+- embeddings: copy j rotates each vector left by j positions -- rotation
+  preserves norms and within-copy dot products (the original near-dup
+  cell structure replicates), while cross-copy cosines decorrelate.
+
+Usage: python tools/scale_stress.py [--sf-dir /root/testdata/sf0.1]
+                                    [--mults 1,3,10] [--out SCALE_STRESS.json]
+Prints one JSON line per (family, K) and a final summary JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_STRIDE = 1_000_000_000
+VEC_STRIDE = 1_000_000_000
+
+
+def inflate(spark: SparkSession, src: str, dst: str, k: int) -> None:
+    """Write a K-fold corpus under dst; non-inflated tables are symlinked."""
+    os.makedirs(dst, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        link = f"{dst}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{src}/{t}.parquet", link)
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    doc_parts = []
+    for j in range(k):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * DOC_STRIDE))
+        if j:
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"([a-z0-9]+)", rf"$1x{j}")
+            )
+        doc_parts.append(c)
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    emb_parts = []
+    for j in range(k):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(j * VEC_STRIDE))
+        if j:
+            rot = j % dim
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                ),
+            )
+        emb_parts.append(c)
+    out = emb_parts[0]
+    for p in emb_parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+
+def timed_count(df: DataFrame) -> tuple[int, float]:
+    t0 = time.monotonic()
+    n = df.count()
+    return n, round(time.monotonic() - t0, 2)
+
+
+def measure(spark: SparkSession, sf_dir: str, k: int) -> list[dict]:
+    """One row per family: candidates (where the pipeline has a staged
+    candidate tier), output pairs, wall-clock. Wall-clock includes the
+    staging pass (the honest end-to-end cost of a cold run)."""
+    from hive_ddl_extract_tool_spark.operators import dedup, similarity
+
+    rows = []
+
+    # q40 exact dedup: one hash shuffle, the floor.
+    n, t = timed_count(dedup.q40_exact_dedup(spark, sf_dir))
+    rows.append({"family": "q40_exact", "k": k, "out_rows": n, "sec": t})
+
+    # q42 MinHash+LSH: candidate tier measured separately, then the full
+    # verify (reuses the staged candidates, so sec_total ~ cand + verify).
+    ds = dedup._doc_shingles(spark, sf_dir, cache=True)
+    n_cand, t_cand = timed_count(dedup._lsh_candidates(spark, sf_dir, ds))
+    n, t = timed_count(dedup.q42_minhash_lsh_dedup(spark, sf_dir))
+    rows.append({"family": "q42_lsh", "k": k, "candidates": n_cand,
+                 "cand_sec": t_cand, "out_rows": n, "sec": round(t_cand + t, 2)})
+
+    # q202 prefix-filter exact join: candidate tier replicated from
+    # _q202_build (same expressions) so its size is observable.
+    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).hint("merge")
+    per_doc = (
+        ds.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"),
+             F.count(F.lit(1)).alias("sz"))
+    )
+    prefix = (
+        per_doc.withColumn("p", F.expr("sz - ((4 * sz + 4) DIV 5) + 1"))
+        .select("doc_id", "sz", F.explode(F.expr("slice(ordered, 1, p)")).alias("t"))
+        .select("doc_id", "sz", F.col("t.sh").alias("sh"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (5 * F.least("a.sz", "b.sz") >= 4 * F.greatest("a.sz", "b.sz")))
+        .select(F.col("a.doc_id"), F.col("b.doc_id")).distinct()
+    )
+    n_cand, t_cand = timed_count(cand)
+    n, t = timed_count(dedup.q202_prefix_filter_join(spark, sf_dir))
+    rows.append({"family": "q202_prefix", "k": k, "candidates": n_cand,
+                 "cand_sec": t_cand, "out_rows": n, "sec": t})
+
+    # q218 sorted-neighborhood: W-bounded comparisons by construction
+    # (candidates = N * SNM_WINDOW at most -- linear in N, measured via
+    # the output).
+    n, t = timed_count(dedup.q218_sorted_neighborhood(spark, sf_dir))
+    rows.append({"family": "q218_snm", "k": k, "out_rows": n, "sec": t})
+
+    # q245 tf-idf sparse cosine join (df-pruned postings).
+    n, t = timed_count(dedup.q245_tfidf_simjoin(spark, sf_dir))
+    rows.append({"family": "q245_tfidf", "k": k, "out_rows": n, "sec": t})
+
+    # q103 SemDeDup: the report is per-cell (fixed N_CELLS rows), so the
+    # scale signals are the aggregates: within-cell pair SPACE (what the
+    # cell-confined join actually evaluates -- sum of n_vecs-choose-2),
+    # found dup pairs, and the largest cell (straggler/salting pressure).
+    t0 = time.monotonic()
+    rep = similarity.q103_semdedup(spark, sf_dir).agg(
+        F.sum(F.col("n_vecs") * (F.col("n_vecs") - 1) / 2).alias("pair_space"),
+        F.sum("n_dup_pairs").alias("dup_pairs"),
+        F.sum("n_dropped").alias("dropped"),
+        F.max("n_vecs").alias("max_cell"),
+    ).first()
+    t = round(time.monotonic() - t0, 2)
+    rows.append({"family": "q103_semdedup", "k": k,
+                 "candidates": int(rep["pair_space"]),
+                 "out_rows": int(rep["dup_pairs"]),
+                 "dropped": int(rep["dropped"]),
+                 "max_cell": int(rep["max_cell"]), "sec": t})
+
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--work-dir", default="/tmp/scale_stress")
+    args = ap.parse_args()
+
+    from hive_ddl_extract_tool_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local mode runs all 32 executor threads inside the driver JVM; the
+    # 1g default heap is the bottleneck long before any plan is (the box
+    # has 128 GiB). On a real cluster this is executor memory sizing.
+    spark = get_spark(app_name="scale-stress", cpus=cpus,
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.driver.memory": "24g"})
+
+    all_rows: list[dict] = []
+    for k in [int(x) for x in args.mults.split(",")]:
+        dst = f"{args.work_dir}/x{k}"
+        shutil.rmtree(dst, ignore_errors=True)
+        inflate(spark, args.sf_dir, dst, k)
+        n_docs = spark.read.parquet(f"{dst}/documents.parquet").count()
+        for row in measure(spark, dst, k):
+            row["n_docs"] = n_docs
+            print(json.dumps(row), flush=True)
+            all_rows.append(row)
+
+    summary = {"sf_dir": args.sf_dir, "cpus": cpus, "rows": all_rows}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
