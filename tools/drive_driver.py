@@ -68,11 +68,13 @@ parity.append("\n## Per-query (type-strict canon)\n")
 
 qs, os_ = e.queries(), e.oracle_sql()
 fails = 0
+timings = []
 for name in sorted(qs):
     t0 = time.time()
     sdf = qs[name](spark, SF)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     dt = time.time() - t0
+    timings.append((name, dt))
     if name in os_:
         rel = con.sql(os_[name]); ocols, orows = list(rel.columns), rel.fetchall()
         ok = (sorted(scols)==sorted(ocols) and len(srows)==len(orows)
@@ -85,6 +87,16 @@ for name in sorted(qs):
         parity.append(f"- ROWS {name} rows={len(srows)}")
 print("FAILS:", fails)
 parity.append(f"\nFAILS: {fails}\n")
+
+# Sweep profile: the round-over-round regression signal BASELINE.md's
+# "Full-sweep series" table tracks (a staging cache that stops hitting
+# shows up here long before it hurts the sf0.1 headline bench).
+total = sum(t for _, t in timings)
+heavy = sorted(timings, key=lambda x: -x[1])[:10]
+heavy_s = ", ".join(f"{n} {t:.1f}s" for n, t in heavy)
+print(f"SWEEP total={total:.1f}s queries={len(timings)} heaviest: {heavy_s}")
+parity.append(f"Sweep profile: {len(timings)} queries, {total:.1f} s total; "
+              f"heaviest: {heavy_s}\n")
 with open("/root/repo/PARITY.md", "w") as f:
     f.write("\n".join(parity))
 sys.exit(1 if fails else 0)
