@@ -515,12 +515,14 @@ def _cell_slots(cent_vecs) -> Column:
     ])
 
 
-def _init_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Deterministic init: the first N_CELLS corpus vectors (bounded
-    N_CELLS-row collect shipped as plan literals)."""
+def _init_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> list[list[float]]:
+    """Deterministic init: the first n_cells corpus vectors (bounded
+    n_cells-row collect shipped as plan literals)."""
     emb = load(spark, sf_dir, "embeddings")
     rows = sorted(
-        emb.filter(F.col("vec_id") < N_CELLS).select("vec_id", "embedding").collect(),
+        emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
     return [list(r["embedding"]) for r in rows]
@@ -618,7 +620,12 @@ Q20 = 1 << 20      # fixed-point scale for exact cross-engine centroid means
 _CENTROID_MEMO: dict[tuple[str, str], list[list[float]]] = {}
 
 
-def train_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def train_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = N_CELLS,
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
     """Distributed Lloyd k-means feeding q66's literal-centroid mechanism.
 
     Each round is one corpus pass: assign every vector to its nearest
@@ -631,12 +638,17 @@ def train_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     discipline -- each element is floor-quantized to 2^-20 fixed point,
     summed exactly as int64 (order-free), and divided back in doubles once.
     DuckDB replays the identical rounds in unrolled CTEs, so the trained
-    centroids (and therefore every assignment) are bit-identical."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    centroids (and therefore every assignment) are bit-identical.
+
+    n_cells / init parameterize the cell count (SemDeDup's recipe sizes
+    cells to constant occupancy, so at scale n_cells grows with the
+    corpus; tools/scale_stress.py measures exactly that). The oracle
+    contract only covers the default N_CELLS."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, n_cells, init is None)
     hit = _CENTROID_MEMO.get(memo_key)
     if hit is not None:
         return hit
-    cent = _init_centroids(spark, sf_dir)
+    cent = init if init is not None else _init_centroids(spark, sf_dir, n_cells)
     emb = load(spark, sf_dir, "embeddings")
     for _ in range(KMEANS_ITERS):
         cell = F.element_at(F.array_sort(_cell_slots(cent)), 1)["ci"]
@@ -1141,6 +1153,14 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree both engines), and every output is an integer count."""
     cent = train_centroids(spark, sf_dir)
     ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
+    return _semdedup_from_ranked(ranked)
+
+
+def _semdedup_from_ranked(ranked: DataFrame) -> DataFrame:
+    """The cell-confined dedup report over any (vec_id, embedding, t2)
+    staging -- q103 uses the N_CELLS oracle contract; tools/scale_stress.py
+    feeds it corpus-proportional cell counts to measure the Σcell²-vs-
+    linear cost shape."""
     # unit-normalize once (q49's optimization) as a pure PROJECTION of the
     # staged row -- joining the separate unit-vector stage here would
     # shuffle the corpus by vec_id just to fetch a value derivable in place

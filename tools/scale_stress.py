@@ -166,6 +166,37 @@ def measure(spark: SparkSession, sf_dir: str, k: int) -> list[dict]:
                  "dropped": int(rep["dropped"]),
                  "max_cell": int(rep["max_cell"]), "sec": t})
 
+    # q103 with SemDeDup's actual production recipe: cell count grows with
+    # the corpus (constant target occupancy), so Σcell² -- and with it the
+    # pair space the fixed-cell row above shows going K² -- must return to
+    # ~linear. Init takes the same 8 seed vectors PER COPY that the 1x run
+    # takes overall (vec_id j*STRIDE+0..7), so the trained cells can
+    # rediscover each copy's replicated structure; 2 Lloyd rounds as always.
+    n_cells = 8 * k
+    init_ids = [j * VEC_STRIDE + i for j in range(k) for i in range(8)]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init_rows = {r["vec_id"]: list(r["embedding"])
+                 for r in emb.filter(F.col("vec_id").isin(init_ids))
+                 .select("vec_id", "embedding").collect()}
+    init = [init_rows[i] for i in init_ids]
+    t0 = time.monotonic()
+    cent = similarity.train_centroids(spark, sf_dir, n_cells=n_cells, init=init)
+    ranked = similarity._ivf_ranked(
+        spark, sf_dir, cent, f"ivf_ranked_scaled{n_cells}:{sf_dir}")
+    rep = similarity._semdedup_from_ranked(ranked).agg(
+        F.sum(F.col("n_vecs") * (F.col("n_vecs") - 1) / 2).alias("pair_space"),
+        F.sum("n_dup_pairs").alias("dup_pairs"),
+        F.sum("n_dropped").alias("dropped"),
+        F.max("n_vecs").alias("max_cell"),
+    ).first()
+    t = round(time.monotonic() - t0, 2)
+    rows.append({"family": "q103_semdedup_scaled_cells", "k": k,
+                 "n_cells": n_cells,
+                 "candidates": int(rep["pair_space"]),
+                 "out_rows": int(rep["dup_pairs"]),
+                 "dropped": int(rep["dropped"]),
+                 "max_cell": int(rep["max_cell"]), "sec": t})
+
     return rows
 
 
