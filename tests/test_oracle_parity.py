@@ -249,6 +249,34 @@ def test_q103_semdedup_conserves_vectors(spark, sf_dir):
         assert (r["n_dropped"] > 0) <= (r["n_dup_pairs"] > 0), r
 
 
+def test_semdedup_scaled_cells_matches_default_at_base(spark, sf_dir):
+    """tools/scale_stress.py's scaled-cells measurement drives
+    train_centroids(n_cells=..., init=...) and _semdedup_from_ranked
+    directly; pin that parameterized path. With the default cell count and
+    the default init passed EXPLICITLY, the report must be row-identical
+    to q103 (the K=1 sanity anchor of SCALE.md's measured table), and a
+    different cell count must yield that many report cells covering the
+    same corpus."""
+    from hive_ddl_extract_tool_spark.operators import similarity as s
+    from hive_ddl_extract_tool_spark.tables import load
+
+    init = s._init_centroids(spark, sf_dir, s.N_CELLS)
+    cent = s.train_centroids(spark, sf_dir, n_cells=s.N_CELLS, init=init)
+    assert cent == s.train_centroids(spark, sf_dir)
+    ranked = s._ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
+    got = sorted(map(tuple, s._semdedup_from_ranked(ranked).collect()))
+    want = sorted(map(tuple, s.QUERIES["q103_semdedup"](spark, sf_dir).collect()))
+    assert got == want
+
+    n4 = 4
+    cent4 = s.train_centroids(spark, sf_dir, n_cells=n4)
+    assert len(cent4) == n4
+    ranked4 = s._ivf_ranked(spark, sf_dir, cent4, f"ivf_ranked_test{n4}:{sf_dir}")
+    rep4 = s._semdedup_from_ranked(ranked4).collect()
+    assert len(rep4) <= n4
+    assert sum(r["n_vecs"] for r in rep4) == load(spark, sf_dir, "embeddings").count()
+
+
 def test_q104_contamination_is_a_ratio(spark, sf_dir):
     """Hits can never exceed the gram count and the ppm field is the exact
     integer ratio."""
