@@ -299,9 +299,13 @@ SHOW = {
         "version explode precedes one hash aggregate."
     ),
     "q202_prefix_filter_join": (
-        "Candidate keys are each doc's rarest shingles (per-doc array_sort "
-        "by (df, hash) -- no global rank sort anywhere); verify joins read "
-        "LeftSemi-filtered shingles; every join is an equi-join."
+        "BUILD plan of the staged pair set (the registered query returns "
+        "the scratch-parquet read-back three consumers share). Candidate "
+        "keys are each doc's rarest shingles (per-doc array_sort by "
+        "(df, hash) -- no global rank sort anywhere); verify joins read "
+        "LeftSemi-filtered shingles; every join is an equi-join; the "
+        "corpus-sized dfreq aggregate is MERGE-hint-pinned off the "
+        "broadcast path (the 10x scale-stress OOM fix)."
     ),
     "q203_mad_outliers": (
         "Exact percentile aggregates merge value->count maps; both 5-row "
@@ -337,9 +341,21 @@ SHOW = {
 }
 
 
+# Staged wrappers return a scratch-parquet read-back (operators/_cache.py),
+# whose executed plan is just a scan; dump the BUILD plan instead -- that is
+# the plan whose shape the annotation describes and the tests pin.
+def _builders():
+    from hive_ddl_extract_tool_spark.operators import dedup
+
+    return {
+        "q202_prefix_filter_join": dedup._q202_build,
+    }
+
+
 def main() -> None:
     spark = get_spark(cpus=4, shuffle_partitions=4)
     qs = all_queries()
+    qs.update(_builders())
     out = [
         "# PLANS — formatted physical plans for the flagship queries",
         "",
