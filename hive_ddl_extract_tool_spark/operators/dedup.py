@@ -1792,26 +1792,12 @@ def q202_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard >= 0.8 similarity join via prefix filtering
-    (SSJoin/PPJoin family) -- the lossless counterpart of q42's LSH: no
-    probabilistic bands, yet no all-pairs join either. Each document
-    keeps only its p = |A| - ceil(tau*|A|) + 1 RAREST shingles (global
-    (doc-frequency, hash) order) as join keys; the prefix lemma
-    guarantees every pair with J >= tau shares a prefix token, so the
-    candidate join is complete, and candidates are verified exactly.
-    The oracle is the FULL shingle equijoin -- the driver hash compare
-    therefore proves the prefix filter loses nothing.
-
-    Scale: the per-doc prefix order comes from array_sort over the
-    doc's own (df, sh) structs -- a global shingle RANK table (global
-    sort) is never built. Prefix keys are by construction the rarest
-    shingles, so the candidate self-join is skew-resistant exactly
-    where a naive shingle equijoin is hottest; the size filter
-    5*min >= 4*max prunes length-incompatible pairs before the verify,
-    and the verify joins run on candidate-doc semi-filtered shingles
-    (the q42/q193 staging discipline)."""
-    ds = _doc_shingles(spark, sf_dir, cache=True)
+def _q202_candidates(ds: DataFrame) -> DataFrame:
+    """Prefix-filter candidate tier: (doc_a, doc_b) pairs sharing a rarest-
+    shingle prefix key and passing the 5*min >= 4*max size filter. The ONE
+    definition both the shipped pipeline (_q202_build) and the scale
+    measurement (tools/scale_stress.py) use, so the measured candidate
+    curve can never drift from the production expressions."""
     # dfreq is corpus-sized (one row per distinct shingle) but the static
     # estimator sizes the aggregate under the broadcast threshold -- at a
     # 10x-inflated sf0.1 the driver-side broadcast build OOMs (measured by
@@ -1832,7 +1818,7 @@ def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sz", F.col("t.sh").alias("sh"))
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -1845,6 +1831,29 @@ def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 similarity join via prefix filtering
+    (SSJoin/PPJoin family) -- the lossless counterpart of q42's LSH: no
+    probabilistic bands, yet no all-pairs join either. Each document
+    keeps only its p = |A| - ceil(tau*|A|) + 1 RAREST shingles (global
+    (doc-frequency, hash) order) as join keys; the prefix lemma
+    guarantees every pair with J >= tau shares a prefix token, so the
+    candidate join is complete, and candidates are verified exactly.
+    The oracle is the FULL shingle equijoin -- the driver hash compare
+    therefore proves the prefix filter loses nothing.
+
+    Scale: the per-doc prefix order comes from array_sort over the
+    doc's own (df, sh) structs -- a global shingle RANK table (global
+    sort) is never built. Prefix keys are by construction the rarest
+    shingles, so the candidate self-join is skew-resistant exactly
+    where a naive shingle equijoin is hottest; the size filter
+    5*min >= 4*max prunes length-incompatible pairs before the verify,
+    and the verify joins run on candidate-doc semi-filtered shingles
+    (the q42/q193 staging discipline)."""
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    cand = _q202_candidates(ds)
     inter, sizes = _verified_intersections(ds, cand)
     return (
         inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))

@@ -211,16 +211,21 @@ def q48_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in qrows])
-    q32 = np.array([r["embedding"] for r in qrows], dtype="float32")
+    qraw = np.array([r["embedding"] for r in qrows])
+    q32 = qraw.astype("float32")
     q32 /= np.linalg.norm(q32, axis=1, keepdims=True)
-    q64 = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q64 = qraw.astype("float64")
     q64 /= np.linalg.norm(q64, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
-            c32 = np.array(list(pdf["embedding"]), dtype="float32")
+            # one pandas->ndarray conversion per batch; the float32/float64
+            # pair are casts of the same values (astype copies, so the
+            # in-place normalizations stay independent)
+            raw = np.array(list(pdf["embedding"]))
+            c32 = raw.astype("float32")
             c32 /= np.linalg.norm(c32, axis=1, keepdims=True)
-            c64 = np.array(list(pdf["embedding"]), dtype="float64")
+            c64 = raw.astype("float64")
             c64 /= np.linalg.norm(c64, axis=1, keepdims=True)
             sims = q32 @ c32.T  # the BLAS float32 path under test
             ref = q64 @ c64.T   # float64 reference for the tolerance bound
@@ -617,7 +622,7 @@ KMEANS_ITERS = 2   # Lloyd update rounds (init = first N_CELLS vectors)
 Q20 = 1 << 20      # fixed-point scale for exact cross-engine centroid means
 
 
-_CENTROID_MEMO: dict[tuple[str, str], list[list[float]]] = {}
+_CENTROID_MEMO: dict[tuple, list[list[float]]] = {}
 
 
 def train_centroids(
@@ -644,7 +649,14 @@ def train_centroids(
     cells to constant occupancy, so at scale n_cells grows with the
     corpus; tools/scale_stress.py measures exactly that). The oracle
     contract only covers the default N_CELLS."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, n_cells, init is None)
+    # memo key carries the init CONTENT (not just its presence): two calls
+    # with the same (sf_dir, n_cells) but different explicit seeds must not
+    # collide into one cached training result
+    init_sig = (
+        None if init is None
+        else tuple(tuple(float(x) for x in v) for v in init)
+    )
+    memo_key = (spark.sparkContext.applicationId, sf_dir, n_cells, init_sig)
     hit = _CENTROID_MEMO.get(memo_key)
     if hit is not None:
         return hit

@@ -1517,8 +1517,8 @@ def q238_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because counter addition commutes, the streamed sketch must equal the
     batch-built sketch CELL FOR CELL, so the final estimates match
     q225's construction exactly and the oracle is the full batch
-    construction plus n_batches = 4 pinning that the run was truly
-    incremental.
+    construction plus the _NB_SQL non-empty-quartile count pinning that
+    the run was truly incremental (one micro-batch per staged shard).
 
     Scale: this is the production shape for stream-scale heavy
     hitters -- per-batch increments are at most d*w rows regardless of

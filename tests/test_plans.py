@@ -927,7 +927,11 @@ def test_prefix_filter_join_shapes(spark, sf_dir):
     theta/cartesian candidate step), and the verify joins must run on
     candidate-doc SEMI-filtered shingles."""
     from hive_ddl_extract_tool_spark.operators._cache import clear_cache
-    from hive_ddl_extract_tool_spark.operators.dedup import _q202_build
+    from hive_ddl_extract_tool_spark.operators.dedup import (
+        _doc_shingles,
+        _q202_build,
+        _q202_candidates,
+    )
 
     clear_cache()
     # assert on the BUILD pipeline: the registered q202 stages its result
@@ -935,11 +939,18 @@ def test_prefix_filter_join_shapes(spark, sf_dir):
     plan = formatted_plan(_q202_build(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, f"shingles not semi-filtered:\n{plan[:2000]}"
-    # the shingle-frequency table scales with the corpus: its join must be
-    # a shuffle (MERGE hint), never a driver-side broadcast build -- at a
-    # 10x-inflated sf0.1 the static under-estimate OOM'd the driver
-    # (tools/scale_stress.py finding, round 7)
-    assert "SortMergeJoin" in plan, f"dfreq join not pinned to shuffle:\n{plan[:2000]}"
+    # every relation in the CANDIDATE subtree scales with the corpus
+    # (shingle set, dfreq aggregate, prefix keys): none may ever become a
+    # driver-side broadcast build -- at a 10x-inflated sf0.1 the static
+    # under-estimate of dfreq OOM'd the driver (tools/scale_stress.py
+    # finding, round 7; the MERGE hint pins it). Asserting on the subtree
+    # (not the whole build plan) means the a x b self-join can't mask a
+    # dfreq regression by contributing the SortMergeJoin itself.
+    cand_plan = formatted_plan(_q202_candidates(_doc_shingles(spark, sf_dir, cache=True)))
+    assert "BroadcastExchange" not in cand_plan, (
+        f"corpus-scaled relation broadcast in the candidate tier:\n{cand_plan[:2000]}"
+    )
+    assert "SortMergeJoin" in cand_plan, f"dfreq join not pinned to shuffle:\n{cand_plan[:2000]}"
 
 
 def test_tfidf_simjoin_never_broadcasts_dfreq(spark, sf_dir):

@@ -52,6 +52,16 @@ def inflate(spark: SparkSession, src: str, dst: str, k: int) -> None:
             os.symlink(f"{src}/{t}.parquet", link)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
+    # The disjoint-copy invariant (every shingle of copy j differs from every
+    # other copy's) relies on EVERY token containing a [a-z0-9] run for the
+    # suffix to attach to; an uppercase-only or punctuation-only token would
+    # survive unchanged across copies and plant cross-copy near-dups that
+    # silently corrupt the K-vs-K^2 curves. Assert it instead of assuming it.
+    n_bad = docs.filter(~F.col("text").rlike(r"^[a-z0-9 ]*$")).count()
+    assert n_bad == 0, (
+        f"{n_bad} documents contain characters outside [a-z0-9 ]; the "
+        "per-copy word-suffix inflation would not keep copies disjoint"
+    )
     doc_parts = []
     for j in range(k):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * DOC_STRIDE))
@@ -112,28 +122,10 @@ def measure(spark: SparkSession, sf_dir: str, k: int) -> list[dict]:
     rows.append({"family": "q42_lsh", "k": k, "candidates": n_cand,
                  "cand_sec": t_cand, "out_rows": n, "sec": round(t_cand + t, 2)})
 
-    # q202 prefix-filter exact join: candidate tier replicated from
-    # _q202_build (same expressions) so its size is observable.
-    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).hint("merge")
-    per_doc = (
-        ds.join(dfreq, "sh")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"),
-             F.count(F.lit(1)).alias("sz"))
-    )
-    prefix = (
-        per_doc.withColumn("p", F.expr("sz - ((4 * sz + 4) DIV 5) + 1"))
-        .select("doc_id", "sz", F.explode(F.expr("slice(ordered, 1, p)")).alias("t"))
-        .select("doc_id", "sz", F.col("t.sh").alias("sh"))
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (5 * F.least("a.sz", "b.sz") >= 4 * F.greatest("a.sz", "b.sz")))
-        .select(F.col("a.doc_id"), F.col("b.doc_id")).distinct()
-    )
-    n_cand, t_cand = timed_count(cand)
+    # q202 prefix-filter exact join: the candidate tier is the SAME
+    # definition the shipped pipeline verifies (dedup._q202_candidates),
+    # so the measured curve cannot drift from the production expressions.
+    n_cand, t_cand = timed_count(dedup._q202_candidates(ds))
     n, t = timed_count(dedup.q202_prefix_filter_join(spark, sf_dir))
     rows.append({"family": "q202_prefix", "k": k, "candidates": n_cand,
                  "cand_sec": t_cand, "out_rows": n, "sec": t})
