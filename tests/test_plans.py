@@ -939,17 +939,22 @@ def test_prefix_filter_join_shapes(spark, sf_dir):
     plan = formatted_plan(_q202_build(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, f"shingles not semi-filtered:\n{plan[:2000]}"
-    # every relation in the CANDIDATE subtree scales with the corpus
-    # (shingle set, dfreq aggregate, prefix keys): none may ever become a
-    # driver-side broadcast build -- at a 10x-inflated sf0.1 the static
-    # under-estimate of dfreq OOM'd the driver (tools/scale_stress.py
-    # finding, round 7; the MERGE hint pins it). Asserting on the subtree
-    # (not the whole build plan) means the a x b self-join can't mask a
-    # dfreq regression by contributing the SortMergeJoin itself.
-    cand_plan = formatted_plan(_q202_candidates(_doc_shingles(spark, sf_dir, cache=True)))
-    assert "BroadcastExchange" not in cand_plan, (
-        f"corpus-scaled relation broadcast in the candidate tier:\n{cand_plan[:2000]}"
-    )
+    # the dfreq aggregate scales with the corpus: its join must stay a
+    # shuffle join (MERGE hint) -- at a 10x-inflated sf0.1 the static
+    # under-estimate crossed the broadcast threshold and the driver-side
+    # build OOM'd (tools/scale_stress.py finding, round 7). Probe: raise
+    # the broadcast threshold so every size-decided join in the candidate
+    # subtree broadcasts at test scale; the only SortMergeJoin that can
+    # remain is the hint-pinned dfreq join, so the assertion cannot be
+    # masked by the a x b self-join planning as SMJ for size reasons.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024 * 1024))
+    try:
+        cand_plan = formatted_plan(
+            _q202_candidates(_doc_shingles(spark, sf_dir, cache=True))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert "SortMergeJoin" in cand_plan, f"dfreq join not pinned to shuffle:\n{cand_plan[:2000]}"
 
 
