@@ -169,6 +169,30 @@ GROUP BY user_id, sess
 # q63: true Structured Streaming -- readStream + watermark + tumbling agg
 # --------------------------------------------------------------------------
 
+def _table_stream(spark: SparkSession, sf_dir: str, table: str,
+                  schema: T.StructType) -> DataFrame:
+    """File-source stream over `{sf_dir}/{table}.parquet`, robust to BOTH
+    physical layouts a parquet table ships in: a single FILE (the driver's
+    fixtures) and a DIRECTORY of part files (what any Spark write
+    produces). The old pathGlobFilter-on-sf_dir pattern silently streamed
+    ZERO rows on the directory layout -- the filter matches leaf file
+    names, and a directory's leaves are part-*.parquet, not
+    {table}.parquet (caught by tools/x10_smoke.py on the inflated corpus:
+    q131 returned 0 rows with no error). On a cluster store, resolve
+    dir-ness via the Hadoop FS API instead of os.path."""
+    import os as _os2
+
+    path = f"{sf_dir}/{table}.parquet"
+    if _os2.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    # file source needs a directory; select the single file by leaf name
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of events.parquet robust to both ts encodings the data
     generator has shipped: TIMESTAMP(NANOS) (surfaces as long under the
@@ -192,11 +216,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ])
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "events", schema)
     if isinstance(ts_type, T.LongType):  # nanos surfaced as long
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -503,11 +523,8 @@ def q131_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(is_new(F.col("doc_id")))
+    stream = _table_stream(spark, sf_dir, "documents", schema).filter(
+        is_new(F.col("doc_id"))
     )
     sh = F.transform(_shingles_from_words(_words()), lambda s: h60(s) % F.lit(P31))
     mins = [

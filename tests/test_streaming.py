@@ -550,3 +550,35 @@ def test_day_shard_staging_skips_empty_quartiles(spark, tmp_path):
         " AS ts FROM range(4) r"
     )
     assert con2.execute(_NB_SQL).fetchone()[0] == 4
+
+
+def test_stream_sources_read_directory_layout_tables(spark, sf_dir, tmp_path):
+    """The driver fixture ships each table as a single parquet FILE, but
+    any Spark-written dataset is a DIRECTORY of part files. The file-source
+    streams must read both layouts identically -- the old
+    pathGlobFilter-on-sf_dir pattern matched only the file layout and
+    silently streamed ZERO rows from a directory (caught by
+    tools/x10_smoke.py: q131 returned 0 on the inflated corpus with no
+    error)."""
+    import os
+
+    from hive_ddl_extract_tool_spark.streaming.windows import (
+        q60_tumbling_window,
+        q131_stream_dedup_gate,
+    )
+
+    dir_sf = str(tmp_path / "dir_layout")
+    os.makedirs(dir_sf)
+    for t in ("documents", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+            f"{dir_sf}/{t}.parquet"
+        )
+    assert os.path.isdir(f"{dir_sf}/documents.parquet")
+
+    got = sorted(map(tuple, q131_stream_dedup_gate(spark, dir_sf).collect()))
+    want = sorted(map(tuple, q131_stream_dedup_gate(spark, sf_dir).collect()))
+    assert got == want
+
+    got = sorted(map(tuple, q60_tumbling_window(spark, dir_sf).collect()))
+    want = sorted(map(tuple, q60_tumbling_window(spark, sf_dir).collect()))
+    assert len(got) > 0 and got == want
