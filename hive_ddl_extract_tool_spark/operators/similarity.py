@@ -108,13 +108,16 @@ def _plane_sign(p: int, i: int) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
-def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-bit sign signature per vector, fully columnar: each plane's
+def _buckets(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> DataFrame:
+    """n_planes-bit sign signature per vector, fully columnar: each plane's
     projection is one zip_with/aggregate against a literal sign vector -- no
-    row explosion (the posexplode x planes form shuffled 512x the rows)."""
+    row explosion (the posexplode x planes form shuffled 512x the rows).
+    The oracle contract covers the default N_PLANES; the parameter exists
+    because bucket count must grow with the corpus (2^bits ~ N keeps
+    occupancy constant -- tools/scale_stress.py measures exactly that)."""
     emb = load(spark, sf_dir, "embeddings")
     bucket = F.lit(0).cast("bigint")
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         signs = F.array(*[F.lit(_plane_sign(p, i)) for i in range(1, DIM + 1)])
         proj = F.aggregate(
             F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
@@ -362,17 +365,50 @@ SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 PROBE_RADIUS = 2  # multi-probe: buckets within Hamming distance <= 2
 
 
-def _probe_masks() -> list[int]:
+def _probe_masks(n_planes: int = N_PLANES) -> list[int]:
     """XOR masks for radius-2 multi-probe: identity, every 1-bit flip, every
-    2-bit flip of the 8-bit signature (1 + 8 + 28 = 37 probes)."""
+    2-bit flip of the signature (1 + n + n(n-1)/2 probes; 37 at the
+    default 8 bits)."""
     masks = [0]
-    masks += [1 << p for p in range(N_PLANES)]
+    masks += [1 << p for p in range(n_planes)]
     masks += [
         (1 << p1) | (1 << p2)
-        for p1 in range(N_PLANES)
-        for p2 in range(p1 + 1, N_PLANES)
+        for p1 in range(n_planes)
+        for p2 in range(p1 + 1, n_planes)
     ]
     return masks
+
+
+def _q49b_candidates(bk: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Multi-probe candidate pairs (vec_a, vec_b) from bucket collisions --
+    the single definition both the shipped pipeline and the scale
+    measurement use (the q202 discipline). Each qualifying pair matches on
+    exactly ONE probe mask, so no distinct is needed; vec_a < vec_b fixes
+    the orientation."""
+    probes = bk.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(n_planes)])
+        ).alias("probe"),
+    )
+    right = bk.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
+    return probes.join(
+        right, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b")
+
+
+def _q49b_verify(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact unit-vector dot verify of a candidate pair set."""
+    vecs = _normalized(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")), "vec_b")
+        .select("vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
 
 
 def q49b_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,26 +421,7 @@ def q49b_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle never carries a vector more than twice. q49 (all-pairs) is the
     exact baseline that audits this operator's recall."""
     bk = _ann_buckets(spark, sf_dir)
-    probes = bk.select(
-        F.col("vec_id").alias("vec_a"),
-        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks()])).alias("probe"),
-    )
-    right = bk.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
-    # each qualifying pair matches on exactly ONE probe mask, so no distinct
-    # is needed; vec_a < vec_b fixes the orientation
-    cand = probes.join(
-        right, (F.col("probe") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
-    ).select("vec_a", "vec_b")
-    vecs = _normalized(spark, sf_dir)
-    dot = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")), "vec_a")
-        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")), "vec_b")
-        .select("vec_a", "vec_b", F.round(dot, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-    )
+    return _q49b_verify(spark, sf_dir, _q49b_candidates(bk))
 
 
 ORACLE_Q49B = f"""

@@ -277,6 +277,30 @@ def test_semdedup_scaled_cells_matches_default_at_base(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rep4) == load(spark, sf_dir, "embeddings").count()
 
 
+def test_q49b_scaled_bits_matches_default_at_base(spark, sf_dir):
+    """The q49b twin of the scaled-cells pin: _buckets/_q49b_candidates/
+    _q49b_verify with the default plane count passed EXPLICITLY must
+    reproduce the registered q49b row-for-row, and a larger plane count
+    must yield signatures inside its bucket space with a candidate set no
+    larger than the default's (more bits can only split buckets)."""
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators import similarity as s
+
+    bk = s._buckets(spark, sf_dir, s.N_PLANES)
+    got = sorted(map(tuple, s._q49b_verify(
+        spark, sf_dir, s._q49b_candidates(bk, s.N_PLANES)).collect()))
+    want = sorted(map(tuple, s.QUERIES["q49b_cosine_neardup_lsh"](spark, sf_dir).collect()))
+    assert got == want
+
+    n12 = s.N_PLANES + 4
+    bk12 = s._buckets(spark, sf_dir, n12)
+    assert bk12.agg(F.max("bucket")).first()[0] < (1 << n12)
+    n_default = s._q49b_candidates(bk, s.N_PLANES).count()
+    n_scaled = s._q49b_candidates(bk12, n12).count()
+    assert 0 < n_scaled <= n_default
+
+
 def test_q104_contamination_is_a_ratio(spark, sf_dir):
     """Hits can never exceed the gram count and the ppm field is the exact
     integer ratio."""

@@ -140,6 +140,32 @@ def measure(spark: SparkSession, sf_dir: str, k: int) -> list[dict]:
     n, t = timed_count(dedup.q245_tfidf_simjoin(spark, sf_dir))
     rows.append({"family": "q245_tfidf", "k": k, "out_rows": n, "sec": t})
 
+    # q49b embedding near-dup LSH, in BOTH configurations: the fixture's
+    # fixed 8 hyperplanes (bucket space fixed at 256 => occupancy grows
+    # with N and within-bucket pairs grow ~N^2/256 -- the fixed-cell q103
+    # cost law), and the production recipe (planes grow with log2(K) so
+    # 2^bits ~ N keeps occupancy constant). Same operator body; the
+    # candidate tier is the single shipped definition (_q49b_candidates).
+    from hive_ddl_extract_tool_spark.operators._cache import cached_df
+
+    for label, n_planes in (
+        ("q49b_lsh_fixed_bits", similarity.N_PLANES),
+        ("q49b_lsh_scaled_bits", similarity.N_PLANES + max(0, (k - 1).bit_length())),
+    ):
+        t0 = time.monotonic()
+        bk = cached_df(
+            spark, f"stress_buckets{n_planes}:{sf_dir}",
+            lambda n=n_planes: similarity._buckets(spark, sf_dir, n),
+        )
+        n_cand, t_cand = timed_count(similarity._q49b_candidates(bk, n_planes))
+        n_out = similarity._q49b_verify(
+            spark, sf_dir, similarity._q49b_candidates(bk, n_planes)
+        ).count()
+        t = round(time.monotonic() - t0, 2)
+        rows.append({"family": label, "k": k, "n_planes": n_planes,
+                     "candidates": n_cand, "cand_sec": t_cand,
+                     "out_rows": n_out, "sec": t})
+
     # q103 SemDeDup: the report is per-cell (fixed N_CELLS rows), so the
     # scale signals are the aggregates: within-cell pair SPACE (what the
     # cell-confined join actually evaluates -- sum of n_vecs-choose-2),
