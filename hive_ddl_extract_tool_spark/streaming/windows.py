@@ -178,12 +178,12 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str,
     ZERO rows on the directory layout -- the filter matches leaf file
     names, and a directory's leaves are part-*.parquet, not
     {table}.parquet (caught by tools/x10_smoke.py on the inflated corpus:
-    q131 returned 0 rows with no error). On a cluster store, resolve
-    dir-ness via the Hadoop FS API instead of os.path."""
-    import os as _os2
-
+    q131 returned 0 rows with no error). Dir-ness is resolved through the
+    Hadoop FS API, so cluster stores (hdfs://, s3a://, ...) take the same
+    decision path as local disk -- os.path.isdir returns False for every
+    remote URI, which would silently re-select the zero-row glob branch."""
     path = f"{sf_dir}/{table}.parquet"
-    if _os2.path.isdir(path):
+    if _is_directory(spark, path):
         return spark.readStream.schema(schema).parquet(path)
     # file source needs a directory; select the single file by leaf name
     return (
@@ -191,6 +191,28 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str,
         .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
+
+
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """True iff `path` is a directory on WHATEVER filesystem owns it,
+    resolved via Hadoop's FileSystem -- the same authority the file source
+    consults. Local paths keep the os.path fast path (no JVM round-trip);
+    any path with a non-local scheme goes through Hadoop, so hdfs:// and
+    s3a:// directory-layout tables are classified correctly instead of
+    silently falling into the glob branch. A path the store cannot resolve
+    raises FileNotFoundException: a missing table must fail loudly, never
+    stream zero rows."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme in ("", "file"):
+        import os as _os2
+
+        return _os2.path.isdir(path.removeprefix("file:"))
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getFileStatus(hpath).isDirectory()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -582,3 +582,37 @@ def test_stream_sources_read_directory_layout_tables(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, q60_tumbling_window(spark, dir_sf).collect()))
     want = sorted(map(tuple, q60_tumbling_window(spark, sf_dir).collect()))
     assert len(got) > 0 and got == want
+
+
+def test_is_directory_resolves_schemes(spark, tmp_path):
+    """_table_stream's layout probe must classify correctly on every store,
+    not just local disk: os.path.isdir returns False for any remote URI,
+    which would silently re-select the zero-row glob branch (ADVICE r7).
+    Local paths, file:-scheme URIs, and Hadoop-resolved URIs must all agree;
+    an unresolvable path must raise, never default to a silent branch."""
+    from hive_ddl_extract_tool_spark.streaming.windows import _is_directory
+
+    d = tmp_path / "tbl.parquet"
+    d.mkdir()
+    f = tmp_path / "flat.parquet"
+    f.write_bytes(b"")
+
+    assert _is_directory(spark, str(d)) is True
+    assert _is_directory(spark, str(f)) is False
+    assert _is_directory(spark, f"file:{d}") is True
+    assert _is_directory(spark, f"file:{f}") is False
+    # a scheme os.path cannot see goes through Hadoop's FileSystem; the
+    # local FS is Hadoop-addressable as file://, so this exercises the
+    # JVM branch end to end without needing a cluster store
+    jvm_probe = lambda p: bool(
+        spark._jvm.org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+        .getFileStatus(spark._jvm.org.apache.hadoop.fs.Path(p))
+        .isDirectory()
+    )
+    assert jvm_probe(f"file://{d}") is True
+    assert jvm_probe(f"file://{f}") is False
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        jvm_probe(f"file://{tmp_path}/missing.parquet")
