@@ -335,10 +335,12 @@ def q49_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
         )
 
-    # The (tiny) verified-pair output is parquet-staged per session: q49c
-    # consumes it again as the recall ground truth, and without the stage
-    # the audit re-runs the entire N^2/2 cross join (measured ~15 s of the
-    # 16 s q49c cost at sf0.1).
+    # The (tiny) verified-pair output is parquet-staged per session so any
+    # composite (or a repeated call in the same sweep) reuses it instead of
+    # re-running the N^2/2 cross join (~15 s at sf0.1). q49c used to consume
+    # this stage as ground truth; since round 8 it audits against a
+    # hash-sampled anchor tier instead, so the full tier is only ever paid
+    # when q49 itself is asked for.
     return cached_df(spark, f"q49_pairs:{sf_dir}", build)
 
 
@@ -457,20 +459,72 @@ SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
-# q49c: recall/precision audit of the LSH scale path against the exact
-# baseline -- turns "q49 audits q49b" into a driver-checked number
+# q49c: recall/precision audit of the LSH scale path against SAMPLED exact
+# truth -- turns "q49 audits q49b" into a driver-checked number that stays
+# linear in the corpus (round-8: the full-truth formulation recomputed the
+# N^2/2 tier and cost 385 s at 10x in tools/x10_smoke.py)
 # --------------------------------------------------------------------------
 
+RECALL_SAMPLE_N = 128  # anchors: the 128 smallest h60(vec_id) -- fixed size
+
+
+def _recall_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampled anchor set: the RECALL_SAMPLE_N vectors
+    with the smallest h60(vec_id) (vec_id tiebreak), unit-normalized. The
+    md5-derived order is corpus-independent pseudo-randomness BOTH engines
+    reproduce bit-for-bit (_hashing.py), and sort+limit compiles to Spark's
+    TakeOrderedAndProject -- a top-K, not a global sort. Fixed ABSOLUTE
+    size is the point: the audited truth tier is |A| * N however large the
+    corpus grows (q106's estimator-audit discipline applied to recall)."""
+    return (
+        _normalized(spark, sf_dir)
+        .select("vec_id", "u", h60(F.col("vec_id").cast("string")).alias("hs"))
+        .orderBy("hs", "vec_id")
+        .limit(RECALL_SAMPLE_N)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("u").alias("ua"))
+    )
+
+
 def q49c_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Joins q49b's (LSH candidate + verify) pairs against q49's exact
-    all-pairs ground truth and emits the counts + recall as one row. Every
-    q49b pair passes the same exact-cosine verify, so precision is 1 by
-    construction (lsh_pairs == matched pins that); recall measures what the
-    radius-2 multi-probe misses. Inherits q49's deliberate quadratic cost:
-    an AUDIT query you run on a sample, not a production operator."""
-    ex = q49_cosine_neardup(spark, sf_dir).select("vec_a", "vec_b").withColumn("e", F.lit(1))
-    ls = q49b_cosine_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b").withColumn("h", F.lit(1))
-    j = ex.join(ls, ["vec_a", "vec_b"], "full")
+    """Recall of the q49b multi-probe LSH tier against exact ground truth
+    computed on a hash-sampled anchor subset: truth = every pair touching
+    one of the RECALL_SAMPLE_N anchors (anchor x corpus, broadcast
+    nested-loop -- |A|*N dots, LINEAR in the corpus), LSH side = q49b's
+    verified pairs restricted to the same anchors. Every q49b pair passes
+    the exact-cosine verify, so precision is 1 by construction (lsh_pairs
+    == matched pins that); recall estimates what the radius-2 multi-probe
+    misses, unbiased because anchors are chosen blind to the data. q49
+    remains the registered full-truth baseline for fixture-scale runs;
+    this audit is the one you can afford at 100x."""
+    anchors = _recall_anchors(spark, sf_dir)
+    corpus = _normalized(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("ua", "u", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("anchor_id") != F.col("vec_id"))
+        .select(
+            F.least("anchor_id", "vec_id").alias("vec_a"),
+            F.greatest("anchor_id", "vec_id").alias("vec_b"),
+            F.round(dot, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .distinct()  # both-anchor pairs surface once per endpoint
+    )
+    aids = anchors.select("anchor_id")
+    ls_all = q49b_cosine_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    ls = (
+        ls_all.join(F.broadcast(aids.withColumnRenamed("anchor_id", "vec_a")), "vec_a", "left_semi")
+        .unionByName(
+            ls_all.join(F.broadcast(aids.withColumnRenamed("anchor_id", "vec_b")), "vec_b", "left_semi")
+        )
+        .distinct()
+    )
+    j = truth.withColumn("e", F.lit(1)).join(
+        ls.withColumn("h", F.lit(1)), ["vec_a", "vec_b"], "full"
+    )
     matched = F.count(F.when(F.col("e").isNotNull() & F.col("h").isNotNull(), 1))
     return j.agg(
         F.count("e").alias("exact_pairs"),
@@ -481,9 +535,32 @@ def q49c_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q49C = f"""
-WITH ex AS (SELECT vec_a, vec_b, 1 AS e FROM ({ORACLE_Q49})),
-ls AS (SELECT vec_a, vec_b, 1 AS h FROM ({ORACLE_Q49B})),
-j AS (SELECT e, h FROM ex FULL JOIN ls USING (vec_a, vec_b))
+WITH nrm AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+),
+anch AS (
+  SELECT vec_id AS anchor_id, ua FROM
+  (SELECT vec_id, u AS ua, {h60_sql("vec_id::VARCHAR")} AS hs FROM nrm)
+  ORDER BY hs, vec_id LIMIT {RECALL_SAMPLE_N}
+),
+truth AS (
+  SELECT DISTINCT least(anchor_id, vec_id) AS vec_a, greatest(anchor_id, vec_id) AS vec_b
+  FROM anch, nrm
+  WHERE anchor_id <> vec_id
+    AND round(list_sum(list_transform(range(1, len(ua) + 1), i -> ua[i] * u[i])), 6)
+        >= {COSINE_DUP_THRESHOLD}
+),
+ls0 AS (SELECT vec_a, vec_b FROM ({ORACLE_Q49B})),
+ls AS (
+  SELECT DISTINCT vec_a, vec_b FROM ls0
+  WHERE vec_a IN (SELECT anchor_id FROM anch) OR vec_b IN (SELECT anchor_id FROM anch)
+),
+ex AS (SELECT vec_a, vec_b, 1 AS e FROM truth),
+lsm AS (SELECT vec_a, vec_b, 1 AS h FROM ls),
+j AS (SELECT e, h FROM ex FULL JOIN lsm USING (vec_a, vec_b))
 SELECT count(e) AS exact_pairs, count(h) AS lsh_pairs,
        count(CASE WHEN e IS NOT NULL AND h IS NOT NULL THEN 1 END) AS matched,
        round(CAST(count(CASE WHEN e IS NOT NULL AND h IS NOT NULL THEN 1 END) AS DOUBLE)

@@ -66,20 +66,41 @@ def test_q69_sufficient_stats_match_builtin_aggregates(spark, sf_dir):
             assert abs(mine - theirs) < 1e-5, (r["flag"], mine, theirs)
 
 
-def test_q49c_recall_meets_design_target(spark, sf_dir):
-    """The radius-2 multi-probe design target. Context for the bound: the
-    synthetic embeddings have NO planted near-dups (max pairwise cos ~0.6),
-    so the 0.45 threshold deliberately catches *moderately similar* pairs
-    whose expected signature distance (~2.8 of 8 bits at cos 0.45) sits at
-    the edge of radius 2 -- measured recall is 0.43 on the 7-pair sf0.001
-    fixture and 0.57 at sf0.01. True near-dups (cos >= 0.9, <1 expected
-    differing bit) are caught with near-certainty. The assert pins the
-    moderate-pair floor plus exactness: every reported pair must be
-    exact-verified (precision 1, lsh_pairs == matched)."""
+def test_q49c_sampled_audit_is_consistent(spark, sf_dir):
+    """q49c audits recall on a hash-sampled anchor tier (linear in the
+    corpus; the round-7 full-truth formulation cost 385 s at 10x). The
+    sampled numbers must stay internally exact: the anchored truth tier is
+    non-empty at every fixture scale (measured 2/6/18 pairs at
+    sf0.001/0.01/0.1 with RECALL_SAMPLE_N=128), every reported LSH pair is
+    exact-verified AND inside the truth tier (precision 1: lsh_pairs ==
+    matched), and recall is a valid proportion. The sampled recall itself
+    is binomial-noisy at fixture scale (0.0/0.67/0.33 measured) -- the
+    design-target floor lives on the full tier below."""
     r = QUERIES["q49c_lsh_recall"](spark, sf_dir).collect()[0]
-    assert r["exact_pairs"] > 0, "fixture should contain near-dup embeddings"
+    assert r["exact_pairs"] > 0, "anchored truth tier should be non-empty"
     assert r["lsh_pairs"] == r["matched"], "q49b emitted a non-exact pair"
-    assert r["recall"] >= 0.4, f"recall {r['recall']} below design floor"
+    assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_q49b_full_recall_meets_design_target(spark, sf_dir):
+    """The radius-2 multi-probe design target, asserted on the FULL truth
+    tier (q49 all-pairs x q49b) where the estimate is stable -- fixture
+    scale only; q49c carries the linear sampled estimate of the same
+    number. Context for the bound: the synthetic embeddings have NO planted
+    near-dups (max pairwise cos ~0.6), so the 0.45 threshold deliberately
+    catches *moderately similar* pairs whose expected signature distance
+    (~2.8 of 8 bits at cos 0.45) sits at the edge of radius 2 -- measured
+    recall is 0.43 on the 7-pair sf0.001 fixture and 0.57 at sf0.01. True
+    near-dups (cos >= 0.9, <1 expected differing bit) are caught with
+    near-certainty."""
+    ex = {tuple(r) for r in QUERIES["q49_cosine_neardup"](spark, sf_dir)
+          .select("vec_a", "vec_b").collect()}
+    ls = {tuple(r) for r in QUERIES["q49b_cosine_neardup_lsh"](spark, sf_dir)
+          .select("vec_a", "vec_b").collect()}
+    assert ex, "fixture should contain near-dup embeddings"
+    assert ls <= ex, "q49b emitted a pair outside the exact truth"
+    recall = len(ls & ex) / len(ex)
+    assert recall >= 0.4, f"recall {recall} below design floor"
 
 
 def test_q66b_trained_centroids_beat_or_match_init(spark, sf_dir):
