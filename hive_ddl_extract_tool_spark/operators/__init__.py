@@ -47,76 +47,23 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 7 instance: (1) q201-q248 -- the 48 queries past r6's 50-query
-# cutoff, never driver-checked (all pass the local sweep + the round-6
-# judge's independent type-strict re-run, 48/48); (2) behavior changed this
-# round: q48 upgraded rows-only -> oracle-backed (micro-floored float32
-# cosine, mirroring the q06/q15b graduations), plus the round-7 exactness
-# fixes (q185 decimal-widened fingerprint, q190 hash-keyed oracle, q220/
-# q238 empty-shard guards, q244 zero-denominator guard) whose old green
-# rows no longer adjudicate them; (3) stalest greens: the r2-era block,
-# then r3-era, then r4-era. Everything green in r6 (q153-q200, q06, q15b)
-# carries the freshest evidence and falls through to module order. A
-# ~50-query round-7 sweep covers all of class (1) plus the head of class
-# (2), so ROUND 8's class (1) is whatever class (2) it missed, then the
-# stalest r2/r3-era greens rotate forward.
+# Round 8 instance: (1) empty -- every query has a driver row; (2) behavior
+# changed: q190's round-7 hash-keyed oracle still has no driver row (the
+# r7 sweep's budget stopped one query short of it), and q49c was redesigned
+# this round (hash-sampled anchor truth replaces the full N^2 tier), so its
+# r3 green row no longer adjudicates it; (3) stalest greens: the r2-era
+# block (21 queries, shared loaders/_cache/hashing have changed under them
+# for 5 rounds), then r3-era (q43/q49, the declared quadratic audits, stay
+# last within their class so the budget truncates them preferentially),
+# then r4-era. Everything green in r7 (q48, q185, q201-q248) plus the
+# r5/r6 blocks falls through to module order. tools/freshness.py gates
+# this staging: every oracle-backed query that would exceed age 5 after
+# the r8 sweep must sit inside the ~50-query budget prefix.
 _PRIORITY = [
-    # (1) never driver-checked: past r6's cutoff
-    "q201_hll_shard_merge",
-    "q202_prefix_filter_join",
-    "q203_mad_outliers",
-    "q204_compaction_roundtrip",
-    "q205_partition_pruned_scan",
-    "q206_rolling_p95",
-    "q207_activity_streaks",
-    "q208_association_rules",
-    "q209_weighted_median",
-    "q210_golden_record",
-    "q211_try_arithmetic",
-    "q212_stream_pit_enrich",
-    "q213_phrase_search",
-    "q214_classifier_gains",
-    "q215_fifo_matching",
-    "q216_parameterized_sql",
-    "q217_sql_scripting",
-    "q218_sorted_neighborhood",
-    "q219_cusum_drift",
-    "q220_incremental_equivalence",
-    "q221_benford_audit",
-    "q222_blocking_audit",
-    "q223_referential_integrity",
-    "q224_seasonal_index",
-    "q225_cms_estimator_audit",
-    "q226_merkle_reconcile",
-    "q227_fd_audit",
-    "q228_lr_apportionment",
-    "q229_fellegi_sunter",
-    "q230_local_supplier_volume",
-    "q231_kcore_peel",
-    "q232_cramers_v",
-    "q233_k_anonymity",
-    "q234_vocab_growth",
-    "q235_decile_calibration",
-    "q236_sequence_match",
-    "q237_keyspace_gaps",
-    "q238_stream_cms",
-    "q239_sampling_audit",
-    "q240_winsorize_audit",
-    "q241_iter_pandas_udf",
-    "q242_weekly_quantiles",
-    "q243_mmr_rerank",
-    "q244_activity_trend",
-    "q245_tfidf_simjoin",
-    "q246_prf_expansion",
-    "q247_coverage_select",
-    "q248_anova_sources",
-    # (2) behavior changed in round 7: q48 upgraded rows-only ->
-    # oracle-backed; q185/q190 carry round-7 exactness fixes, so their r6
-    # green rows no longer adjudicate the current code (q220/q238/q244 got
-    # round-7 fixes too but already sit in class (1) above)
-    "q48_cosine_topk_pandas",
-    "q185_pii_scan",
+    # (2) behavior changed: q190's r7 oracle never driver-adjudicated;
+    # q49c redesigned in round 8
     "q190_good_turing",
+    "q49c_lsh_recall",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",
@@ -160,7 +107,6 @@ _PRIORITY = [
     "q45_simhash_neardup",
     "q46_cosine_topk",
     "q47_ann_lsh",
-    "q49c_lsh_recall",
     "q50_binary_metadata",
     "q53_sql_ml_inference",
     "q54_skyline",
