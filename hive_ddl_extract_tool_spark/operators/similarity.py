@@ -426,18 +426,23 @@ def q49b_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q49b_verify(spark, sf_dir, _q49b_candidates(bk))
 
 
-ORACLE_Q49B = f"""
+def _oracle_q49b(n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of the multi-probe LSH near-dup at any plane count. The
+    registered oracle covers the fixture's N_PLANES; tools/x10_oracle.py
+    passes the scaled-bits production recipe (8+⌈log₂K⌉ planes at K× corpus)
+    to hash-verify it at 10× through the SAME probe-mask generator."""
+    return f"""
 WITH proj AS (
   SELECT vec_id, p,
          list_sum(list_transform(range(1, len(embedding) + 1),
                   i -> CAST(embedding[i] AS DOUBLE) * {_PLANE_SIGN_SQL})) AS s
-  FROM embeddings, (SELECT unnest(range({N_PLANES})) AS p)
+  FROM embeddings, (SELECT unnest(range({n_planes})) AS p)
 ),
 buck AS (
   SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id
 ),
-masks AS (SELECT unnest([{", ".join(str(m) for m in _probe_masks())}]) AS mask),
+masks AS (SELECT unnest([{", ".join(str(m) for m in _probe_masks(n_planes))}]) AS mask),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buck a, masks, buck b
@@ -456,6 +461,9 @@ s AS (
 )
 SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """
+
+
+ORACLE_Q49B = _oracle_q49b()
 
 
 # --------------------------------------------------------------------------
@@ -1325,14 +1333,19 @@ def _semdedup_from_ranked(ranked: DataFrame) -> DataFrame:
     )
 
 
-def _oracle_q103() -> str:
+def _oracle_q103(cent0_sql: str = _CENT0_SQL) -> str:
+    """DuckDB twin of the trained-cell SemDeDup report against any (ci, cv)
+    init relation. The registered q103 oracle uses the fixture contract
+    (first-N_CELLS init); tools/x10_oracle.py passes the scaled-cells init
+    (8 seeds per inflated copy) to hash-verify the production recipe at 10x
+    corpus through the SAME unrolled Lloyd rounds and drop rule."""
     rounds = []
     prev = "cent0"
     for n in range(1, KMEANS_ITERS + 1):
         rounds.append(_kmeans_round_sql(prev, n))
         prev = f"cent{n}"
     return f"""
-WITH cent0 AS (SELECT ci, cv FROM {_CENT0_SQL} c),
+WITH cent0 AS (SELECT ci, cv FROM {cent0_sql} c),
 {",".join(rounds)},
 ranked AS ({_ivf_cells_sql(prev)}),
 n AS (

@@ -1,0 +1,64 @@
+"""Unit coverage for the 10x-corpus oracle gate (tools/x10_oracle.py).
+
+The gate itself runs out-of-band (K=10 at sf0.1 -> X10_ORACLE.json); these
+tests pin the pieces that keep it honest at fixture cost:
+
+- verify_lib's canon is TYPE-SENSITIVE (the whole point of sharing it
+  between drive_driver and x10_oracle is that neither compare can drift
+  into type-folding);
+- the scaled-cells DuckDB init relation degenerates to the registered
+  fixture contract at k=1 (same ci numbering, same vectors), so the
+  scaled oracle is anchored to the already-adjudicated q103 oracle.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR
+from tools.verify_lib import canon, compare, hash_rows
+from tools.x10_oracle import scaled_cent0_sql
+
+
+def test_canon_is_type_sensitive():
+    assert canon(5) != canon(5.0)
+    assert canon(True) != canon(1)
+    assert canon(None) == "NULL"
+    assert canon(float("nan")) == "float:NaN"
+    # tz-aware and naive datetimes canonicalize to the same wall-clock
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    assert canon(ts) == canon(ts.replace(tzinfo=datetime.timezone.utc))
+
+
+def test_hash_rows_is_order_insensitive_but_value_strict():
+    cols = ["b", "a"]
+    rows = [(1, "x"), (2, "y")]
+    assert hash_rows(cols, rows) == hash_rows(cols, list(reversed(rows)))
+    # column-name sort means (a=x, b=1) must hash like rows under ["a","b"]
+    assert hash_rows(cols, rows) == hash_rows(["a", "b"], [("x", 1), ("y", 2)])
+    assert hash_rows(cols, rows) != hash_rows(cols, [(1, "x"), (2, "z")])
+    assert compare(cols, rows, ["a", "b"], [("x", 1), ("y", 2)])
+    assert not compare(cols, rows, ["a", "c"], [("x", 1), ("y", 2)])
+
+
+def test_scaled_cent0_degenerates_to_fixture_contract_at_k1():
+    from hive_ddl_extract_tool_spark.operators.similarity import _CENT0_SQL
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    fixture = con.sql(
+        f"SELECT ci, cv FROM {_CENT0_SQL} c ORDER BY ci"
+    ).fetchall()
+    scaled = con.sql(
+        f"SELECT ci, cv FROM {scaled_cent0_sql(1)} c ORDER BY ci"
+    ).fetchall()
+    assert len(fixture) == 8
+    assert [r[0] for r in fixture] == [r[0] for r in scaled] == list(range(8))
+    assert fixture == scaled

@@ -8,12 +8,13 @@ Also records PARITY.md: the exact duckdb version, parquet physical types,
 and per-query status, so a driver-sweep discrepancy can be diffed against
 what this environment saw.
 """
-import sys, time, hashlib, datetime, math, glob, os
+import sys, time, glob, os
 sys.path.insert(0, "/root/repo")
 import duckdb
 import pyarrow.parquet as pq
 import __spark_entry__ as e
 from pyspark.sql import SparkSession
+from tools.verify_lib import canon, hash_rows
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
@@ -33,28 +34,8 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 
-def canon(v):
-    # Type-sensitive on purpose: int 5 and float 5.0 canonicalize
-    # differently, bool is not an int, Decimal is its own thing.  If the
-    # two engines disagree on TYPE, that is a divergence we must see.
-    if v is None: return "NULL"
-    if isinstance(v, bool): return "bool:" + str(v)
-    if isinstance(v, float):
-        if math.isnan(v): return "float:NaN"
-        return "float:" + repr(v)
-    if isinstance(v, int): return "int:" + str(v)
-    if isinstance(v, datetime.datetime):
-        return "ts:" + v.replace(tzinfo=None).isoformat()
-    return type(v).__name__ + ":" + str(v)
-
-
-def hash_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for r in canon_rows: h.update(r.encode()); h.update(b"\n")
-    return h.hexdigest()[:16]
-
+# canon/hash_rows live in tools/verify_lib.py, shared with the 10x-corpus
+# oracle gate (tools/x10_oracle.py) so the two compares cannot drift.
 
 parity = [f"# PARITY — local verify environment\n",
           f"- duckdb {duckdb.__version__}; python {sys.version.split()[0]}; "

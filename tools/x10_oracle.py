@@ -1,0 +1,175 @@
+"""Oracle-verified CORRECTNESS at 10x corpus for the dedup/similarity
+families.
+
+tools/x10_smoke.py proves every registered query *executes* at 10x and
+tools/scale_stress.py proves the candidate tiers grow linearly -- but
+neither compares values at scale. The inflation is deterministic (copy j
+suffixes every word with ``x{j}``; embeddings rotate by j), so DuckDB can
+compute the SAME answers on the SAME inflated parquet. This tool runs one
+representative per family on both engines at K (default 10) and applies
+the driver's exact pass rule (schema names + row count + type-strict value
+hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
+"is correct at scale":
+
+- q40 exact dedup            (the one-hash-shuffle floor)
+- q42 MinHash+LSH near-dup   (band candidates -> exact-Jaccard verify)
+- q202 prefix-filter join    (lossless exact Jaccard, MERGE-pinned dfreq)
+- q218 sorted-neighborhood   (W-bounded blocking)
+- q245 tf-idf sparse cosine  (df-pruned postings)
+- q103 SemDeDup, SCALED-CELLS recipe (8K trained cells at K = the
+  constant-occupancy production configuration scale_stress measures;
+  the registered fixed-cell oracle only covers the fixture contract, so
+  this is the first value-level check of the recipe that actually ships
+  at 100 TB)
+
+Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
+                                  [--out X10_ORACLE.json]
+Prints one JSON line per family and exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from tools.scale_stress import VEC_STRIDE, inflate
+from tools.verify_lib import compare, hash_rows
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    """Register the standard views over the inflated corpus. Inflated
+    tables are Spark-written parquet DIRECTORIES; the rest are symlinked
+    single files."""
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
+
+
+def scaled_cent0_sql(k: int) -> str:
+    """The scaled-cells init as a DuckDB relation: 8 seed vectors per
+    inflated copy (vec_id j*VEC_STRIDE + 0..7), with ci = the seed's
+    POSITION in the Spark init list (j*8 + i) so both engines number the
+    cells identically."""
+    return f"""(SELECT (vec_id // {VEC_STRIDE}) * 8 + vec_id % {VEC_STRIDE} AS ci,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+   FROM embeddings WHERE vec_id % {VEC_STRIDE} < 8)"""
+
+
+def check(name, sdf, con, sql):
+    t0 = time.monotonic()
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    t_spark = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    rel = con.sql(sql)
+    ocols, orows = list(rel.columns), rel.fetchall()
+    t_duck = round(time.monotonic() - t0, 2)
+    ok = compare(scols, srows, ocols, orows)
+    return {
+        "query": name, "match": ok,
+        "rows_spark": len(srows), "rows_oracle": len(orows),
+        "hash_spark": hash_rows(scols, srows),
+        "hash_oracle": hash_rows(ocols, orows),
+        "sec_spark": t_spark, "sec_duck": t_duck,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--work-dir", default="/tmp/x10_oracle")
+    args = ap.parse_args()
+    k = args.k
+
+    from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
+    from hive_ddl_extract_tool_spark.operators import similarity
+    from hive_ddl_extract_tool_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="x10-oracle", cpus=cpus,
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.driver.memory": "24g"})
+
+    dst = f"{args.work_dir}/x{k}"
+    shutil.rmtree(dst, ignore_errors=True)
+    inflate(spark, args.sf_dir, dst, k)
+    n_docs = spark.read.parquet(f"{dst}/documents.parquet").count()
+
+    con = duckdb.connect()
+    duck_views(con, dst)
+
+    qs, oracles = all_queries(), all_oracles()
+    results = []
+    for name in ("q40_exact_dedup", "q42_minhash_lsh_dedup",
+                 "q202_prefix_filter_join", "q218_sorted_neighborhood",
+                 "q245_tfidf_simjoin"):
+        row = check(name, qs[name](spark, dst), con, oracles[name])
+        row["k"] = k
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    # q49b scaled-bits: the embedding-LSH production recipe (planes grow
+    # with ⌈log₂K⌉ so 2^bits ∝ corpus pins bucket occupancy) through the
+    # SAME operator body and probe-mask generator as the registered
+    # fixed-bits query; the oracle is the same SQL builder at the scaled
+    # plane count.
+    from hive_ddl_extract_tool_spark.operators._cache import cached_df
+
+    n_planes = similarity.N_PLANES + max(0, (k - 1).bit_length())
+    bk = cached_df(spark, f"x10o_buckets{n_planes}:{dst}",
+                   lambda: similarity._buckets(spark, dst, n_planes))
+    sdf = similarity._q49b_verify(
+        spark, dst, similarity._q49b_candidates(bk, n_planes))
+    row = check("q49b_lsh_scaled_bits", sdf, con, similarity._oracle_q49b(n_planes))
+    row.update({"k": k, "n_planes": n_planes})
+    print(json.dumps(row), flush=True)
+    results.append(row)
+
+    # q103 scaled-cells: the production recipe (cells ∝ corpus, constant
+    # occupancy) through the SAME operator body and the SAME unrolled-Lloyd
+    # oracle builder as the registered fixed-cell query -- init is the 8
+    # seed vectors per copy, exactly tools/scale_stress.py's configuration.
+    n_cells = 8 * k
+    init_ids = [j * VEC_STRIDE + i for j in range(k) for i in range(8)]
+    emb = spark.read.parquet(f"{dst}/embeddings.parquet")
+    init_rows = {r["vec_id"]: list(r["embedding"])
+                 for r in emb.filter(F.col("vec_id").isin(init_ids))
+                 .select("vec_id", "embedding").collect()}
+    init = [init_rows[i] for i in init_ids]
+    cent = similarity.train_centroids(spark, dst, n_cells=n_cells, init=init)
+    ranked = similarity._ivf_ranked(
+        spark, dst, cent, f"ivf_ranked_scaled{n_cells}:{dst}")
+    sdf = similarity._semdedup_from_ranked(ranked)
+    row = check("q103_semdedup_scaled_cells", sdf, con,
+                similarity._oracle_q103(scaled_cent0_sql(k)))
+    row.update({"k": k, "n_cells": n_cells})
+    print(json.dumps(row), flush=True)
+    results.append(row)
+
+    fails = sum(0 if r["match"] else 1 for r in results)
+    summary = {"sf_dir": args.sf_dir, "k": k, "n_docs": n_docs,
+               "cpus": cpus, "fails": fails, "results": results}
+    print(json.dumps({"summary": {kk: vv for kk, vv in summary.items()
+                                  if kk != "results"}}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
