@@ -35,6 +35,21 @@ def test_canon_is_type_sensitive():
     assert canon(ts) == canon(ts.replace(tzinfo=datetime.timezone.utc))
 
 
+def test_canon_agrees_with_test_parity_canon_on_scalars():
+    """tests/parity.py keeps a superset canon (date/list branches, diff
+    samples) for assertion messages; on the scalar types both handle, it
+    must agree with the shared verify_lib canon or the pytest gate and the
+    driver-mirror gates drift apart."""
+    from tests.parity import _canon_cell
+
+    samples = [None, True, False, 0, 5, -3, 0.0, 5.0, float("nan"),
+               float("inf"), "x", "5",
+               datetime.datetime(2026, 1, 2, 3, 4, 5),
+               datetime.datetime(2026, 1, 2, tzinfo=datetime.timezone.utc)]
+    for v in samples:
+        assert canon(v) == _canon_cell(v), f"canon drift on {v!r}"
+
+
 def test_hash_rows_is_order_insensitive_but_value_strict():
     cols = ["b", "a"]
     rows = [(1, "x"), (2, "y")]
