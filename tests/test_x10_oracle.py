@@ -61,6 +61,33 @@ def test_hash_rows_is_order_insensitive_but_value_strict():
     assert not compare(cols, rows, ["a", "c"], [("x", 1), ("y", 2)])
 
 
+def test_gate_end_to_end_at_k2(spark):
+    """The whole gate (inflate -> 7 family checks on both engines) at a
+    fixture-cheap configuration (sf0.001, K=2): a regression in the
+    inflation invariants, a family pipeline, or a parameterized oracle
+    builder fails the suite, not just the out-of-band 10x run."""
+    from tools.x10_oracle import run_gate
+
+    n_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n_docs, results = run_gate(spark, SF_DIR, 2, "/tmp/x10_oracle_test")
+    assert n_docs == 2 * n_src
+    assert [r["query"] for r in results] == [
+        "q40_exact_dedup", "q42_minhash_lsh_dedup", "q202_prefix_filter_join",
+        "q218_sorted_neighborhood", "q245_tfidf_simjoin",
+        "q49b_lsh_scaled_bits", "q103_semdedup_scaled_cells",
+    ]
+    mismatches = [r for r in results if not r["match"]]
+    assert not mismatches, f"cross-engine mismatch at K=2: {mismatches}"
+    # the disjoint-copy invariant, checked on the cheapest family: exact
+    # dedup groups must EXACTLY double (copy 1's shingles/norms are
+    # disjoint from copy 0's, so no cross-copy group merges)
+    from hive_ddl_extract_tool_spark.operators.dedup import q40_exact_dedup
+
+    n_groups_1x = q40_exact_dedup(spark, SF_DIR).count()
+    by = {r["query"]: r for r in results}
+    assert by["q40_exact_dedup"]["rows_spark"] == 2 * n_groups_1x
+
+
 def test_scaled_cent0_degenerates_to_fixture_contract_at_k1():
     from hive_ddl_extract_tool_spark.operators.similarity import _CENT0_SQL
 

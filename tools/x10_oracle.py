@@ -85,28 +85,18 @@ def check(name, sdf, con, sql):
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--out", default=None)
-    ap.add_argument("--work-dir", default="/tmp/x10_oracle")
-    args = ap.parse_args()
-    k = args.k
-
+def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> tuple[int, list[dict]]:
+    """Inflate sf_dir by K under work_dir and run every family check on
+    both engines. Returns (inflated doc count, result rows). Factored out
+    of main() so tests/test_x10_oracle.py can drive the WHOLE gate at a
+    fixture-cheap (sf0.001, K=2) configuration inside the suite."""
     from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
     from hive_ddl_extract_tool_spark.operators import similarity
-    from hive_ddl_extract_tool_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="x10-oracle", cpus=cpus,
-                      shuffle_partitions=cpus,
-                      extra_conf={"spark.driver.memory": "24g"})
-
-    dst = f"{args.work_dir}/x{k}"
+    dst = f"{work_dir}/x{k}"
     shutil.rmtree(dst, ignore_errors=True)
-    inflate(spark, args.sf_dir, dst, k)
+    inflate(spark, sf_dir, dst, k)
     n_docs = spark.read.parquet(f"{dst}/documents.parquet").count()
 
     con = duckdb.connect()
@@ -159,6 +149,27 @@ def main() -> int:
     row.update({"k": k, "n_cells": n_cells})
     print(json.dumps(row), flush=True)
     results.append(row)
+
+    return n_docs, results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--work-dir", default="/tmp/x10_oracle")
+    args = ap.parse_args()
+    k = args.k
+
+    from hive_ddl_extract_tool_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="x10-oracle", cpus=cpus,
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.driver.memory": "24g"})
+
+    n_docs, results = run_gate(spark, args.sf_dir, k, args.work_dir)
 
     fails = sum(0 if r["match"] else 1 for r in results)
     summary = {"sf_dir": args.sf_dir, "k": k, "n_docs": n_docs,
