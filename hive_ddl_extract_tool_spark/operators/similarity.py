@@ -483,14 +483,22 @@ def _recall_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce bit-for-bit (_hashing.py), and sort+limit compiles to Spark's
     TakeOrderedAndProject -- a top-K, not a global sort. Fixed ABSOLUTE
     size is the point: the audited truth tier is |A| * N however large the
-    corpus grows (q106's estimator-audit discipline applied to recall)."""
-    return (
-        _normalized(spark, sf_dir)
-        .select("vec_id", "u", h60(F.col("vec_id").cast("string")).alias("hs"))
-        .orderBy("hs", "vec_id")
-        .limit(RECALL_SAMPLE_N)
-        .select(F.col("vec_id").alias("anchor_id"), F.col("u").alias("ua"))
-    )
+    corpus grows (q106's estimator-audit discipline applied to recall).
+
+    Staged via cached_df: three consumers read the anchor set (the truth
+    cross-join and the two LSH-side semi-filters), and an unmaterialized
+    top-K would re-run the corpus hash-sort once per consumer -- two
+    redundant linear passes at exactly the scale this audit exists for."""
+    def build() -> DataFrame:
+        return (
+            _normalized(spark, sf_dir)
+            .select("vec_id", "u", h60(F.col("vec_id").cast("string")).alias("hs"))
+            .orderBy("hs", "vec_id")
+            .limit(RECALL_SAMPLE_N)
+            .select(F.col("vec_id").alias("anchor_id"), F.col("u").alias("ua"))
+        )
+
+    return cached_df(spark, f"q49c_anchors:{sf_dir}", build)
 
 
 def q49c_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

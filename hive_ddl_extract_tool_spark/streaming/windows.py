@@ -204,11 +204,23 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
     stream zero rows."""
     from urllib.parse import urlparse
 
-    scheme = urlparse(path).scheme
-    if scheme in ("", "file"):
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
         import os as _os2
 
-        return _os2.path.isdir(path.removeprefix("file:"))
+        # urlparse().path, not removeprefix: file://localhost/x parses to
+        # (scheme='file', netloc='localhost', path='/x'), and a naive
+        # prefix strip leaves '//localhost/x', which isdir rejects for a
+        # real directory -- re-selecting the zero-row glob branch for a
+        # perfectly valid file: URI.
+        local = parsed.path if parsed.scheme else path
+        if not _os2.path.exists(local):
+            raise FileNotFoundError(
+                f"table path does not exist: {path!r} -- refusing to fall "
+                "into the pathGlobFilter branch, which would silently "
+                "stream zero rows"
+            )
+        return _os2.path.isdir(local)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -1,6 +1,6 @@
 """Registry-freshness invariant (round-8 verdict item 3): the rotation rule
 in operators/__init__.py must actually keep driver evidence fresh. The gate
-simulates the next driver sweep (~50-query budget over the registry order)
+simulates the next driver sweep (45-query conservative budget, below the ~50 historical sweep length, over the registry order)
 and fails if any oracle-backed query would end the coming round with its
 latest green CORRECTNESS row more than 5 rounds old -- i.e. if the staged
 priority prefix forgot a stale query the budget could have covered."""

@@ -601,6 +601,21 @@ def test_is_directory_resolves_schemes(spark, tmp_path):
     assert _is_directory(spark, str(f)) is False
     assert _is_directory(spark, f"file:{d}") is True
     assert _is_directory(spark, f"file:{f}") is False
+    # file: URIs WITH an authority component (file://localhost/x parses to
+    # netloc='localhost', path='/x'): a naive 'file:' prefix strip leaves
+    # '//localhost/x', which isdir rejects for a real directory -- the
+    # silent zero-row branch again, this time for a valid URI form
+    assert _is_directory(spark, f"file://localhost{d}") is True
+    assert _is_directory(spark, f"file://{d}") is True  # empty authority
+    assert _is_directory(spark, f"file://localhost{f}") is False
+    # a MISSING local table must raise, never classify as "not a directory"
+    # (which would fall into the glob branch and stream zero rows)
+    import pytest as _pt2
+
+    with _pt2.raises(FileNotFoundError):
+        _is_directory(spark, str(tmp_path / "missing.parquet"))
+    with _pt2.raises(FileNotFoundError):
+        _is_directory(spark, f"file://localhost{tmp_path}/missing.parquet")
     # a scheme os.path cannot see goes through Hadoop's FileSystem; the
     # local FS is Hadoop-addressable as file://, so this exercises the
     # JVM branch end to end without needing a cluster store

@@ -61,7 +61,7 @@ def test_hash_rows_is_order_insensitive_but_value_strict():
     assert not compare(cols, rows, ["a", "c"], [("x", 1), ("y", 2)])
 
 
-def test_gate_end_to_end_at_k2(spark):
+def test_gate_end_to_end_at_k2(spark, tmp_path):
     """The whole gate (inflate -> 7 family checks on both engines) at a
     fixture-cheap configuration (sf0.001, K=2): a regression in the
     inflation invariants, a family pipeline, or a parameterized oracle
@@ -69,7 +69,7 @@ def test_gate_end_to_end_at_k2(spark):
     from tools.x10_oracle import run_gate
 
     n_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    n_docs, results = run_gate(spark, SF_DIR, 2, "/tmp/x10_oracle_test")
+    n_docs, results = run_gate(spark, SF_DIR, 2, str(tmp_path))
     assert n_docs == 2 * n_src
     assert [r["query"] for r in results] == [
         "q40_exact_dedup", "q42_minhash_lsh_dedup", "q202_prefix_filter_join",

@@ -14,7 +14,7 @@ import duckdb
 import pyarrow.parquet as pq
 import __spark_entry__ as e
 from pyspark.sql import SparkSession
-from tools.verify_lib import canon, hash_rows
+from tools.verify_lib import TABLES, canon, hash_rows, register_views
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
@@ -28,10 +28,7 @@ print("ENTRY", len(rows), df.schema.simpleString())
 
 SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
-TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+register_views(con, SF)
 
 
 # canon/hash_rows live in tools/verify_lib.py, shared with the 10x-corpus

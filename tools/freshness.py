@@ -16,11 +16,15 @@ and no err. Rows-only queries (err == 'no_oracle', the declared q51/q52
 pair) are exempt -- the driver records only that they ran; their evidence
 lives in the hash-verified twins.
 
-The budget is a query COUNT stand-in for the driver's wall-clock budget
-(historically ~50 queries/round); keep it conservative. Run in the
-round checklist via tests/test_freshness.py, or directly:
+The budget is a query COUNT stand-in for the driver's wall-clock budget.
+The historical sweeps landed ~50 queries/round, so the gate assumes 45 --
+BELOW the worst observed sweep length, because the gate credits every
+prefix query with a fresh row next sweep: an optimistic budget would let
+a stale query parked at position 46-50 silently age past the limit when
+the wall clock truncates early (exactly how q190 was missed in r7). Run
+in the round checklist via tests/test_freshness.py, or directly:
 
-    python tools/freshness.py [--budget 50] [--max-age 5] [--report]
+    python tools/freshness.py [--budget 45] [--max-age 5] [--report]
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BUDGET = 50
+BUDGET = 45
 MAX_AGE = 5
 
 

@@ -12,6 +12,22 @@ from __future__ import annotations
 import datetime
 import hashlib
 import math
+import os
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def register_views(con, sf_dir: str) -> None:
+    """Register the standard table views on a DuckDB connection. Handles
+    both physical layouts: single parquet FILES (the driver fixtures) and
+    Spark-written parquet DIRECTORIES (the inflated corpora) -- one
+    registration helper for every gate, so the oracle environments cannot
+    drift."""
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
 
 def canon(v) -> str:

@@ -41,20 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from tools.scale_stress import VEC_STRIDE, inflate
-from tools.verify_lib import compare, hash_rows
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
-    """Register the standard views over the inflated corpus. Inflated
-    tables are Spark-written parquet DIRECTORIES; the rest are symlinked
-    single files."""
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
-        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
+from tools.verify_lib import hash_rows, register_views
 
 
 def scaled_cent0_sql(k: int) -> str:
@@ -75,12 +62,13 @@ def check(name, sdf, con, sql):
     rel = con.sql(sql)
     ocols, orows = list(rel.columns), rel.fetchall()
     t_duck = round(time.monotonic() - t0, 2)
-    ok = compare(scols, srows, ocols, orows)
+    # the driver's pass rule, with each side hashed exactly once
+    hs, ho = hash_rows(scols, srows), hash_rows(ocols, orows)
+    ok = sorted(scols) == sorted(ocols) and len(srows) == len(orows) and hs == ho
     return {
         "query": name, "match": ok,
         "rows_spark": len(srows), "rows_oracle": len(orows),
-        "hash_spark": hash_rows(scols, srows),
-        "hash_oracle": hash_rows(ocols, orows),
+        "hash_spark": hs, "hash_oracle": ho,
         "sec_spark": t_spark, "sec_duck": t_duck,
     }
 
@@ -90,17 +78,24 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> tuple[int, list[dict]
     both engines. Returns (inflated doc count, result rows). Factored out
     of main() so tests/test_x10_oracle.py can drive the WHOLE gate at a
     fixture-cheap (sf0.001, K=2) configuration inside the suite."""
-    from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
-    from hive_ddl_extract_tool_spark.operators import similarity
-    from pyspark.sql import functions as F
-
     dst = f"{work_dir}/x{k}"
     shutil.rmtree(dst, ignore_errors=True)
     inflate(spark, sf_dir, dst, k)
     n_docs = spark.read.parquet(f"{dst}/documents.parquet").count()
 
     con = duckdb.connect()
-    duck_views(con, dst)
+    try:
+        return n_docs, _family_checks(spark, con, dst, k)
+    finally:
+        con.close()
+
+
+def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
+    from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
+    from hive_ddl_extract_tool_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    register_views(con, dst)
 
     qs, oracles = all_queries(), all_oracles()
     results = []
@@ -150,7 +145,7 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> tuple[int, list[dict]
     print(json.dumps(row), flush=True)
     results.append(row)
 
-    return n_docs, results
+    return results
 
 
 def main() -> int:
