@@ -207,20 +207,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str, ds: DataFrame) -> DataFram
     assert rows_per_band == 2, "band-key pair layout assumes 2 rows/band"
 
     def build_cand() -> DataFrame:
-        wide = _minhash_wide(ds)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.col(f"m{2 * b}").alias("ka"),
-                    F.col(f"m{2 * b + 1}").alias("kb"),
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-        bands = wide.select("doc_id", F.explode(band_structs).alias("e")).select(
-            "doc_id", "e.band", "e.ka", "e.kb"
-        )
+        bands = _band_rows(_minhash_wide(ds))
         a, b = bands.alias("a"), bands.alias("b")
         return (
             a.join(
@@ -1093,6 +1080,41 @@ ING_SEED = "ingest_v1"   # deterministic batch membership (q36's discipline)
 ING_MOD, ING_BUCKET = 10, 9  # ~10% of docs are "today's batch"
 
 
+def _is_new(col: Column) -> Column:
+    """Deterministic ingest-batch membership: h60('{ING_SEED}:' || id) mod
+    ING_MOD lands in ING_BUCKET. Module-level because THREE consumers share
+    it (q128's accounting, q131's streaming gate, and the _IS_NEW_SQL
+    oracle twin below) -- a drifted copy silently breaks oracle parity."""
+    return (
+        F.pmod(
+            h60(F.concat(F.lit(f"{ING_SEED}:"), col.cast("string"))),
+            F.lit(ING_MOD),
+        )
+        == ING_BUCKET
+    )
+
+
+def _band_rows(wide: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, band, ka, kb) off a WIDE MinHash signature:
+    band b's key is the bigint pair (m_{2b}, m_{2b+1}). The single
+    band-layout definition -- the batch LSH candidate join (q42) and the
+    streaming gate's two sides (q131) all derive from it, so the band key
+    cannot drift between the stored index and the in-flight gate."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"m{2 * b}").alias("ka"),
+                F.col(f"m{2 * b + 1}").alias("kb"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return wide.select("doc_id", *extra_cols, F.explode(band_structs).alias("e")).select(
+        "doc_id", *extra_cols, "e.band", "e.ka", "e.kb"
+    )
+
+
 def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production shape of LSH dedup: a daily ingest batch deduped
     against the accumulated corpus index WITHOUT reprocessing the index.
@@ -1107,16 +1129,7 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     STORED index signature table (linear in the batch, not the corpus);
     the resulting pair set is identical, so this query IS that job's
     accounting. All outputs integer -- hash-exact."""
-
-    def is_new(col: Column) -> Column:
-        return (
-            F.pmod(
-                h60(F.concat(F.lit(f"{ING_SEED}:"), col.cast("string"))),
-                F.lit(ING_MOD),
-            )
-            == ING_BUCKET
-        )
-
+    is_new = _is_new
     pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
     sym = (
         pairs.select(

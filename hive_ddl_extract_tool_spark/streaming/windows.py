@@ -30,6 +30,12 @@ TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 SESSION_GAP = "30 minutes"
 
+# the staged normalized events layout (post tables.normalize_events_ts):
+# shared by every full-width staged-file stream source and the heartbeat
+# sentinel writer, so a schema change cannot drift between them
+EVENTS_STAGED_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+
 # State-store partition count for the stream-stream joins (q107/q140). A
 # stateful query fixes its shuffle-partition count at the FIRST checkpoint,
 # so this is a per-query sizing decision, not a session default: each
@@ -59,6 +65,28 @@ class _stream_partitions:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _stop_active(spark: SparkSession, name: str) -> None:
+    """Stop any still-registered query with this memory-sink name: a prior
+    invocation that died mid-drain leaves its query active, and starting a
+    second one under the same name fails."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+
+def _run_base(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch base under the temp dir, RESET
+    on entry (q170's rule): the same inputs reuse the same path, and a
+    crashed prior run's leftovers never leak into the next result."""
+    import shutil
+    import tempfile
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = _os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    return base
 
 
 # --------------------------------------------------------------------------
@@ -236,12 +264,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema once -- a driver-side footer read, no data scan -- and declare
     the matching stream schema. Declaring the wrong type would NOT error:
     the vectorized reader hands back the raw INT64 micros, silently
-    compressing every timestamp 1000x downstream."""
-    from ..tables import _ensure_session_defaults
+    compressing every timestamp 1000x downstream. Probe and normalization
+    are the SAME helpers the batch loader uses (tables.events_ts_type /
+    normalize_events_ts), so the two paths cannot drift."""
+    from ..tables import _ensure_session_defaults, events_ts_type, normalize_events_ts
 
     _ensure_session_defaults(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    ts_type = events_ts_type(spark, sf_dir)
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", ts_type),
@@ -251,9 +280,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("props", T.StringType()),
     ])
     stream = _table_stream(spark, sf_dir, "events", schema)
-    if isinstance(ts_type, T.LongType):  # nanos surfaced as long
-        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(stream, ts_type)
 
 
 def q63_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,9 +289,7 @@ def q63_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     every window once the source drains, so the result equals the batch
     aggregation and the DuckDB oracle stays exact."""
     name = "q63_stream_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -314,9 +339,7 @@ def q64_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark bounds the dedup state to the late-data horizon instead of
     the whole corpus (the reason this operator exists)."""
     name = "q64_dedup_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
     stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withColumn("minute", F.date_trunc("minute", "ts"))
@@ -357,9 +380,7 @@ def q70_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load as load_table
 
     name = "q70_enrich_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -406,9 +427,7 @@ def q98_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stateful import sessionize_stream
 
     name = "q98_stream_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
     stream = _events_stream(spark, sf_dir).select(
         "event_id", "user_id", F.unix_micros("ts").alias("tus")
     )
@@ -432,13 +451,16 @@ def q107_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed log equals the batch inequality join and the DuckDB oracle is
     exact. Batch twin of the same shape: q55's bucketized range join."""
     name = "q107_ssj_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
+
+    # ONE file source shared by both sides (the q140 shape): two
+    # independent _events_stream calls would each create their own
+    # FileStreamSource and scan the events file twice per micro-batch
+    stream = _events_stream(spark, sf_dir)
 
     def side(kind: str, prefix: str) -> DataFrame:
         return (
-            _events_stream(spark, sf_dir)
+            stream
             .filter(F.col("event_type") == kind)
             .withWatermark("ts", "10 minutes")
             .select(
@@ -503,50 +525,24 @@ def q131_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the batch, not the corpus."""
     from ..operators._hashing import MINHASH_SEEDS, P31, h60
     from ..operators.dedup import (
-        ING_BUCKET,
-        ING_MOD,
-        ING_SEED,
-        N_BANDS,
+        _band_rows,
         _doc_shingles_raw,
+        _is_new,
         _minhash_wide,
         _shingles_from_words,
         _words,
     )
 
     name = "q131_gate_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-
-    def is_new(col):
-        return (
-            F.pmod(
-                h60(F.concat(F.lit(f"{ING_SEED}:"), col.cast("string"))),
-                F.lit(ING_MOD),
-            )
-            == ING_BUCKET
-        )
+    _stop_active(spark, name)
+    is_new = _is_new  # the single membership hash q128 and the oracle share
 
     # Static side: the standing index's band table (batch path, staged
     # shingle machinery). At scale this is the STORED signature table.
     idx_wide = _minhash_wide(
         _doc_shingles_raw(spark, sf_dir).filter(~is_new(F.col("doc_id")))
     )
-    idx_bands = idx_wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"m{2 * b}").alias("ka"),
-                        F.col(f"m{2 * b + 1}").alias("kb"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select(F.col("e.band").alias("band"), F.col("e.ka").alias("ka"), F.col("e.kb").alias("kb"))
+    idx_bands = _band_rows(idx_wide).select("band", "ka", "kb")
 
     schema = T.StructType(
         [
@@ -570,22 +566,7 @@ def q131_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = stream.select("doc_id", "source", sh.alias("sh")).select(
         "doc_id", "source", *mins
     )
-    new_bands = sig.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"m{2 * b}").alias("ka"),
-                        F.col(f"m{2 * b + 1}").alias("kb"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "source", "e.band", "e.ka", "e.kb")
+    new_bands = _band_rows(sig, "source")
     flagged = (
         new_bands.join(idx_bands, ["band", "ka", "kb"])
         .select("doc_id", "source")
@@ -642,7 +623,11 @@ def _staged_events_file(spark: SparkSession, sf_dir: str):
     )
     staged = cached_df(spark, f"q140_flush_events:{sf_dir}", lambda: base.coalesce(1))
     path = staged.inputFiles()[0].removeprefix("file:")
-    max_ts = base.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # aggregate off the staged single file, not the source table: four
+    # queries (q140/q170/q178/q182) call this per sweep, and a max over
+    # `base` re-scans the original events per call where the staged scan
+    # is one tiny file with a ts column statistics footer
+    max_ts = staged.agg(F.max("ts").alias("m")).collect()[0]["m"]
     return path, max_ts
 
 
@@ -679,9 +664,8 @@ def _write_sentinel(
     import os
     import shutil
 
-    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     rows = [(-1, ts, -1, k, 0.0, "{}") for k in ("view", "click")]
-    sdf = spark.createDataFrame(rows, schema).coalesce(1)
+    sdf = spark.createDataFrame(rows, EVENTS_STAGED_SCHEMA).coalesce(1)
     tmp = f"{run_dir}/_tmp_{name}"
     sdf.write.mode("overwrite").parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
@@ -716,9 +700,7 @@ def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     name = "q140_soj_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
 
     events_file, max_ts = _staged_events_file(spark, sf_dir)
     run_dir = tempfile.mkdtemp(prefix="q140_src_")
@@ -781,7 +763,16 @@ def q140_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(300)
+            # awaitTermination(timeout) returns False on timeout instead of
+            # raising; swallowing that would return a partially-drained
+            # memory table and report it as an oracle mismatch (or worse,
+            # pass a weak check on partial data) with no hint the query
+            # was killed mid-drain
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "q140 stream-stream outer join did not drain within "
+                    "300 s; refusing to return a partially-drained result"
+                )
         finally:
             q.stop()
             shutil.rmtree(run_dir, ignore_errors=True)
@@ -829,14 +820,10 @@ def q170_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     name = "q170_sink_query"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q170_sink_{sf_tag}")
+    base = _run_base("q170_sink", sf_dir)
     src_dir, sink_dir, ckpt_dir = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
     events_file, max_ts = _staged_events_file(spark, sf_dir)
@@ -916,23 +903,16 @@ def q178_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = "q178_state_query"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q178_state_{sf_tag}")
+    base = _run_base("q178_state", sf_dir)
     src_dir, ckpt_dir = f"{base}/src", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
     events_file, _ = _staged_events_file(spark, sf_dir)
     shutil.copy(events_file, f"{src_dir}/events.parquet")
 
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
-        )
+        spark.readStream.schema(EVENTS_STAGED_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .parquet(src_dir)
     )
@@ -998,13 +978,9 @@ def q182_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     name = "q182_session_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q182_session_{sf_tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _run_base("q182_session", sf_dir)
     os.makedirs(base)
     events_file, max_ts = _staged_events_file(spark, sf_dir)
     now = time.time()
@@ -1012,10 +988,7 @@ def q182_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_sentinel(spark, base, "heartbeat1", max_ts + datetime.timedelta(days=1), mtime=now - 200)
 
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
-        )
+        spark.readStream.schema(EVENTS_STAGED_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(base)
@@ -1075,14 +1048,10 @@ def q180_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = "q180_update_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q180_update_{sf_tag}")
+    base = _run_base("q180_update", sf_dir)
     src_dir = f"{base}/src"
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
     events = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type",
@@ -1136,7 +1105,11 @@ def q180_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q180 = f"""
 SELECT strftime(tb, '{TS_FMT_DUCK}') AS win_start,
        event_type,
-       CAST(count(DISTINCT user_id % {UPDATE_SRC_BUCKETS}) AS BIGINT) AS n_updates,
+       -- pmod, not DuckDB's sign-preserving %: the Spark staging buckets
+       -- with F.pmod(user_id, {UPDATE_SRC_BUCKETS}), and a negative
+       -- user_id (the q140/q170 sentinel convention) would land in a
+       -- phantom negative bucket here while Spark folds it to [0, {UPDATE_SRC_BUCKETS})
+       CAST(count(DISTINCT ((user_id % {UPDATE_SRC_BUCKETS}) + {UPDATE_SRC_BUCKETS}) % {UPDATE_SRC_BUCKETS}) AS BIGINT) AS n_updates,
        count(*) AS n_events
 FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, event_type, user_id
       FROM events)
@@ -1168,12 +1141,14 @@ def _upsert_merge_batch(
 
     Replay guard: the latest-wins payload merge is idempotent under
     crash-replay, but the count accumulation (sum of n) is ADDITIVE --
-    re-running a batch whose merge already landed (crash between os.rename
-    and the checkpoint commit) would double-count n_events. foreachBatch
-    replays reuse the same batch_id, so a ledger file written atomically
-    WITH the state (inside the dir the rename publishes; the leading
-    underscore hides it from the parquet reader) makes the whole merge
-    exactly-once: skip any batch at or below the last applied id.
+    re-running a batch whose merge already landed (crash between the state
+    publish and the checkpoint commit) would double-count n_events.
+    foreachBatch replays reuse the same batch_id, so a ledger file written
+    WITH each state version (inside the dir _publish_state atomically
+    points state_dir at; the leading underscore hides it from the parquet
+    reader) makes the whole merge exactly-once: skip any batch at or below
+    the last applied id. The publish itself is a crash-atomic symlink swap
+    (_publish_state) -- state_dir always resolves to a COMPLETE version.
     Module-level (not a closure) so tests can drive a replay directly."""
     import os
     import shutil
@@ -1190,8 +1165,31 @@ def _upsert_merge_batch(
     latest.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(f"{tmp}/_applied_batch_id", "w") as fh:
         fh.write(str(batch_id))
-    shutil.rmtree(state_dir, ignore_errors=True)
-    os.rename(tmp, state_dir)
+    _publish_state(base, state_dir, tmp)
+
+
+def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
+    """Atomically publish `new_dir` (a complete state version WITH its
+    ledger) as `state_dir`. state_dir is a SYMLINK replaced via
+    os.replace -- atomic on POSIX -- so a crash at any instant leaves it
+    on either the old complete version or the new one: never missing,
+    never partial. The previous swap (rmtree(state_dir) then rename) had
+    a window where ALL accumulated state and the batch-id ledger were
+    gone; a crash there made the checkpoint replay rebuild state from the
+    single replayed batch, silently undercounting every additive column.
+    The superseded version directory is retired only AFTER the pointer
+    moves."""
+    import os
+    import shutil
+
+    prev = os.readlink(state_dir) if os.path.islink(state_dir) else None
+    link_tmp = new_dir + ".lnk"
+    if os.path.lexists(link_tmp):
+        os.remove(link_tmp)
+    os.symlink(os.path.basename(new_dir), link_tmp)
+    os.replace(link_tmp, state_dir)
+    if prev and prev != os.path.basename(new_dir):
+        shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
 
 
 def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,14 +1217,10 @@ def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = "q175_upsert_query"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q175_upsert_{sf_tag}")
+    base = _run_base("q175_upsert", sf_dir)
     src_dir, state_dir, ckpt_dir = f"{base}/src", f"{base}/state", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
 
     events = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
@@ -1315,9 +1309,7 @@ def q212_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load as load_table
 
     name = "q212_pit_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
+    _stop_active(spark, name)
     versions = F.explode(
         F.sequence(F.lit(0), F.lit(PIT_VERSIONS - 1))
     ).alias("v")
@@ -1461,12 +1453,8 @@ def q220_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = "q220_incr_result"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q220_incr_{sf_tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    _stop_active(spark, name)
+    base = _run_base("q220_incr", sf_dir)
     os.makedirs(base)
 
     ev = load(spark, sf_dir, "events").withColumn(
@@ -1533,10 +1521,9 @@ def _cms_merge_batch(
     spark: SparkSession, base: str, state_dir: str, bdf: DataFrame, batch_id: int
 ) -> None:
     """foreachBatch merge of counter increments into the parquet state --
-    counters are ADDITIVE, so the q175 batch-id ledger (written atomically
-    inside the dir an os.rename publishes) makes replays exactly-once."""
-    import shutil
-
+    counters are ADDITIVE, so the q175 batch-id ledger (written inside the
+    version dir the crash-atomic _publish_state swap points state_dir at)
+    makes replays exactly-once."""
     ledger = f"{state_dir}/_applied_batch_id"
     if _os.path.exists(ledger):
         with open(ledger) as fh:
@@ -1554,8 +1541,7 @@ def _cms_merge_batch(
     inc.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(f"{tmp}/_applied_batch_id", "w") as fh:
         fh.write(str(batch_id))
-    shutil.rmtree(state_dir, ignore_errors=True)
-    _os.rename(tmp, state_dir)
+    _publish_state(base, state_dir, tmp)  # crash-atomic symlink swap
 
 
 def q238_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1582,12 +1568,8 @@ def q238_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import CMS_D, CMS_TOPK, CMS_W
 
     name = "q238_stream_cms"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = _os.path.join(tempfile.gettempdir(), f"q238_cms_{sf_tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    _stop_active(spark, name)
+    base = _run_base("q238_cms", sf_dir)
     _os.makedirs(base)
     src = f"{base}/src"
     _os.makedirs(src)

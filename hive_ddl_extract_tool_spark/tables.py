@@ -53,23 +53,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts has shipped as either parquet TIMESTAMP(NANOS) (older data
-    drops; Spark's vectorized reader rejects it, so read nanos as long via the
-    legacy conf and convert in the plan) or TIMESTAMP(MICROS) (current drops;
-    reads natively as timestamp_ntz). Handle both by inspecting the resolved
-    schema -- the conversion is plan-side, fully distributed, and lossless
-    (the generator emits microsecond-aligned values). Normalize to session-tz
-    TimestampType so window/streaming semantics match the UTC-pinned session."""
+def events_ts_type(spark: SparkSession, sf_dir: str):
+    """Resolved type of events.ts under the nanosAsLong legacy conf -- a
+    driver-side footer read, no data scan. The SINGLE authority both the
+    batch loader and the streaming source (streaming/windows.py::
+    _events_stream) consult, so the two paths cannot drift if a third
+    encoding ever ships."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+
+
+def normalize_events_ts(df: DataFrame, ts_type) -> DataFrame:
+    """Plan-side normalization of events.ts to session-tz TimestampType for
+    either encoding the generator has shipped: TIMESTAMP(NANOS) (surfaces
+    as long under the legacy conf; convert in-plan -- lossless, the
+    generator emits microsecond-aligned values) or TIMESTAMP(MICROS)
+    (surfaces as timestamp_ntz; cast). Shared by batch and streaming."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):  # nanos surfaced as long
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts has shipped in two parquet encodings (see events_ts_type /
+    normalize_events_ts); probe once and normalize in the plan."""
+    ts_type = events_ts_type(spark, sf_dir)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_events_ts(df, ts_type)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -471,6 +471,33 @@ def test_upsert_merge_replays_are_noops(spark, tmp_path):
     after = spark.read.parquet(state_dir).collect()
     assert len(after) == 1 and after[0]["n"] == 3 and after[0]["event_id"] == 3
 
+    # the publish is a crash-atomic symlink swap: state_dir must always
+    # resolve to a COMPLETE version (the old rmtree+rename swap had a
+    # window where ALL state + ledger were gone), and superseded version
+    # dirs must be retired
+    import os
+
+    assert os.path.islink(state_dir)
+    assert os.readlink(state_dir) == "state_v1"
+    assert not os.path.exists(f"{base}/state_v0"), "superseded version leaked"
+
+    # crash window simulation: a complete-but-unpublished version dir
+    # (crash after the state write, before the pointer move) must not
+    # break the replay -- the ledger still reads batch 1 through the
+    # pointer, batch 1 replays as a no-op, and batch 2 overwrites the
+    # orphan and publishes on top of the LAST COMMITTED state
+    b2 = spark.createDataFrame(
+        [(4, t0 + datetime.timedelta(minutes=3), 7, "click", 4.0)], schema
+    )
+    orphan = f"{base}/state_v2"
+    os.makedirs(orphan, exist_ok=True)  # torn write stand-in
+    _upsert_merge_batch(spark, base, state_dir, b1, 1)  # replay: no-op
+    assert spark.read.parquet(state_dir).collect()[0]["n"] == 3
+    _upsert_merge_batch(spark, base, state_dir, b2, 2)
+    final = spark.read.parquet(state_dir).collect()
+    assert len(final) == 1 and final[0]["n"] == 4 and final[0]["event_id"] == 4
+    assert os.readlink(state_dir) == "state_v2"
+
 
 def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):
     """q212's dimension intervals partition time, so EVERY event must be
