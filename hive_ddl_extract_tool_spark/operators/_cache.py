@@ -43,6 +43,25 @@ def _evict(full_key: tuple[str, str]) -> None:
         shutil.rmtree(entry[1], ignore_errors=True)
 
 
+def scratch_dir(prefix: str, sf_dir: str, reset: bool = False) -> str:
+    """Deterministic per-(query, sf) scratch path under the temp dir --
+    the single definition of the naming contract (prefix + sanitized
+    sf_dir), so a sanitization change cannot desynchronize the seven
+    operator sites and the test that reconstructs the path. Deterministic
+    (not mkdtemp) on purpose: repeated sweeps overwrite in place instead
+    of leaking a corpus copy per run. reset=True also clears it (the
+    q170 rule: a crashed prior run's leftovers never leak into the next
+    result)."""
+    import os
+    import tempfile
+
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}")
+    if reset:
+        shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 def cached_df(spark: SparkSession, key: str, builder: Callable[[], DataFrame]) -> DataFrame:
     """Return a parquet-staged DataFrame for `key`, building + writing it on
     first use and reading the staged copy thereafter."""

@@ -37,6 +37,21 @@ def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def canon_empty(col: Column | str) -> Column:
+    """NULL and '' collapsed to one sentinel before fingerprinting: CSV
+    cannot represent the difference (its reader sees both as null), so the
+    round-trip contracts (q165/q194) canonicalize identically on both
+    engines. SQL twin: CASE WHEN x IS NULL OR x = '' THEN '<empty>' ELSE x END."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.when(col.isNull() | (col == ""), F.lit("<empty>")).otherwise(col)
+
+
+def canon_empty_sql(expr: str) -> str:
+    """DuckDB twin of canon_empty."""
+    return f"CASE WHEN {expr} IS NULL OR {expr} = '' THEN '<empty>' ELSE {expr} END"
+
+
 def minhash(col: Column | str, a: int, b: int) -> Column:
     """One member of the universal hash family over h60, mod P31."""
     return (F.lit(a) * (h60(col) % F.lit(P31)) + F.lit(b)) % F.lit(P31)

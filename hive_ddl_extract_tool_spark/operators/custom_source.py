@@ -23,7 +23,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._hashing import h60_sql
+from ._cache import scratch_dir
+from ._hashing import canon_empty, canon_empty_sql, h60, h60_sql
 
 SYNTH_N = 20_000   # generated rows
 SYNTH_PARTS = 8    # independent input splits
@@ -186,8 +187,7 @@ def q194_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.dataSource.register(_register_sink())
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    out_dir = os.path.join(tempfile.gettempdir(), f"q194_sink_{sf_tag}")
+    out_dir = scratch_dir("q194_sink", sf_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
 
@@ -202,10 +202,8 @@ def q194_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).json(files)
-    canon_text = F.when(
-        F.col("text").isNull() | (F.col("text") == ""), F.lit("<empty>")
-    ).otherwise(F.col("text"))
-    h60_text = F.conv(F.substring(F.md5(canon_text), 1, 15), 16, 10).cast("bigint")
+    h60_text = h60(canon_empty("text"))  # the shared hash/canon pair -- a
+    # divergent inline copy here would silently fork the fingerprint convention
     return rb.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("sum_chars"),
@@ -214,7 +212,7 @@ def q194_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CANON_TEXT_SQL = "CASE WHEN text IS NULL OR text = '' THEN '<empty>' ELSE text END"
+_CANON_TEXT_SQL = canon_empty_sql("text")
 
 ORACLE_Q194 = f"""
 SELECT source,

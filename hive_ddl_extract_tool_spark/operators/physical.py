@@ -23,10 +23,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ._hashing import h60, h60_sql
+from ._cache import scratch_dir
+from ._hashing import canon_empty, canon_empty_sql, h60, h60_sql
 from ._rounding import mround
 from .skew import salted_join
-from ..sources.io import read_table, write_bucketed, write_table
+from ..sources.io import compact, read_table, write_bucketed, write_table
 from ..tables import load
 
 
@@ -100,8 +101,7 @@ def q58_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mkdtemp per invocation would leak one staged copy per sweep on a
     long-lived host. At real scale the write is the one-time layout cost a
     100 TB fact pays so that every later join against it is exchange-free."""
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q58_bucketed_{sf_tag}")
+    base = scratch_dir("q58_bucketed", sf_dir)
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     # Exact integer revenue in 1e-4-dollar units: price is 2dp and discount
     # is 2dp, so cents * (100 - discount_pct) is an exact int64 -- the
@@ -230,21 +230,15 @@ def q165_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q165_roundtrip_{sf_tag}")
+    base = scratch_dir("q165_roundtrip", sf_dir)
     schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-
-    def canon_str(name: str):
-        return F.when(
-            F.col(name).isNull() | (F.col(name) == ""), F.lit("<empty>")
-        ).otherwise(F.col(name))
 
     row_repr = F.concat_ws(
         "\x1f",
         F.col("doc_id").cast("string"),
-        canon_str("text"),
-        canon_str("lang"),
-        canon_str("source"),
+        canon_empty("text"),
+        canon_empty("lang"),
+        canon_empty("source"),
         F.col("n_chars").cast("string"),
     )
     out = None
@@ -264,12 +258,10 @@ def q165_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_q165() -> str:
-    def canon(col: str) -> str:
-        return f"CASE WHEN {col} IS NULL OR {col} = '' THEN '<empty>' ELSE {col} END"
-
     row_repr = (
         "concat_ws(chr(31), CAST(doc_id AS VARCHAR), "
-        f"{canon('text')}, {canon('lang')}, {canon('source')}, "
+        f"{canon_empty_sql('text')}, {canon_empty_sql('lang')}, "
+        f"{canon_empty_sql('source')}, "
         "CAST(n_chars AS VARCHAR))"
     )
     return f"""
@@ -304,8 +296,7 @@ def q179_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     type widening slip is a hash mismatch. Scratch paths are
     deterministic per sf and overwritten (q165's rule)."""
     docs = load(spark, sf_dir, "documents")
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q179_evolve_{sf_tag}")
+    base = scratch_dir("q179_evolve", sf_dir)
     gen = F.pmod("doc_id", F.lit(3))
     v0 = docs.filter(gen == 0).select("doc_id", "text", "source")
     v1 = docs.filter(gen == 1).select(
@@ -370,24 +361,23 @@ def q204_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates, or mangles any row -- or produces the wrong file count --
     is a hash mismatch.
 
-    Scale: compact is coalesce (no shuffle) -- each output file streams
-    from ~16 fragments; the deterministic per-sf path overwrites in place
-    (q58's no-leak rule)."""
-    import os as _os
-
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = _os.path.join(tempfile.gettempdir(), f"q204_compact_{sf_tag}")
+    shuffle=True because the file COUNT is part of the verified contract:
+    the default coalesce path emits min(target, planned scan partitions),
+    and a low-parallelism host bin-packs the 64 tiny fragments into fewer
+    scan partitions than the target (openCostInBytes math), which would
+    fail the oracle on core count alone. The deterministic per-sf path
+    overwrites in place (q58's no-leak rule)."""
+    base = scratch_dir("q204_compact", sf_dir)
     data = f"{base}/data"
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(data)
-    from ..sources.io import compact
-
-    before = compact(spark, data, "parquet", target_files=COMPACT_TARGET)
+    before = compact(spark, data, "parquet", target_files=COMPACT_TARGET,
+                     shuffle=True)
     after = sum(
-        1 for f in _os.listdir(data) if not f.startswith(("_", "."))
+        1 for f in os.listdir(data) if not f.startswith(("_", "."))
     )
     rb = spark.read.parquet(data)
     id_fp = h60(F.col("event_id").cast("string")) % 1_000_000_007
@@ -436,8 +426,7 @@ def q205_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The partition column comes back from directory names as an inferred
     int -- cast explicitly, never trusting inference width."""
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"q205_byday_{sf_tag}")
+    base = scratch_dir("q205_byday", sf_dir)
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.expr("unix_micros(ts) DIV 86400000000").alias("day"),

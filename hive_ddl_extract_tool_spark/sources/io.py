@@ -55,9 +55,20 @@ def read_table(
 ) -> DataFrame:
     reader: DataFrameReader = spark.read.format(fmt)
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        # multiLine: the writer quotes embedded newlines, but the DEFAULT
+        # reader splits records on physical lines and would parse one
+        # quoted row as two malformed ones. Costs per-file split
+        # parallelism (a multiLine file cannot be range-split) -- the
+        # correct trade for a round-trip: a sink that loses rows is worse
+        # than a slower scan. Callers can override per read.
+        reader = reader.option("header", "true").option("multiLine", "true")
     if fmt == "xml":
-        reader = reader.option("rowTag", "row")
+        # Spark 4's XML reader defaults ignoreSurroundingSpaces=true,
+        # silently trimming text values on read-back -- a whitespace-padded
+        # document (a declared-real hostile shape) would not round-trip
+        reader = reader.option("rowTag", "row").option(
+            "ignoreSurroundingSpaces", "false"
+        )
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
@@ -84,13 +95,23 @@ def write_bucketed(
 
 
 def compact(spark: SparkSession, path: str, fmt: str = "parquet",
-            target_files: int = 1, schema: str | None = None) -> int:
+            target_files: int = 1, schema: str | None = None,
+            shuffle: bool = False) -> int:
     """Small-files compaction: rewrite a directory into `target_files` files.
 
     Streaming sinks and fine-grained partition writes accumulate thousands of
     tiny files; at 100 TB that murders scan planning (one task per file) and
-    the namenode. Rewrite via coalesce (no shuffle) into a staging dir, then
-    swap. Returns the file count before compaction."""
+    the namenode. Rewrite into a staging dir, then swap. Returns the file
+    count before compaction.
+
+    `shuffle=False` (default) rewrites via coalesce -- no exchange, each
+    output streams from ~before/target input fragments -- but the output
+    count is min(target, planned SCAN partitions): the scan bin-packs tiny
+    files by size (maxPartitionBytes/openCostInBytes, floored at
+    defaultParallelism), so a low-parallelism host can plan fewer
+    partitions than target and emit fewer files. `shuffle=True` pays one
+    round-robin exchange for EXACTLY target_files -- required when the
+    count is part of a verified contract (q204's oracle)."""
     import os
     import shutil
     import tempfile
@@ -101,7 +122,8 @@ def compact(spark: SparkSession, path: str, fmt: str = "parquet",
         for f in files if not f.startswith(("_", "."))
     )
     staging = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
-    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(staging)
+    out = df.repartition(target_files) if shuffle else df.coalesce(target_files)
+    out.write.mode("overwrite").format(fmt).save(staging)
     # Swap atomically-enough: move the old dir aside first so a crash between
     # the two renames leaves the data reachable (either at path.old or at
     # path), never a missing dataset path.

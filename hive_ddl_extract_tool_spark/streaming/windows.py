@@ -79,14 +79,11 @@ def _stop_active(spark: SparkSession, name: str) -> None:
 def _run_base(prefix: str, sf_dir: str) -> str:
     """Deterministic per-(query, sf) scratch base under the temp dir, RESET
     on entry (q170's rule): the same inputs reuse the same path, and a
-    crashed prior run's leftovers never leak into the next result."""
-    import shutil
-    import tempfile
+    crashed prior run's leftovers never leak into the next result. Naming
+    contract lives in operators._cache.scratch_dir (one definition)."""
+    from ..operators._cache import scratch_dir
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = _os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    return base
+    return scratch_dir(prefix, sf_dir, reset=True)
 
 
 # --------------------------------------------------------------------------

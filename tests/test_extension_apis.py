@@ -267,8 +267,9 @@ def test_python_datasink_commit_protocol(spark, sf_dir):
     n_docs = load(spark, sf_dir, "documents").count()
     assert total == n_docs
 
-    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    out_dir = os.path.join(tempfile.gettempdir(), f"q194_sink_{sf_tag}")
+    from hive_ddl_extract_tool_spark.operators._cache import scratch_dir
+
+    out_dir = scratch_dir("q194_sink", sf_dir)
     names = sorted(os.listdir(out_dir))
     assert not any(n.startswith("_tmp-") for n in names), names
     assert not any(n.endswith(".tmp") for n in names), names  # manifest swap completed
