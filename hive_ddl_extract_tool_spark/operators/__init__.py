@@ -61,9 +61,12 @@ from pyspark.sql import DataFrame, SparkSession
 # the r8 sweep must sit inside the ~50-query budget prefix.
 _PRIORITY = [
     # (2) behavior changed: q190's r7 oracle never driver-adjudicated;
-    # q49c redesigned in round 8
+    # q49c redesigned in round 8; q133's split semantics fixed in round 8
+    # (val no longer counted as test -- its r5 green row adjudicated the
+    # old 2-way collapse)
     "q190_good_turing",
     "q49c_lsh_recall",
+    "q133_semantic_decontam",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

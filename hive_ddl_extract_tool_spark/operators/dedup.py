@@ -609,6 +609,25 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     return labels, rounds
 
 
+def _sym_edges(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetrize (doc_a, doc_b) pairs into both directions in ONE pass --
+    union(pairs, pairs.swapped) would read the pair set twice. The single
+    symmetrization definition: CC labels (q68), PageRank edges (q124) and
+    incremental-dedup flags (q128) all derive their edge lists from it, so
+    an edit (e.g. adding a distinct) cannot desynchronize them."""
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias(src), F.col("doc_b").alias(dst)),
+                    F.struct(F.col("doc_b").alias(src), F.col("doc_a").alias(dst)),
+                )
+            ).alias("e")
+        )
+        .select(f"e.{src}", f"e.{dst}")
+    )
+
+
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lbl) canonical labels for every doc in a q42 near-dup pair,
     parquet-staged per session: the star rounds run once and every
@@ -617,21 +636,7 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
-        # Symmetrize by exploding each pair into both directions in ONE
-        # pass -- union(pairs, pairs.swapped) would read the pair set
-        # twice.
-        edges = (
-            pairs.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                        F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                    )
-                ).alias("e")
-            )
-            .select("e.src", "e.dst")
-        )
-        labels, _rounds = connected_components(edges)
+        labels, _rounds = connected_components(_sym_edges(pairs))
         return labels
 
     return cached_df(spark, f"cc_labels:{sf_dir}", build)
@@ -742,12 +747,10 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before evaluation; because it reads the STAGED pair set,
     it costs two broadcast-able membership joins, not a new similarity
     pass. Output: (test_doc, train_doc, jaccard)."""
-    from .text import SPLIT_SEED
+    from .text import split_of
 
     docs = load(spark, sf_dir, "documents")
-    bucket = F.pmod(h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100))
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    s = docs.select("doc_id", split.alias("split"))
+    s = docs.select("doc_id", split_of("doc_id").alias("split"))
     pairs = q42_minhash_lsh_dedup(spark, sf_dir)
     j = (
         pairs.join(s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")), "doc_a")
@@ -1013,17 +1016,7 @@ def q124_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines -- so the iterative float algorithm
     never exists: the oracle unrolls the identical 3 integer rounds."""
     pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-    )
+    edges = _sym_edges(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN  # (1-d) * S, exact
     pr = deg.select(F.col("src").alias("v"), F.lit(PR_SCALE).cast("bigint").alias("pr"))
@@ -1131,17 +1124,7 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting. All outputs integer -- hash-exact."""
     is_new = _is_new
     pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("n"), F.col("doc_b").alias("x")),
-                    F.struct(F.col("doc_b").alias("n"), F.col("doc_a").alias("x")),
-                )
-            ).alias("e")
-        )
-        .select("e.n", "e.x")
-    )
+    sym = _sym_edges(pairs, "n", "x")
     flags = (
         sym.filter(is_new(F.col("n")))
         .groupBy("n")
@@ -1294,15 +1277,22 @@ def q137_hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load(spark, sf_dir, "embeddings")
     dbl = _dbl(F.col("embedding"))
+    # norm as its OWN column first: an inline norm inside the transform
+    # lambda re-evaluates the 64-element aggregate once per element --
+    # O(DIM^2) per row (the exact HOF-recompute trap similarity._normalized
+    # documents). Same value, one evaluation.
     u = (
         emb.join(cand, "vec_id", "semi")
         .select(
             "vec_id",
-            F.transform(
-                dbl,
-                lambda x: x
-                / F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, y: acc + y * y)),
-            ).alias("u"),
+            dbl.alias("e"),
+            F.sqrt(
+                F.aggregate(dbl, F.lit(0.0), lambda acc, y: acc + y * y)
+            ).alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            F.transform("e", lambda x: x / F.col("nrm")).alias("u"),
         )
     )
     ua = u.select(F.col("vec_id").alias("doc_a"), F.col("u").alias("ua"))
@@ -2032,7 +2022,16 @@ def q222_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair sets are near-dup-sized; the truth side stays exact at
     any corpus because prefix filtering is lossless -- this audit needs
-    no sampled ground truth."""
+    no sampled ground truth.
+
+    Threshold caveat (deliberate): each method's n_pairs uses ITS OWN
+    registered >= 0.8 definition -- q42 rounds Jaccard to 6dp, q202/q218
+    floor to ppm -- so a pair with true J in [0.7999995, 0.8) can appear
+    in lsh_bands' n_pairs but not in the truth set. Completeness (the
+    reported metric) is unaffected; do NOT derive precision as
+    n_true_found / n_pairs across methods without normalizing the
+    threshold, and do not "fix" this by changing q42's rounded threshold
+    -- it is the adjudicated definition every q42 consumer shares."""
     truth = q202_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
     truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     methods = [
@@ -2160,8 +2159,11 @@ def q245_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = cached_df(
         spark, f"q245_postings:{sf_dir}", lambda: _q245_postings(spark, sf_dir)
     )
+    # widen BEFORE the product: w reaches ~tf * idf_micro, so w*w in BIGINT
+    # wraps silently past 2^63 on a large corpus while the oracle multiplies
+    # in HUGEINT -- the decimal operand makes Spark's multiply exact too
     norms = postings.groupBy("doc_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
     )
     a, b = postings.alias("a"), postings.alias("b")
     dots = (
@@ -2171,7 +2173,7 @@ def q245_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(
-            F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,0)")).alias("dot")
+            F.sum(F.col("a.w").cast("decimal(38,0)") * F.col("b.w")).alias("dot")
         )
     )
     na, nb = norms.alias("na"), norms.alias("nb")
@@ -2367,11 +2369,12 @@ def q229_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     truth = q202_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
     ta, tb = attrs.alias("ta"), attrs.alias("tb")
-    # the PAIR side broadcasts (near-dup-sized); attrs streams corpus-sized
+    # NO forced broadcast on the pair side: it grows with the corpus's
+    # near-dup population, the exact build side _verified_intersections and
+    # q128 refuse to pin (a dup-heavy crawl OOMs the driver). AQE demotes
+    # these joins to broadcast at runtime whenever the pair set IS small.
     m = (
-        F.broadcast(
-            F.broadcast(truth).join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        )
+        truth.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
         .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
         .agg(
             *[
@@ -2388,9 +2391,7 @@ def q229_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q42_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
     pa, pb = attrs.alias("pa"), attrs.alias("pb")
     scored = (
-        F.broadcast(
-            F.broadcast(pairs).join(pa, F.col("doc_a") == F.col("pa.doc_id"))
-        )
+        pairs.join(pa, F.col("doc_a") == F.col("pa.doc_id"))
         .join(pb, F.col("doc_b") == F.col("pb.doc_id"))
         .crossJoin(F.broadcast(params))
     )

@@ -948,15 +948,7 @@ def q72_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw doubles first proved fragile: DuckDB's list_sum is not strictly
     sequential)."""
     emb = load(spark, sf_dir, "embeddings")
-    xd = _dbl("embedding")
-    maxabs = F.array_max(F.transform(xd, F.abs))
-    base = emb.select(
-        "vec_id",
-        xd.alias("xd"),
-        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("scale"),
-    )
-    codes = F.transform("xd", lambda v: F.floor(v * F.col("scale")).cast("int"))
-    with_codes = base.select("vec_id", "xd", "scale", codes.alias("q"))
+    with_codes = _int8_base(emb)
     # Per-element error quantized to an integer BEFORE the sum: floor on
     # bit-identical doubles is exact, and an integer sum is order-free --
     # summing the doubles first proved fragile (DuckDB's list_sum is not
@@ -1017,22 +1009,33 @@ FROM wc
 # q93: dimension-pair correlation screening on the stored int8 codes
 # --------------------------------------------------------------------------
 
+def _int8_base(emb: DataFrame) -> DataFrame:
+    """(vec_id, xd, scale, q): the SINGLE definition of q72's symmetric
+    int8 storage format -- scale = 127/max|x| (0 for the zero vector),
+    codes = floor(x * scale), floor not round so the codes are tie-free
+    and bit-identical cross-engine. q72 itself and every screen over the
+    stored codes (q93 via _int8_codes) derive from it: a divergent copy
+    would leave the screen reading a format the writer no longer emits
+    while the screen's own oracle still matched the stale copy."""
+    xd = _dbl("embedding")
+    maxabs = F.array_max(F.transform(xd, F.abs))
+    base = emb.select(
+        "vec_id",
+        xd.alias("xd"),
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("scale"),
+    )
+    codes = F.transform("xd", lambda v: F.floor(v * F.col("scale")).cast("int"))
+    return base.select("vec_id", "xd", "scale", codes.alias("q"))
+
+
 def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged (vec_id, q) int8 quantization codes (q72's format), shared by
     any operator that screens the stored codes."""
-    def build() -> DataFrame:
-        emb = load(spark, sf_dir, "embeddings")
-        xd = _dbl("embedding")
-        maxabs = F.array_max(F.transform(xd, F.abs))
-        base = emb.select(
-            "vec_id",
-            xd.alias("xd"),
-            F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("scale"),
-        )
-        codes = F.transform("xd", lambda v: F.floor(v * F.col("scale")).cast("int"))
-        return base.select("vec_id", codes.alias("q"))
-
-    return cached_df(spark, f"int8_codes:{sf_dir}", build)
+    return cached_df(
+        spark,
+        f"int8_codes:{sf_dir}",
+        lambda: _int8_base(load(spark, sf_dir, "embeddings")).select("vec_id", "q"),
+    )
 
 
 def q93_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,6 +1103,15 @@ def q93_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     di = dims.select(F.col("i"), F.col("n"), F.col("sx").alias("sxi"), F.col("sxx").alias("sxxi"))
     dj = dims.select(F.col("i").alias("j"), F.col("sx").alias("sxj"), F.col("sxx").alias("sxxj"))
+    # moment PRODUCTS widen to decimal before multiplying: n*sxy grows as
+    # N^2 * 127^2 and wraps int64 silently near N ~ 7.5e8 vectors (DuckDB
+    # would error on the same formula -- a cross-engine divergence). The
+    # DIFFERENCES are only ~N * var, so casting them back to the declared
+    # bigint/double output types is exact at any realistic corpus.
+    n_d = F.col("n").cast("decimal(38,0)")
+    cov = n_d * F.col("sxy") - F.col("sxi").cast("decimal(38,0)") * F.col("sxj")
+    var_i = n_d * F.col("sxxi") - F.col("sxi").cast("decimal(38,0)") * F.col("sxi")
+    var_j = n_d * F.col("sxxj") - F.col("sxj").cast("decimal(38,0)") * F.col("sxj")
     return (
         pairs.join(F.broadcast(di), "i")
         .join(F.broadcast(dj), "j")
@@ -1107,12 +1119,10 @@ def q93_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "n",
-            (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj")).alias("cov_num"),
+            cov.cast("bigint").alias("cov_num"),
             F.round(
-                F.expr(
-                    "(n * sxy - sxi * sxj)"
-                    " / (sqrt(n * sxxi - sxi * sxi) * sqrt(n * sxxj - sxj * sxj))"
-                ),
+                cov.cast("double")
+                / (F.sqrt(var_i.cast("double")) * F.sqrt(var_j.cast("double"))),
                 6,
             ).alias("corr"),
         )
@@ -1143,9 +1153,12 @@ pairs AS (
   GROUP BY i, j
 )
 SELECT i, j, di.n AS n,
-       di.n * sxy - di.sx * dj.sx AS cov_num,
-       round((di.n * sxy - di.sx * dj.sx)
-             / (sqrt(di.n * di.sxx - di.sx * di.sx) * sqrt(di.n * dj.sxx - dj.sx * dj.sx)), 6) AS corr
+       -- HUGEINT products mirror the Spark decimal widening: n*sxy would
+       -- overflow BIGINT near N ~ 7.5e8 vectors; the differences fit
+       CAST(CAST(di.n AS HUGEINT) * sxy - CAST(di.sx AS HUGEINT) * dj.sx AS BIGINT) AS cov_num,
+       round(CAST(CAST(di.n AS HUGEINT) * sxy - CAST(di.sx AS HUGEINT) * dj.sx AS DOUBLE)
+             / (sqrt(CAST(CAST(di.n AS HUGEINT) * di.sxx - CAST(di.sx AS HUGEINT) * di.sx AS DOUBLE))
+                * sqrt(CAST(CAST(di.n AS HUGEINT) * dj.sxx - CAST(dj.sx AS HUGEINT) * dj.sx AS DOUBLE))), 6) AS corr
 FROM pairs
 JOIN dims di USING (i)
 JOIN dims dj ON pairs.j = dj.i
@@ -1278,6 +1291,22 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_from_ranked(ranked)
 
 
+def _cell_salted(vecs: DataFrame) -> DataFrame:
+    """The hot-cell salting scaffold shared by q103 and q133: per-cell salt
+    count k = ceil(n / SEMDEDUP_CELL_CAP) (1 for every cell under the cap),
+    broadcast-joined back so each row carries its cell's k. The caller
+    builds its probe side keyed by pmod(vec_id, k) and its build side
+    replicated across explode(sequence(0, k-1)) -- one definition of the
+    skew guard, so a cap or ceil change cannot desynchronize the two
+    operators' straggler behavior."""
+    cell_k = vecs.groupBy("cell").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / SEMDEDUP_CELL_CAP)
+        ).cast("int").alias("k")
+    )
+    return vecs.join(F.broadcast(cell_k), "cell")
+
+
 def _semdedup_from_ranked(ranked: DataFrame) -> DataFrame:
     """The cell-confined dedup report over any (vec_id, embedding, t2)
     staging -- q103 uses the N_CELLS oracle contract; tools/scale_stress.py
@@ -1296,12 +1325,7 @@ def _semdedup_from_ranked(ranked: DataFrame) -> DataFrame:
     vecs = with_norm.select(
         "vec_id", "cell", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
     )
-    cell_k = vecs.groupBy("cell").agg(
-        F.greatest(
-            F.lit(1), F.ceil(F.count(F.lit(1)) / SEMDEDUP_CELL_CAP)
-        ).cast("int").alias("k")
-    )
-    salted = vecs.join(F.broadcast(cell_k), "cell")
+    salted = _cell_salted(vecs)
     a = salted.select(
         "cell",
         F.pmod("vec_id", F.col("k")).cast("int").alias("salt"),
@@ -1409,8 +1433,11 @@ def q133_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell; the same SEMDEDUP_CELL_CAP salting spreads a hot cell's work
     across ceil(n/CAP) tasks. Output: the per-cell contamination report
     every eval-set release publishes (test size, train size, contaminated
-    count, ppm) -- N_CELLS rows."""
-    from .text import SPLIT_SEED
+    count, ppm) -- N_CELLS rows. The split is the FULL q36 3-way contract
+    (text.split_bucket): the val slice (buckets 80-89) is excluded from
+    BOTH sides -- counting it as test (the pre-round-8 behavior) doubled
+    the denominator and reported val vectors as contaminated test docs."""
+    from .text import split_bucket
 
     cent = train_centroids(spark, sf_dir)
     ranked = _ivf_ranked(spark, sf_dir, cent, f"ivf_ranked_trained:{sf_dir}")
@@ -1421,26 +1448,16 @@ def q133_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl.alias("e"),
         F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
     )
-    is_train = (
-        F.pmod(
-            h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("vec_id").cast("string"))),
-            F.lit(100),
-        )
-        < 80
-    )
+    bucket = split_bucket("vec_id")
     vecs = with_norm.select(
         "vec_id",
         "cell",
         F.transform("e", lambda x: x / F.col("nrm")).alias("u"),
-        is_train.alias("is_train"),
+        (bucket < 80).alias("is_train"),
+        (bucket >= 90).alias("is_test"),
     )
-    cell_k = vecs.groupBy("cell").agg(
-        F.greatest(
-            F.lit(1), F.ceil(F.count(F.lit(1)) / SEMDEDUP_CELL_CAP)
-        ).cast("int").alias("k")
-    )
-    salted = vecs.join(F.broadcast(cell_k), "cell")
-    test_side = salted.filter(~F.col("is_train")).select(
+    salted = _cell_salted(vecs)
+    test_side = salted.filter(F.col("is_test")).select(
         "cell",
         F.pmod("vec_id", F.col("k")).cast("int").alias("salt"),
         F.col("vec_id").alias("test_id"),
@@ -1464,7 +1481,7 @@ def q133_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = vecs.groupBy("cell").agg(
         F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("bigint").alias("n_train"),
-        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).cast("bigint").alias("n_test"),
     )
     return (
         counts.join(contam, "cell", "left")
@@ -1481,14 +1498,14 @@ def q133_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_q133() -> str:
-    from .text import SPLIT_SEED
+    from .text import split_bucket_sql
 
     rounds = []
     prev = "cent0"
     for n in range(1, KMEANS_ITERS + 1):
         rounds.append(_kmeans_round_sql(prev, n))
         prev = f"cent{n}"
-    hk = h60_sql(f"'{SPLIT_SEED}:' || CAST(r.vec_id AS VARCHAR)")
+    bk = split_bucket_sql("r.vec_id")
     return f"""
 WITH cent0 AS (SELECT ci, cv FROM {_CENT0_SQL} c),
 {",".join(rounds)},
@@ -1500,7 +1517,9 @@ n AS (
   FROM embeddings
 ),
 assigned AS (
-  SELECT r.vec_id, n.u, r.ci AS cell, ({hk} % 100) < 80 AS is_train
+  -- the FULL q36 3-way split: val (buckets 80-89) belongs to neither side
+  SELECT r.vec_id, n.u, r.ci AS cell,
+         {bk} < 80 AS is_train, {bk} >= 90 AS is_test
   FROM ranked r JOIN n ON r.vec_id = n.vec_id
   WHERE r.rk = 1
 ),
@@ -1509,7 +1528,7 @@ contam AS (
   FROM (
     SELECT DISTINCT t.cell, t.vec_id
     FROM assigned t JOIN assigned a
-      ON t.cell = a.cell AND NOT t.is_train AND a.is_train
+      ON t.cell = a.cell AND t.is_test AND a.is_train
     WHERE round(list_sum(list_transform(range(1, len(t.u) + 1), i -> t.u[i] * a.u[i])), 6) >= {DECON_T}
   )
   GROUP BY cell
@@ -1517,7 +1536,7 @@ contam AS (
 counts AS (
   SELECT cell,
          CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-         CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+         CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test
   FROM assigned GROUP BY cell
 )
 SELECT c.cell, c.n_train, c.n_test,

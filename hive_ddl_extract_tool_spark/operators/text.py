@@ -391,6 +391,31 @@ WHERE rn <= 3
 SPLIT_SEED = "split_v1"
 
 
+def split_bucket(col) -> Column:
+    """The q36 hash-split bucket in [0, 100): pmod(h60('{SPLIT_SEED}:'||id),
+    100). Contract: train = bucket < 80, val = 80-89, test >= 90. The
+    SINGLE split definition -- q36 itself, q86's lexical decontam and
+    q133's semantic decontam all derive membership from it; a drifted copy
+    silently breaks the train/test contract (q133 had exactly that drift:
+    a 2-way collapse that reported val vectors as test)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.pmod(
+        h60(F.concat(F.lit(SPLIT_SEED + ":"), col.cast("string"))), F.lit(100)
+    )
+
+
+def split_bucket_sql(expr: str) -> str:
+    """DuckDB twin of split_bucket."""
+    return f"({h60_sql(f''''{SPLIT_SEED}:' || CAST({expr} AS VARCHAR)''')} % 100)"
+
+
+def split_of(col) -> Column:
+    """Bucket -> 'train'/'val'/'test' label per the q36 contract."""
+    b = split_bucket(col)
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
 def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible dataset splitting -- the sampling operator a training
     pipeline actually needs. NOT rand(): the split key is the 60-bit md5
@@ -400,12 +425,8 @@ def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/10/10 by hash mod 100; emits per-(source, split) counts so the
     oracle also checks the stratification is unbiased."""
     docs = load(spark, sf_dir, "documents")
-    bucket = F.pmod(h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
-        docs.select("source", split.alias("split"))
+        docs.select("source", split_of("doc_id").alias("split"))
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
