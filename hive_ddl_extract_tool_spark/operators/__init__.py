@@ -67,6 +67,11 @@ _PRIORITY = [
     "q190_good_turing",
     "q49c_lsh_recall",
     "q133_semantic_decontam",
+    # (2 cont.) round-8 exactness upgrades shift the last fixed-point digit
+    # class: q221 per-term-quantized chi2, q248 exact-integer-division
+    # moments -- their r7 green rows adjudicated the old double formulations
+    "q221_benford_audit",
+    "q248_anova_sources",
     # (3) stalest greens: latest green row is round 2
     "q22_array_functions",
     "q23_explode_tokens",

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._hashing import h60_sql
-from .text import ngrams_sql, word_ngrams
+from .text import LOWER_WORDS_SQL, ngrams_sql, word_ngrams
 from ..tables import load
 
 # (table, column, kind): kind picks the canonical min/max representation.
@@ -226,7 +226,7 @@ def q190_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GT_WORDS = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+_GT_WORDS = LOWER_WORDS_SQL  # the ONE tokenizer SQL (text.py's WS_CLASS contract)
 
 ORACLE_Q190 = f"""
 WITH wa AS (
@@ -466,17 +466,16 @@ def q221_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_ppm.cast("bigint").alias("exp_ppm"),
         "n_total",
     )
+    # each digit's term floor-quantizes to 1e-3 BEFORE the 9-term sum (the
+    # q203/q192 discipline this query's own consumers cite): a raw double
+    # sum accumulates in partition order, and IEEE addition is
+    # non-associative, so floor(1000*sum) could flip a ulp from the
+    # oracle's accumulation order on an unlucky total
+    dev = (F.col("n_obs").cast("double")
+           - F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
+    term = dev * dev / (F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
     chi2 = scored.agg(
-        F.floor(
-            1000.0
-            * F.sum(
-                (F.col("n_obs").cast("double")
-                 - F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
-                * (F.col("n_obs").cast("double")
-                   - F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
-                / (F.col("n_total").cast("double") * F.col("exp_ppm") / 1e6)
-            )
-        ).cast("bigint").alias("chi2_milli")
+        F.sum(F.floor(1000.0 * term).cast("bigint")).alias("chi2_milli")
     )
     return (
         scored.crossJoin(F.broadcast(chi2))
@@ -504,11 +503,12 @@ scored AS (
          n_total
   FROM digits CROSS JOIN tot
 ), chi AS (
-  SELECT CAST(floor(1000.0 * sum(
+  -- per-digit terms floor-quantized BEFORE the sum (order-free integers)
+  SELECT CAST(sum(CAST(floor(1000.0 *
            (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_ppm / 1e6)
            * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_ppm / 1e6)
            / (CAST(n_total AS DOUBLE) * exp_ppm / 1e6)
-         )) AS BIGINT) AS chi2_milli
+         ) AS BIGINT)) AS BIGINT) AS chi2_milli
   FROM scored
 )
 SELECT digit, n_obs, obs_ppm, exp_ppm, chi2_milli
@@ -619,10 +619,17 @@ def q248_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_total"),
         F.sum("s").alias("s_total"),
         F.sum(F.col("ss")).cast("decimal(38,0)").alias("ss_all_d"),
+        # floor(s^2 * 1e6 / n) as EXACT integer division in decimal: the
+        # double formulation saturated Spark's floor at Long.MaxValue
+        # (silently) and errored DuckDB's cast once a source passed ~1e6
+        # average-size docs, and double rounding could flip the floor a
+        # ulp from the exact quotient. The quotient itself must fit int64
+        # -- true for any single source under ~10 TB of text; the
+        # cross-group SUM widens to decimal regardless.
         F.sum(
-            F.floor(
-                F.col("s").cast("double") * F.col("s") / F.col("n") * 1_000_000
-            ).cast("bigint")
+            F.expr("CAST(s AS DECIMAL(38,0)) * s * 1000000 DIV n").cast(
+                "decimal(38,0)"
+            )
         ).alias("sq_over_n_u"),
     )
     sq_over_n = F.col("sq_over_n_u").cast("double") / 1_000_000
@@ -655,8 +662,8 @@ agg AS (
          CAST(sum(n) AS BIGINT) AS n_total,
          CAST(sum(s) AS BIGINT) AS s_total,
          CAST(CAST(sum(ss) AS HUGEINT) AS DOUBLE) AS ss_all,
-         CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n * 1000000) AS BIGINT))
-              AS BIGINT) AS sq_over_n_u
+         -- exact HUGEINT integer division mirrors the Spark decimal DIV
+         sum(CAST(s AS HUGEINT) * s * 1000000 // n) AS sq_over_n_u
   FROM g
 )
 SELECT k, n_total,

@@ -23,10 +23,10 @@ from ._hashing import h60, h60_sql
 from ._rounding import mround
 from .text import (LANG_MARKERS, LOWER_WORDS_SQL, NON_ALNUM, SPLIT_SEED,
                    _marker_count, _marker_count_sql, _quality_score,
-                   _quality_score_sql, _words)
+                   _quality_score_sql, _words, split_bucket_sql)
 from ..tables import load
 
-_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+_WORDS_SQL = LOWER_WORDS_SQL  # the ONE tokenizer SQL (text.py's WS_CLASS contract)
 
 # --------------------------------------------------------------------------
 # q100: Gopher-style rule gates -- per-source pass counts
@@ -131,6 +131,10 @@ def q101_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s9 = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(float(Q9))).cast("bigint")
     tot = W.partitionBy()  # |sources| rows -- bounded
+    # s9 * 1e6 widens to decimal before the product: s9 > 9.2e12 once a
+    # source holds ~8.5e7 tokens, so the bare int64 multiply wraps silently
+    # in Spark while the oracle errors (the q187/q228 discipline; the
+    # quotient is a ppm, so the cast back to bigint is always exact)
     return (
         per.select("source", "n_docs", "n_tokens", s9.alias("s9"))
         .withColumn("total9", F.sum("s9").over(tot))
@@ -138,8 +142,12 @@ def q101_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("s9 * 1000000 DIV total9").alias("weight_ppm"),
-            F.expr(f"{EPOCH_DOC_BUDGET} * s9 DIV total9").alias("docs_per_epoch"),
+            F.expr(
+                "CAST(CAST(s9 AS DECIMAL(38,0)) * 1000000 DIV total9 AS BIGINT)"
+            ).alias("weight_ppm"),
+            F.expr(
+                f"CAST(CAST(s9 AS DECIMAL(38,0)) * {EPOCH_DOC_BUDGET} DIV total9 AS BIGINT)"
+            ).alias("docs_per_epoch"),
         )
     )
 
@@ -156,8 +164,8 @@ q AS (
   FROM per
 )
 SELECT source, n_docs, n_tokens,
-       CAST(s9 * 1000000 // (SELECT sum(s9) FROM q) AS BIGINT)          AS weight_ppm,
-       CAST({EPOCH_DOC_BUDGET} * s9 // (SELECT sum(s9) FROM q) AS BIGINT) AS docs_per_epoch
+       CAST(CAST(s9 AS HUGEINT) * 1000000 // (SELECT sum(s9) FROM q) AS BIGINT)          AS weight_ppm,
+       CAST(CAST(s9 AS HUGEINT) * {EPOCH_DOC_BUDGET} // (SELECT sum(s9) FROM q) AS BIGINT) AS docs_per_epoch
 FROM q
 """
 
@@ -308,12 +316,10 @@ def q104_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._cache import cached_df
 
     def build_grams() -> DataFrame:
+        from .text import split_of
+
         docs = load(spark, sf_dir, "documents")
-        bucket = F.pmod(
-            h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100)
-        )
-        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-        w = docs.select("doc_id", split.alias("split"), _words(F.lower("text")).alias("w")).filter(
+        w = docs.select("doc_id", split_of("doc_id").alias("split"), _words(F.lower("text")).alias("w")).filter(
             F.size("w") >= DECONTAM_N
         )
         return w.select(
@@ -346,8 +352,8 @@ _GRAM_SQL = h60_sql(f"array_to_string(list_slice(w, i, i + {DECONTAM_N - 1}), ' 
 ORACLE_Q104 = f"""
 WITH w AS (
   SELECT doc_id,
-         CASE WHEN {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
-              WHEN {h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         CASE WHEN {split_bucket_sql("doc_id")} < 80 THEN 'train'
+              WHEN {split_bucket_sql("doc_id")} < 90 THEN 'val'
               ELSE 'test' END AS split,
          {_WORDS_SQL} AS w
   FROM documents
@@ -402,7 +408,12 @@ def q105_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (F.col("n_docs") * F.col("bucket")).alias("padded_tokens"),
             F.expr(f"(n_docs * bucket + {BATCH_TOKENS - 1}) DIV {BATCH_TOKENS}").alias("n_batches"),
-            F.expr("(n_docs * bucket - n_tokens) * 1000000 DIV (n_docs * bucket)").alias("waste_ppm"),
+            # padded mass * 1e6 widens first: a dominant (source, bucket)
+            # group past ~9.2e12 padded tokens wraps the bare int64 product
+            F.expr(
+                "CAST(CAST(n_docs * bucket - n_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_docs * bucket) AS BIGINT)"
+            ).alias("waste_ppm"),
         )
     )
 
@@ -422,7 +433,7 @@ SELECT source, bucket,
        CAST(sum(n) AS BIGINT)                                          AS n_tokens,
        count(*) * bucket                                               AS padded_tokens,
        (count(*) * bucket + {BATCH_TOKENS - 1}) // {BATCH_TOKENS}      AS n_batches,
-       CAST((count(*) * bucket - sum(n)) * 1000000 // (count(*) * bucket) AS BIGINT) AS waste_ppm
+       CAST(CAST(count(*) * bucket - sum(n) AS HUGEINT) * 1000000 // (count(*) * bucket) AS BIGINT) AS waste_ppm
 FROM per
 GROUP BY source, bucket
 """
@@ -787,8 +798,11 @@ def q126_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q126 = f"""
 WITH {_DSIR_PER_CTES},
 scored AS (
+  -- greatest(.., 1) mirrors the Spark clamp: a pathological corpus (target
+  -- vocabulary disjoint from a source) pushes the shifted weight to <= 0,
+  -- where the key flips sign / div-by-zero semantics differ across engines
   SELECT doc_id, source, n_tok,
-         CAST(floor(lw9 * 1.0 / n_tok) AS BIGINT) + {ES_SHIFT9} AS w
+         greatest(CAST(floor(lw9 * 1.0 / n_tok) AS BIGINT) + {ES_SHIFT9}, 1) AS w
   FROM per
 )
 SELECT doc_id, source, n_tok, w,
@@ -1241,10 +1255,18 @@ def q214_classifier_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = ranked.agg(
         F.sum("cp").alias("n_pos"),
         (F.sum("c") - F.sum("cp")).alias("n_neg"),
-        F.sum(F.col("cp") * (2 * F.col("cum_lt") + F.col("c") + 1)).alias("r2"),
+        # r2's per-level terms reach ~N^2; Spark sums bigint (wraps) where
+        # DuckDB's sum already returns HUGEINT -- widen the sum input
+        F.sum(
+            F.col("cp").cast("decimal(38,0)") * (2 * F.col("cum_lt") + F.col("c") + 1)
+        ).alias("r2"),
     ).select(
+        # the rank-sum numerator * 1e6 exceeds int64 once n_pos*n_neg
+        # passes ~4.6e12 (~4M docs); widen before the product (the same
+        # discipline as q101/q105 -- an AUC ppm always casts back exactly)
         F.expr(
-            "CAST((r2 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg) AS BIGINT)"
+            "CAST((r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
         F.col("n_pos").cast("bigint").alias("total_pos"),
     )
@@ -1299,8 +1321,8 @@ ranked AS (
   FROM levels
 ),
 auc AS (
-  SELECT CAST((sum(cp * (2 * cum_lt + c + 1)) - sum(cp) * (sum(cp) + 1)) * 1000000
-              // (2 * sum(cp) * (sum(c) - sum(cp))) AS BIGINT) AS auc_ppm,
+  SELECT CAST(CAST(sum(cp * (2 * cum_lt + c + 1)) - sum(cp) * (sum(cp) + 1) AS HUGEINT) * 1000000
+              // (2 * CAST(sum(cp) AS HUGEINT) * (sum(c) - sum(cp))) AS BIGINT) AS auc_ppm,
          CAST(sum(cp) AS BIGINT) AS total_pos
   FROM ranked
 ),
@@ -1359,12 +1381,20 @@ def q247_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(covered), "sh", "anti"
         )
         # argmax as TakeOrderedAndProject (per-partition heap), never a
-        # full-frame window that would drag the doc-gain table into one task
-        pick = (
-            gains.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("gain"))
-            .orderBy(F.desc("gain"), "doc_id")
-            .limit(1)
+        # full-frame window that would drag the doc-gain table into one
+        # task. Staged: THREE consumers read the pick (the covered update,
+        # the output row, next round's anti-join base) and Catalyst does
+        # not CSE across subtrees -- unstaged, every round ran its full
+        # gains aggregate twice (the q42 lesson).
+        pick = cached_df(
+            spark,
+            f"q247_pick_r{r}:{sf_dir}",
+            lambda g=gains: (
+                g.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.desc("gain"), "doc_id")
+                .limit(1)
+            ),
         )
         new_cov = ds.join(F.broadcast(pick.select("doc_id")), "doc_id", "semi").select("sh")
         covered = cached_df(
