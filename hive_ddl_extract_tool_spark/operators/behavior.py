@@ -248,7 +248,9 @@ def q197_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = per_user.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("metric").alias("s"),
-        F.sum(F.col("metric") * F.col("metric")).alias("q"),
+        # metric^2 widens before the multiply: one user past ~$30M lifetime
+        # cents squares beyond 2^63 -- Spark wraps silently, DuckDB errors
+        F.sum(F.col("metric").cast("decimal(38,0)") * F.col("metric")).alias("q"),
     )
     pivot = arms.agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
@@ -295,7 +297,7 @@ WITH per_user AS (
 ), arms AS (
   SELECT variant, count(*) AS n,
          CAST(sum(metric) AS BIGINT) AS s,
-         CAST(sum(metric * metric) AS BIGINT) AS q
+         sum(CAST(metric AS HUGEINT) * metric) AS q
   FROM per_user GROUP BY variant
 ), piv AS (
   SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
@@ -508,10 +510,15 @@ SELECT user_id, event_id,
        CAST(len(arr) AS INT) AS n_in_window,
        arr[CAST((19 * len(arr) + 19) // 20 AS INT)] AS p95_cents
 FROM (
+  -- list_filter strips NULL cents to mirror Spark's collect_list, which
+  -- DROPS nulls where DuckDB's list() keeps them: a NULL event value
+  -- would otherwise shift n_in_window and the exact rank index (the q198
+  -- NULL-asymmetry class). The frame still spans the physical rows.
   SELECT user_id, event_id,
-         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW))
-           AS arr
+         list_sort(list_filter(
+           list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW),
+           x -> x IS NOT NULL)) AS arr
   FROM e
 )
 """
@@ -581,8 +588,16 @@ def q208_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: baskets are (user, type) dedups bounded by the vocabulary, the
     pair self-join fans out at most |basket|^2 per user, and the
     1-row user total broadcasts (BroadcastNestedLoop by design)."""
-    baskets = (
-        load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    from ._cache import cached_df
+
+    # staged: FOUR consumers read the dedup'd baskets (both self-join
+    # sides, singles, totals) and Catalyst does not CSE across subtrees --
+    # unstaged, the events fact was scanned + distinct-aggregated four
+    # times per query
+    baskets = cached_df(
+        spark,
+        f"q208_baskets:{sf_dir}",
+        lambda: load(spark, sf_dir, "events").select("user_id", "event_type").distinct(),
     )
     totals = baskets.agg(F.countDistinct("user_id").alias("n_users"))
     singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
@@ -680,15 +695,17 @@ def q219_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
+    # widen BEFORE the products: n_days * x and n_days * s_total reach
+    # ~1e19 once a type's total cents passes ~1e16 -- the bare int64
+    # multiply wraps silently in Spark while the oracle's HUGEINT stays
+    # exact (the d7e892e widening discipline)
+    n_days_d = F.col("n_days").cast("decimal(38,0)")
     dev = (
         daily.join(F.broadcast(totals), "event_type")
         .withColumn(
             "c",
-            F.sum(
-                (F.col("n_days") * F.col("x") - F.col("s_total")).cast("decimal(38,0)")
-            ).over(w),
+            F.sum(n_days_d * F.col("x") - F.col("s_total")).over(w),
         )
-        .withColumn("band", (F.col("n_days") * F.col("s_total")).cast("decimal(38,0)") / CUSUM_BAND_DIV)
     )
     return dev.groupBy("event_type").agg(
         F.max("n_days").alias("n_days"),
@@ -698,7 +715,7 @@ def q219_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct(F.abs(F.col("c")).alias("a"), F.col("day").alias("d")))["d"]
         .alias("peak_day"),
         F.sum(
-            F.when(F.abs(F.col("c")) * CUSUM_BAND_DIV > (F.col("n_days") * F.col("s_total")).cast("decimal(38,0)"), 1)
+            F.when(F.abs(F.col("c")) * CUSUM_BAND_DIV > n_days_d * F.col("s_total"), 1)
             .otherwise(0)
         ).cast("bigint").alias("n_alarms"),
     )
@@ -715,7 +732,7 @@ WITH daily AS (
   FROM daily GROUP BY 1
 ), dev AS (
   SELECT d.event_type, d.day, t.n_days, t.s_total,
-         sum(CAST(t.n_days * d.x - t.s_total AS HUGEINT))
+         sum(CAST(t.n_days AS HUGEINT) * d.x - t.s_total)
            OVER (PARTITION BY d.event_type ORDER BY d.day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
   FROM daily d JOIN totals t USING (event_type)
@@ -806,10 +823,13 @@ def q244_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics (n, Σx, Σy, Σxy, Σx²) are integer sums over
     the daily pre-aggregate, and the slope's closed form
     (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is an exact integer ratio. The
-    milli-scaled slope divides via sign·(|num|·1000 DIV den) because a
-    SIGNED quotient diverges cross-engine (Spark DIV truncates toward
-    zero, DuckDB // floors) -- growth trends are positive, decay
-    trends negative, both must hash-match. Complements q219 (level
+    milli-scaled slope divides via sign·(|num|·1000 DIV den): on the
+    pinned engine pair both Spark DIV and DuckDB // happen to truncate
+    toward zero (verified on duckdb 1.x), but negative-quotient
+    integer-division semantics are NOT a portable contract across SQL
+    engines/versions (floor vs truncate), so the sign/abs decomposition
+    stays -- it is version-proof where a direct signed DIV would be a
+    silent 1-off on every engine that floors. Complements q219 (level
     SHIFTS) and q224 (seasonality): this is the monotone drift term.
 
     Scale: events collapse to the calendar-bounded (type, day) table
