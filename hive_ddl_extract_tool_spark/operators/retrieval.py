@@ -46,28 +46,31 @@ BM25_TOP = 10
 Q9 = 10**9  # fixed-point scale for the order-free score sum
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score9): the 1e-9 fixed-point BM25 score for every document
-    matching >= 1 query term. Shared by q81 (top-k) and q121 (RRF fusion).
+def _query_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, term) token stream of the lowered corpus: document
+    lengths, tf passes, df, and q246's feedback mining all consume it, and
+    Catalyst does not CSE across aggregation subtrees -- unstaged, each
+    consumer re-scanned and re-tokenized the corpus (the measured q92/q42
+    lesson)."""
+    from ._cache import cached_df
 
-    Plan shape: one token explode feeds BOTH per-doc length and the
-    tf filter (Catalyst prunes the tf branch to the 3 query terms before
-    its shuffle); df (3 rows) and the corpus stats (1 row) broadcast into
-    the scoring join. Per-term scores are floor-quantized and
-    integer-summed so the cross-engine hash compare is exact despite float
-    scoring."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    return cached_df(
+        spark,
+        f"bm25_toks:{sf_dir}",
+        lambda: load(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(_words(F.lower("text"))).alias("term")
+        ),
     )
-    tf = (
-        toks.filter(F.col("term").isin(BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _bm25_score9_from(tf_df: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+    """(doc_id, score9) off a (doc_id, term, tf) table: THE BM25 scoring
+    expression (Lucene idf form, k1/b constants above), floor-quantized
+    per term and integer-summed. One definition -- q81/q121's standing
+    query and BOTH of q246's scoring passes derive from it, so a k1/b or
+    idf-form tweak cannot silently fork the scores (the split_bucket
+    drift lesson)."""
+    df_ = tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -78,13 +81,35 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q9 = F.floor(term_score * F.lit(float(Q9))).cast("bigint")
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf_df.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", q9.alias("s9"))
         .groupBy("doc_id")
         .agg(F.sum("s9").alias("score9"))
     )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score9): the 1e-9 fixed-point BM25 score for every document
+    matching >= 1 query term. Shared by q81 (top-k) and q121 (RRF fusion).
+
+    Plan shape: the STAGED token stream feeds per-doc length and the tf
+    filter off one corpus scan; df (3 rows) and the corpus stats (1 row)
+    broadcast into the scoring join. Per-term scores are floor-quantized
+    and integer-summed so the cross-engine hash compare is exact despite
+    float scoring."""
+    toks = _query_toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_score9_from(tf, dl, stats)
 
 
 def q81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,8 +174,16 @@ def q82_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per doc before slicing (the HOF-recompute trap), bigram and
     unigram counts are map-side combined, and the unigram join is a plain
     equi-join on the token -- the 100 TB shape."""
-    docs = load(spark, sf_dir, "documents")
-    w = docs.select("doc_id", _words(F.lower("text")).alias("w"))
+    # staged: THREE aggregation subtrees consume the word arrays (bigrams,
+    # unigrams, token total) and Catalyst does not CSE across them --
+    # unstaged, the corpus was scanned and re-tokenized three times
+    w = cached_df(
+        spark,
+        f"q82_words:{sf_dir}",
+        lambda: load(spark, sf_dir, "documents").select(
+            "doc_id", _words(F.lower("text")).alias("w")
+        ),
+    )
     # bigram array is materialized in its own select BEFORE the explode: a
     # generator in the same projection as the struct construction drops the
     # struct field names (same analyzer trap as q66b's training argmin)
@@ -178,9 +211,13 @@ def q82_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mround: the lift is an exact integer ratio, which lands on 5e-7
     # decimal ties where Spark's and DuckDB's round() disagree -- the
     # epsilon (identical in the oracle) shifts every exact tie off the
-    # boundary (the _rounding.py discipline).
+    # boundary (the _rounding.py discipline). Products multiply in DOUBLE:
+    # c_ab * n_tok wraps int64 once the corpus passes ~10^13 tokens (Spark
+    # wraps silently, DuckDB errors); IEEE double multiply is correctly
+    # rounded, so the two engines still agree bit-for-bit at any scale.
     lift = mround(
-        (F.col("c_ab") * F.col("n_tok")) / (F.col("ca") * F.col("cb")), 6
+        (F.col("c_ab").cast("double") * F.col("n_tok"))
+        / (F.col("ca").cast("double") * F.col("cb")), 6
     )
     return (
         bigrams.join(uni.select(F.col("tok").alias("wa"), F.col("c").alias("ca")), "wa")
@@ -214,7 +251,9 @@ uni AS (
 ),
 n AS (SELECT sum(len(w)) AS n_tok FROM base)
 SELECT wa || ' ' || wb AS bigram, c_ab,
-       round(1.37e-6 + (c_ab * n_tok) / (ua.c * ub.c), 6) AS lift
+       -- DOUBLE products mirror the Spark side: the bigint multiplies
+       -- error past ~10^13 corpus tokens
+       round(1.37e-6 + (CAST(c_ab AS DOUBLE) * n_tok) / (CAST(ua.c AS DOUBLE) * ub.c), 6) AS lift
 FROM bg JOIN uni ua ON bg.wa = ua.tok JOIN uni ub ON bg.wb = ub.tok, n
 ORDER BY lift DESC, bigram
 LIMIT {TOP_BIGRAMS}
@@ -585,38 +624,12 @@ def q246_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers, one corpus scan; feedback docs and the expanded term
     set are broadcast scalars; everything else is term- or doc-keyed
     aggregation."""
-    def build_toks() -> DataFrame:
-        return (
-            load(spark, sf_dir, "documents")
-            .select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
-        )
-
-    toks = cached_df(spark, f"q246_toks:{sf_dir}", build_toks)
+    toks = _query_toks(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
 
     def bm25(term_tf: DataFrame) -> DataFrame:
-        df_ = term_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        idf = F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        )
-        term_score = (
-            idf
-            * (F.col("tf") * (BM25_K1 + 1.0))
-            / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
-               + BM25_B * F.col("dl") * F.col("n_docs") / F.col("tot_dl")))
-        )
-        return (
-            term_tf.join(F.broadcast(df_), "term")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .select(
-                "doc_id",
-                F.floor(term_score * F.lit(float(Q9))).cast("bigint").alias("s9"),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("s9").alias("score9"))
-        )
+        return _bm25_score9_from(term_tf, dl, stats)
 
     tf_orig = (
         toks.filter(F.col("term").isin(BM25_TERMS))

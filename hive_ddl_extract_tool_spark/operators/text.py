@@ -338,12 +338,20 @@ def q35_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct terms only. Ties order by the ROUNDED score then term so the
     ranking is identical cross-engine."""
     from pyspark.sql import Window as W
+    from ._cache import cached_df
 
     docs = load(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(_words(F.lower("text"))).alias("term"))
+    # staged: tf feeds BOTH the df aggregate and the scoring join, and
+    # Catalyst does not CSE across the two subtrees -- unstaged, the
+    # corpus explode + (doc, term) aggregate ran twice per query
+    tf = cached_df(
+        spark,
+        f"q35_tf:{sf_dir}",
+        lambda: docs.select(
+            "doc_id", F.explode(_words(F.lower("text"))).alias("term")
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -844,20 +852,15 @@ def q144_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc (bounded by token count, never pairwise)."""
     docs = load(spark, sf_dir, "documents")
     w = docs.select("doc_id", "source", _words(F.lower("text")).alias("w"))
-    n = F.size("w")
-    grams = F.when(
-        n >= DUPG_N,
-        F.transform(
-            F.sequence(F.lit(1), n - DUPG_N + 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + j) for j in range(DUPG_N)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word_ngrams IS this span template -- the inline copy it replaced
+    # violated the helper's own single-definition contract
     per_doc = (
-        w.select("doc_id", "source", F.explode(grams).alias("g"))
+        w.select("doc_id", "source", F.explode(word_ngrams("w", DUPG_N)).alias("g"))
         .groupBy("doc_id", "source", "g")
-        .agg(F.count(F.lit(1)).alias("c"), F.length(F.first("g")).alias("glen"))
+        # glen is functionally determined by the grouping key -- no
+        # first() aggregate buffer needed on the hottest shuffle
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("glen", F.length("g"))
         .groupBy("doc_id", "source")
         .agg(
             F.sum(F.col("c") * F.col("glen")).alias("total_mass"),
@@ -885,11 +888,7 @@ WITH w AS (
   FROM documents
 ),
 g AS (
-  SELECT doc_id, source, unnest(
-    CASE WHEN len(w) >= {DUPG_N}
-         THEN list_transform(range(1, len(w) - {DUPG_N} + 2),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         ELSE [] END) AS gram
+  SELECT doc_id, source, unnest({ngrams_sql(DUPG_N)}) AS gram
   FROM w
 ),
 gc AS (
