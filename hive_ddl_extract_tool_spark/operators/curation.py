@@ -50,7 +50,12 @@ def q94_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         w = docs.select("source", _words(F.lower("text")).alias("w"))
         fp = h60(F.concat_ws(" ", F.slice("w", 1, PREFIX_WORDS)))
-        return w.select("source", fp.alias("fp")).distinct()
+        # zero-word documents carry no prefix content: without the filter
+        # Spark fingerprints them as h60('') -- two shards each holding one
+        # empty doc would read as "leaking" into each other -- while the
+        # oracle's array_to_string over the empty list is NULL and silently
+        # DROPS the row (confirmed divergence on the pinned hostile shapes)
+        return w.filter(F.size("w") >= 1).select("source", fp.alias("fp")).distinct()
 
     fps = cached_df(spark, f"source_prefix_fps:{sf_dir}", build)
     a = fps.select(F.col("source").alias("source_a"), "fp")
@@ -64,14 +69,16 @@ def q94_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREFIX_FP_SQL = h60_sql(
-    "array_to_string(list_slice(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), 1, "
-    f"{PREFIX_WORDS}), ' ')"
+    f"array_to_string(list_slice({LOWER_WORDS_SQL}, 1, {PREFIX_WORDS}), ' ')"
 )
 
 ORACLE_Q94 = f"""
 WITH fps AS (
+  -- len >= 1 mirrors the Spark-side zero-word filter (an empty word list
+  -- would otherwise hash to h60('') on Spark and NULL-drop here)
   SELECT DISTINCT source, {_PREFIX_FP_SQL} AS fp
   FROM documents
+  WHERE len({LOWER_WORDS_SQL}) >= 1
 )
 SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_fp
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
@@ -158,8 +165,8 @@ _NORM_FP_SQL = h60_sql("trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+'
 # gates -> dedup canonical. Ends with the `canon` CTE.
 _GATED_SQL = f"""per AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS nw,
-         CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS BIGINT) AS nd,
+         CAST(len({LOWER_WORDS_SQL}) AS BIGINT) AS nw,
+         CAST(len(list_distinct({LOWER_WORDS_SQL})) AS BIGINT) AS nd,
          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_punct,
          CAST({_marker_count_sql("en", LOWER_WORDS_SQL)} AS DOUBLE) AS n_stop,
          CAST(length(text) AS DOUBLE) AS n_chars,
@@ -210,15 +217,11 @@ def q112_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared gate pass (_gated, q95), the deterministic q36 hash split, and
     q90's packing arithmetic -- each individually driver-verified; this
     query verifies their composition end to end. All integer outputs."""
-    from .text import PACK_BLOCK, SPLIT_SEED
+    from .text import PACK_BLOCK, split_of
 
     g = _gated(spark, sf_dir).filter(F.col("g4"))
-    bucket = F.pmod(
-        h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100)
-    )
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     return (
-        g.select("source", "nw", split.alias("split"))
+        g.select("source", "nw", split_of("doc_id").alias("split"))
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nw").alias("n_tokens"))
         .select(
@@ -229,12 +232,12 @@ def q112_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_q112() -> str:
-    from .text import PACK_BLOCK, SPLIT_SEED
+    from .text import PACK_BLOCK, split_bucket_sql
 
-    hk = h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")
+    bk = split_bucket_sql("doc_id")
     split_case = (
-        f"CASE WHEN {hk} % 100 < 80 THEN 'train' "
-        f"WHEN {hk} % 100 < 90 THEN 'val' "
+        f"CASE WHEN {bk} < 80 THEN 'train' "
+        f"WHEN {bk} < 90 THEN 'val' "
         "ELSE 'test' END"
     )
     return f"""
@@ -272,7 +275,7 @@ def q145_decontam_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import q86_decontamination
     from .selection import q104_ngram_decontam
     from .similarity import q133_semantic_decontam
-    from .text import SPLIT_SEED
+    from .text import split_bucket
 
     m1 = (
         q104_ngram_decontam(spark, sf_dir)
@@ -283,10 +286,9 @@ def q145_decontam_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lexical_8gram").alias("method"), "n_candidates", "n_flagged")
     )
     docs = load(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        h60(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))), F.lit(100)
+    n_test = docs.filter(split_bucket("doc_id") >= 90).agg(
+        F.count(F.lit(1)).alias("n_candidates")
     )
-    n_test = docs.filter(bucket >= 90).agg(F.count(F.lit(1)).alias("n_candidates"))
     flagged2 = (
         q86_decontamination(spark, sf_dir)
         .select("test_doc")
@@ -322,9 +324,9 @@ def _oracle_q145() -> str:
     from .dedup import ORACLE_Q86
     from .selection import ORACLE_Q104
     from .similarity import ORACLE_Q133
-    from .text import SPLIT_SEED
+    from .text import split_bucket_sql
 
-    hk = h60_sql(f"'{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")
+    bk = split_bucket_sql("doc_id")
     return f"""
 WITH u AS (
   SELECT 'lexical_8gram' AS method,
@@ -333,7 +335,7 @@ WITH u AS (
   FROM ({ORACLE_Q104}) q104
   UNION ALL
   SELECT 'neardup_pair',
-         (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE {hk} % 100 >= 90),
+         (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE {bk} >= 90),
          (SELECT CAST(count(DISTINCT test_doc) AS BIGINT) FROM ({ORACLE_Q86}) q86)
   UNION ALL
   SELECT 'semantic_cosine',

@@ -137,7 +137,10 @@ def q51b_decode_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(p)
+                # NULL text -> encode() -> None payload: bytes(None) raises
+                # TypeError and kills the task; treat like the empty payload
+                # (the q51 stub's own `if not payload` rule)
+                p = bytes(p) if p is not None else b""
                 feats = _fake_decode(p)
                 thumb = _fake_resize(p)
                 thumb_hex = thumb.hex()
@@ -159,28 +162,37 @@ def q51b_decode_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q51B = f"""
 WITH hexed AS (
-  SELECT doc_id, lower(hex(encode(text))) AS hx,
-         CAST(length(lower(hex(encode(text)))) / 2 AS BIGINT) AS n_bytes
+  -- coalesce(text, ''): the Python side treats a NULL payload like the
+  -- empty one (the stub's `if not payload` rule)
+  SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+         CAST(length(lower(hex(encode(coalesce(text, ''))))) / 2 AS BIGINT) AS n_bytes
   FROM documents
 ),
 feat AS (
+  -- coalesce to 0: DuckDB's list_sum over the EMPTY head is NULL where
+  -- the Python stub returns byte_sum 0 for an empty payload
   SELECT doc_id, n_bytes,
-         CAST(list_sum(list_transform(range(0, least(n_bytes, 64)),
-              i -> ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT)) AS BIGINT) AS byte_sum,
+         CAST(coalesce(list_sum(list_transform(range(0, least(n_bytes, 64)),
+              i -> ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT)), 0) AS BIGINT) AS byte_sum,
          least(n_bytes, 64) AS head_len,
          greatest(n_bytes // {RESIZE_TARGET}, 1) AS step
   FROM hexed
 ),
 thumb AS (
+  -- coalesce to '': array_to_string of the empty frame list is NULL in
+  -- DuckDB where the Python resize of an empty payload returns b''
   SELECT f.doc_id, f.n_bytes, f.byte_sum, f.head_len,
-         array_to_string(list_transform(
+         coalesce(array_to_string(list_transform(
            list_slice(list_transform(range(0, CAST(ceil(CAST(f.n_bytes AS DOUBLE) / f.step) AS BIGINT)),
                       k -> k * f.step), 1, {RESIZE_TARGET}),
-           i -> substr(h.hx, 2 * i + 1, 2)), '') AS thumb_hex
+           i -> substr(h.hx, 2 * i + 1, 2)), ''), '') AS thumb_hex
   FROM feat f JOIN hexed h USING (doc_id)
 )
 SELECT doc_id, byte_sum, n_bytes,
-       round(CAST(byte_sum AS DOUBLE) / (head_len * 255.0), 6) AS brightness,
+       -- head_len = 0 guard: the stub defines an empty payload's
+       -- brightness as 0.0 where 0/0 is NULL in DuckDB
+       CASE WHEN head_len = 0 THEN 0.0
+            ELSE round(CAST(byte_sum AS DOUBLE) / (head_len * 255.0), 6) END AS brightness,
        {h60_sql('thumb_hex')} AS thumb_hash
 FROM thumb
 """
@@ -209,9 +221,14 @@ def q65_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(F.hex(F.encode(F.col("text"), "UTF-8"))).alias("hx")
     )
     n_frames = F.ceil(F.length("hx") / (2 * FRAME_BYTES))
+    # strided 3-arg sequence (the shape the oracle's range(0, .., STRIDE)
+    # already uses) -- generating 17 indices and filtering the modulo away
+    # was pure waste
     idxs = F.filter(
-        F.sequence(F.lit(0), F.lit((MAX_FRAMES - 1) * FRAME_STRIDE)),
-        lambda i: (i % FRAME_STRIDE == 0) & (i < n_frames),
+        F.sequence(
+            F.lit(0), F.lit((MAX_FRAMES - 1) * FRAME_STRIDE), F.lit(FRAME_STRIDE)
+        ),
+        lambda i: i < n_frames,
     )
     frames = hexed.select(
         "doc_id", "hx", F.explode(idxs).alias("frame_idx")

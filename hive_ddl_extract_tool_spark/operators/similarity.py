@@ -630,6 +630,16 @@ def _cell_slots(cent_vecs) -> Column:
     ])
 
 
+def cell_argmin(cent_vecs) -> Column:
+    """Rank-1 cell index for a row's embedding against literal centroids:
+    the pure-projection argmin (nudged distance, index tiebreak). THE
+    single assignment expression -- q66's ranking (rank-1 = this), k-means
+    training rounds, and vectors.py's hard-negative cells all derive from
+    it, so the assignment rule and the shared _ivf_cells_sql oracle cannot
+    drift apart."""
+    return F.element_at(F.array_sort(_cell_slots(cent_vecs)), 1)["ci"]
+
+
 def _init_centroids(
     spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
 ) -> list[list[float]]:
@@ -773,7 +783,7 @@ def train_centroids(
     cent = init if init is not None else _init_centroids(spark, sf_dir, n_cells)
     emb = load(spark, sf_dir, "embeddings")
     for _ in range(KMEANS_ITERS):
-        cell = F.element_at(F.array_sort(_cell_slots(cent)), 1)["ci"]
+        cell = cell_argmin(cent)
         # DIM sum columns in ONE groupBy instead of a posexplode fan-out:
         # the shuffle carries N_CELLS map-combined partial rows per
         # partition, never DIM x corpus exploded rows.

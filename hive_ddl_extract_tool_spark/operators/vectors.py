@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._cache import cached_df
-from .similarity import COSINE_SQL, DIM, _cell_slots, _cosine, _init_centroids, _ivf_cells_sql
+from .similarity import COSINE_SQL, DIM, _cosine, _init_centroids, _ivf_cells_sql, cell_argmin
 from ..tables import load
 
 # --------------------------------------------------------------------------
@@ -158,7 +158,9 @@ def _cells_with_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load(spark, sf_dir, "embeddings")
         return emb.select(
             "vec_id", "embedding", "label",
-            F.array_sort(_cell_slots(cents))[0]["ci"].alias("cell"),
+            # the SHARED assignment expression (similarity.cell_argmin) --
+            # an inline copy here could drift from the _ivf_cells_sql oracle
+            cell_argmin(cents).alias("cell"),
         )
 
     return cached_df(spark, f"hardneg_cells:{sf_dir}", build)

@@ -82,6 +82,13 @@ AFFECTED = [
     "q202_prefix_filter_join",
     "q213_phrase_search",
     "q218_sorted_neighborhood",
+    # round-8: zero-word docs in two shards used to read as phantom
+    # cross-shard leakage on Spark (h60('') fingerprint) while the oracle
+    # NULL-dropped them; empty payloads NULLed the oracle's list_sum /
+    # array_to_string where the Python stub returns zeros
+    "q94_source_overlap",
+    "q51b_decode_features_checked",
+    "q65_frame_sample",
 ]
 
 
@@ -89,6 +96,31 @@ AFFECTED = [
 def test_hostile_documents_cross_engine(spark, tmp_path, name):
     _write_docs(tmp_path, HOSTILE_TEXTS)
     _assert_parity(spark, tmp_path, name)
+
+
+def test_null_text_cross_engine(spark, tmp_path):
+    """NULL text (a nullable column's honest worst case): q51b's Python
+    decode used to crash the task on bytes(None); both engines must now
+    treat a NULL payload like the empty one (round 8)."""
+    _write_docs(tmp_path, ["real words here"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["real words here", None], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s0", "s1"], pa.string()),
+                "n_chars": pa.array([15, 0], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for name in ("q51b_decode_features_checked", "q65_frame_sample",
+                 "q94_source_overlap"):
+        _assert_parity(spark, tmp_path, name)
 
 
 def test_zipf_degenerate_moments_cross_engine(spark, tmp_path):

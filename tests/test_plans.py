@@ -1317,22 +1317,41 @@ def test_tfidf_simjoin_rides_staged_postings(spark, sf_dir):
 
 def test_prf_rides_staged_tokens(spark, sf_dir):
     """q246: the token stream stages ONCE for its five consumers; documents
-    is never re-scanned; the expanded term set enters as a broadcast."""
+    is never re-scanned; the expanded term set enters as a broadcast. The
+    staged stream is the SHARED bm25_toks artifact (round 8: q81/q121 and
+    q246 consume one staging instead of per-query rebuilds)."""
     df = QUERIES["q246_prf_expansion"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "q246_toks" in plan, f"token stream not staged:\n{plan[:2000]}"
+    assert "bm25_toks" in plan, f"token stream not staged:\n{plan[:2000]}"
     assert plan.count("documents.parquet") == 0, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert_no_python_udf(df)
 
 
 def test_coverage_greedy_bounded_rounds(spark, sf_dir):
-    """q247: rounds ride the staged shingle set and staged covered sets;
-    documents never re-scans; the argmax is a heap, not a window."""
+    """q247: rounds ride the staged shingle set, staged covered sets, AND
+    (round 8) staged argmax picks -- three consumers read each pick, so an
+    unstaged pick re-ran the full gains aggregate per consumer; documents
+    never re-scans; the argmax expression itself is a heap, not a window."""
     plan = formatted_plan(QUERIES["q247_coverage_select"](spark, sf_dir))
     assert "q247_covered_r4" in plan, f"covered sets not staged:\n{plan[:2000]}"
+    assert "q247_pick_r5" in plan, f"argmax picks not staged:\n{plan[:2000]}"
     assert plan.count("documents.parquet") == 0, plan
-    assert "TakeOrderedAndProject" in plan, plan
+    # the heap shape of the staged pick expression (TakeOrderedAndProject,
+    # never a full-frame window sort) -- asserted on the expression q247
+    # stages, since the final plan only reads the staged result back
+    from pyspark.sql import functions as F
+
+    from hive_ddl_extract_tool_spark.operators.dedup import _doc_shingles
+
+    ds = _doc_shingles(spark, sf_dir, cache=True)
+    pick_plan = formatted_plan(
+        ds.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("gain"))
+        .orderBy(F.desc("gain"), "doc_id")
+        .limit(1)
+    )
+    assert "TakeOrderedAndProject" in pick_plan, pick_plan
     # SinglePartition appears only for the bounded tail (limit-1 head merge,
     # 1-row coverage scalars); a Window node would mean the argmax regressed
     # to a full-frame sort
