@@ -255,11 +255,18 @@ GROUP BY event_type
 
 def q07_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # integer-cents sum (the q01 money discipline): a raw double sum
+    # accumulates in partition order, and the rollup ALL row's total passes
+    # 2^53 at large SF where the two engines' orders differ by whole
+    # dollars; the cents sum is order-free and exact at any size
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            mround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            mround(
+                F.sum(cents.cast("decimal(30,0)")).cast("double") / 100.0, 2
+            ).alias("sum_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -274,7 +281,7 @@ ORACLE_Q07 = """
 SELECT coalesce(o_orderstatus, 'ALL')   AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*)                         AS n_orders,
-       round(1.37e-6 + sum(o_totalprice), 2)      AS sum_price
+       round(1.37e-6 + CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -286,7 +293,13 @@ def q08_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            mround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # quantities are integral doubles: sum exact integers (order-
+            # free, never past 2^53 mid-sum) instead of drifting doubles
+            mround(
+                F.sum(F.round("l_quantity").cast("bigint").cast("decimal(30,0)"))
+                .cast("double"),
+                2,
+            ).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -301,7 +314,7 @@ ORACLE_Q08 = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*)                      AS n_items,
-       round(1.37e-6 + sum(l_quantity), 2)     AS sum_qty
+       round(1.37e-6 + CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE), 2) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -313,7 +326,11 @@ def q09_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL')                      AS status,
                coalesce(cast(year(o_orderdate) AS STRING), 'ALL')  AS order_year,
                count(*)                                            AS n_orders,
-               round(1.37e-6 + avg(o_totalprice), 4)               AS avg_price
+               -- exact-cents mean: sum the integer cents (order-free),
+               -- divide once -- a raw double avg accumulates in partition
+               -- order and flakes 4dp ties at scale
+               round(1.37e-6 + CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100.0, 4)                        AS avg_price
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
     """)
@@ -323,7 +340,8 @@ ORACLE_Q09 = """
 SELECT coalesce(o_orderstatus, 'ALL')                       AS status,
        coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL')  AS order_year,
        count(*)                                             AS n_orders,
-       round(1.37e-6 + avg(o_totalprice), 4)                          AS avg_price
+       round(1.37e-6 + CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0, 4)                               AS avg_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
 """
@@ -518,7 +536,11 @@ def q97_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            mround(F.sum("c_acctbal"), 2).alias("total_bal"),
+            # sum the EXACT cents already computed above (order-free int),
+            # divide once -- a raw double sum drifts with partition order
+            mround(
+                F.sum(F.col("cents").cast("decimal(30,0)")).cast("double") / 100.0, 2
+            ).alias("total_bal"),
         )
     )
 
@@ -532,7 +554,8 @@ WITH cust AS (
 stats AS (
   SELECT sum(cents) AS sum_cents, count(*) AS n_pos FROM cust WHERE c_acctbal > 0
 )
-SELECT c_mktsegment, count(*) AS n_cust, round(1.37e-6 + sum(c_acctbal), 2) AS total_bal
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(1.37e-6 + CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_bal
 FROM cust, stats
 WHERE cents * n_pos > sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
