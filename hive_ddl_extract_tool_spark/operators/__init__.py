@@ -47,78 +47,23 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 8 instance: (1) empty -- every query has a driver row; (2) behavior
-# changed: q190's round-7 hash-keyed oracle still has no driver row (the
-# r7 sweep's budget stopped one query short of it), and q49c was redesigned
-# this round (hash-sampled anchor truth replaces the full N^2 tier), so its
-# r3 green row no longer adjudicates it; (3) stalest greens: the r2-era
-# block (21 queries, shared loaders/_cache/hashing have changed under them
-# for 5 rounds), then r3-era (q43/q49, the declared quadratic audits, stay
-# last within their class so the budget truncates them preferentially),
-# then r4-era. Everything green in r7 (q48, q185, q201-q248) plus the
-# r5/r6 blocks falls through to module order. tools/freshness.py gates
-# this staging: every oracle-backed query that would exceed age 5 after
-# the r8 sweep must sit inside the ~50-query budget prefix.
+# Round 9 instance: (1) empty -- every query has a driver row; (2) behavior
+# changed: q197's oracle widened in round 9 (the piv CTE's HUGEINT sums no
+# longer truncate to BIGINT -- its r6 green row adjudicated the narrower
+# formulation); (3) stalest greens: the 17 r3-era queries (age 5 after the
+# r8 sweep; they would exceed MAX_AGE at r9 close), with q43/q49 -- the
+# declared quadratic audits -- last within their class so an early
+# wall-clock truncation drops them preferentially while still keeping them
+# inside the 45-query gate budget; then the full r4-era block (33 queries,
+# age 4) to buy round 10's headroom. Everything green in r8 (the r2-era
+# rotation plus q190/q49c/q133/q221/q248) and the r5/r6/r7 blocks falls
+# through to module order. tools/freshness.py gates this staging: every
+# oracle-backed query that would exceed age 5 after the r9 sweep must sit
+# inside the ~45-query budget prefix.
 _PRIORITY = [
-    # (2) behavior changed: q190's r7 oracle never driver-adjudicated;
-    # q49c redesigned in round 8; q133's split semantics fixed in round 8
-    # (val no longer counted as test -- its r5 green row adjudicated the
-    # old 2-way collapse)
-    "q190_good_turing",
-    "q49c_lsh_recall",
-    "q133_semantic_decontam",
-    # (2 cont.) round-8 exactness upgrades shift the last fixed-point digit
-    # class: q221 per-term-quantized chi2, q248 exact-integer-division
-    # moments -- their r7 green rows adjudicated the old double formulations
-    "q221_benford_audit",
-    "q248_anova_sources",
-    # (3) stalest greens: latest green row is round 2
-    "q22_array_functions",
-    "q23_explode_tokens",
-    "q26_correlated_subquery",
-    "q27_range_frame_window",
-    "q35_tfidf_topterms",
-    "q36_hash_split",
-    "q49b_cosine_neardup_lsh",
-    "q59_asof_join",
-    "q65_frame_sample",
-    "q67_pandas_udf_scalar",
-    "q69_regression_stats",
-    "q71_repetition_metrics",
-    "q72_embed_quantize",
-    "q73_stratified_sample",
-    "q74_funnel",
-    "q75_cohort_retention",
-    "q76_heavy_hitters",
-    "q77_variant_json",
-    "q78_udtf_chunk",
-    "q79_resample_ffill",
-    "q80_rolling_anomaly",
-    # (3 cont.) latest green row is round 3
-    "q15_percentiles",
-    "q16_window_extras",
-    "q17_conditional_aggs",
-    "q18_null_handling",
-    "q19_string_extras",
-    "q24_map_functions",
-    "q25_date_extras",
-    "q28_unpivot",
-    "q30_text_stats",
-    "q31_token_count",
-    "q32_langid",
-    "q33_fingerprint",
-    "q34_quality_score",
-    "q40_exact_dedup",
-    "q41_minhash_signatures",
-    "q42_minhash_lsh_dedup",
-    "q44_simhash",
-    "q45_simhash_neardup",
-    "q46_cosine_topk",
-    "q47_ann_lsh",
-    "q50_binary_metadata",
-    "q53_sql_ml_inference",
-    "q54_skyline",
-    "q55_range_join",
+    # (2) behavior changed: q197's piv CTE widened to HUGEINT in round 9
+    "q197_ab_welch",
+    # (3) stalest greens: latest green row is round 3 (age 5)
     "q56_salted_join",
     "q58_bucketed_join",
     "q66_ivf_ann",
@@ -134,9 +79,10 @@ _PRIORITY = [
     "q96_custdist",
     "q97_idle_rich_customers",
     "q99_label_purity",
+    # declared quadratic audits stay last within the age-5 class
     "q43_ngram_jaccard",
     "q49_cosine_neardup",
-    # (3 cont.) latest green row is round 4
+    # (3 cont.) latest green row is round 4 (age 4) -- next round's stale set
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_order_priority_semi",

@@ -302,10 +302,15 @@ WITH per_user AS (
 ), piv AS (
   SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
          CAST(sum(CASE WHEN variant = 0 THEN s END) AS BIGINT) AS s0,
-         CAST(sum(CASE WHEN variant = 0 THEN q END) AS BIGINT) AS q0,
+         -- q0/q1 stay HUGEINT through the pivot (mirroring Spark's decimal q):
+         -- a ~$30M-lifetime-cents user squares past 2^63, and a BIGINT cast
+         -- here would error in DuckDB while Spark computes fine -- the exact
+         -- cross-engine divergence the widening exists to close. They are
+         -- only consumed via CAST(.. AS DOUBLE) below.
+         sum(CASE WHEN variant = 0 THEN q END) AS q0,
          CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
          CAST(sum(CASE WHEN variant = 1 THEN s END) AS BIGINT) AS s1,
-         CAST(sum(CASE WHEN variant = 1 THEN q END) AS BIGINT) AS q1
+         sum(CASE WHEN variant = 1 THEN q END) AS q1
   FROM arms
 )
 SELECT n0, n1,

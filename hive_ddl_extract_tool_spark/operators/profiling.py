@@ -623,13 +623,21 @@ def q248_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double formulation saturated Spark's floor at Long.MaxValue
         # (silently) and errored DuckDB's cast once a source passed ~1e6
         # average-size docs, and double rounding could flip the floor a
-        # ulp from the exact quotient. The quotient itself must fit int64
-        # -- true for any single source under ~10 TB of text; the
-        # cross-group SUM widens to decimal regardless.
+        # ulp from the exact quotient. Computed via s = q*n + r as
+        #   s*q*1e6 + (s*r*1e6 DIV n)   (q = s DIV n, r = s MOD n)
+        # which equals floor(s^2*1e6/n) exactly but caps the widest
+        # intermediate at s*r*1e6 < s*n*1e6 instead of s^2*1e6 -- the
+        # direct product silently NULLed Spark's decimal(38,0) (non-ANSI)
+        # once s passed ~3.2e15 (~3 PB of text in one source) while the
+        # DuckDB HUGEINT twin errored loudly; the restructured form holds
+        # both engines exact to ~1e16 docs x ~1e16 chars. The quotient
+        # itself must fit int64 -- true for any single source under
+        # ~10 TB of text; the cross-group SUM widens to decimal regardless.
         F.sum(
-            F.expr("CAST(s AS DECIMAL(38,0)) * s * 1000000 DIV n").cast(
-                "decimal(38,0)"
-            )
+            F.expr(
+                "CAST(s AS DECIMAL(38,0)) * (s DIV n) * 1000000"
+                " + (CAST(s AS DECIMAL(38,0)) * (s % n) * 1000000 DIV n)"
+            ).cast("decimal(38,0)")
         ).alias("sq_over_n_u"),
     )
     sq_over_n = F.col("sq_over_n_u").cast("double") / 1_000_000
@@ -662,8 +670,11 @@ agg AS (
          CAST(sum(n) AS BIGINT) AS n_total,
          CAST(sum(s) AS BIGINT) AS s_total,
          CAST(CAST(sum(ss) AS HUGEINT) AS DOUBLE) AS ss_all,
-         -- exact HUGEINT integer division mirrors the Spark decimal DIV
-         sum(CAST(s AS HUGEINT) * s * 1000000 // n) AS sq_over_n_u
+         -- exact HUGEINT integer division mirrors the Spark decimal DIV,
+         -- restructured identically (s = q*n + r) so the widest
+         -- intermediate is s*r*1e6, not s^2*1e6
+         sum(CAST(s AS HUGEINT) * (s // n) * 1000000
+             + (CAST(s AS HUGEINT) * (s % n) * 1000000 // n)) AS sq_over_n_u
   FROM g
 )
 SELECT k, n_total,

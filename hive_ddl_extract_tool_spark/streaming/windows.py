@@ -1180,6 +1180,17 @@ def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
     import shutil
 
     prev = os.readlink(state_dir) if os.path.islink(state_dir) else None
+    if prev is None and os.path.isdir(state_dir):
+        # Migrate a pre-symlink plain state directory (the old
+        # rmtree+rename layout, or a caller that skipped _run_base's
+        # reset): os.replace over a real directory raises EISDIR, so
+        # park it as a version dir first -- ledger and all -- and let the
+        # normal retire path below remove it once the pointer has moved.
+        legacy = new_dir + ".legacy"
+        if os.path.lexists(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
+        os.rename(state_dir, legacy)
+        prev = os.path.basename(legacy)
     link_tmp = new_dir + ".lnk"
     if os.path.lexists(link_tmp):
         os.remove(link_tmp)

@@ -499,6 +499,52 @@ def test_upsert_merge_replays_are_noops(spark, tmp_path):
     assert os.readlink(state_dir) == "state_v2"
 
 
+def test_upsert_merge_migrates_legacy_plain_state_dir(spark, tmp_path):
+    """_publish_state must migrate a PLAIN state directory (the
+    pre-symlink rmtree+rename layout, or any caller that skipped
+    _run_base's reset) instead of raising EISDIR on os.replace: the old
+    dir -- ledger included -- is parked as a version dir, the symlink is
+    installed, and the legacy dir is retired after the pointer moves.
+    The ledger inside the plain dir must still gate replays BEFORE the
+    migration (batch ids at or below it are no-ops)."""
+    import datetime
+    import os
+    import shutil
+
+    from hive_ddl_extract_tool_spark.streaming.windows import _upsert_merge_batch
+
+    base = str(tmp_path / "legacy")
+    state_dir = f"{base}/state"
+    (tmp_path / "legacy").mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b0 = spark.createDataFrame([(1, t0, 7, "view", 1.0)], schema)
+    _upsert_merge_batch(spark, base, state_dir, b0, 0)
+
+    # devolve to the legacy layout: a real directory at state_dir
+    target = os.path.join(base, os.readlink(state_dir))
+    os.remove(state_dir)
+    shutil.copytree(target, state_dir)
+    shutil.rmtree(target)
+    assert os.path.isdir(state_dir) and not os.path.islink(state_dir)
+
+    # the plain dir's ledger still gates a replay of batch 0
+    _upsert_merge_batch(spark, base, state_dir, b0, 0)
+    assert spark.read.parquet(state_dir).collect()[0]["n"] == 1
+
+    # a new batch migrates the plain dir: symlink installed, legacy
+    # retired, state correct (n accumulated across the migration)
+    b1 = spark.createDataFrame(
+        [(2, t0 + datetime.timedelta(minutes=1), 7, "click", 2.0)], schema
+    )
+    _upsert_merge_batch(spark, base, state_dir, b1, 1)
+    assert os.path.islink(state_dir)
+    assert os.readlink(state_dir) == "state_v1"
+    row = spark.read.parquet(state_dir).collect()[0]
+    assert row["n"] == 2 and row["event_id"] == 2
+    assert not os.path.exists(f"{base}/state_v1.legacy"), "legacy dir leaked"
+
+
 def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):
     """q212's dimension intervals partition time, so EVERY event must be
     enriched exactly once: the per-tier counts sum to the full event

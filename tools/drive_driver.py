@@ -75,6 +75,19 @@ heavy_s = ", ".join(f"{n} {t:.1f}s" for n, t in heavy)
 print(f"SWEEP total={total:.1f}s queries={len(timings)} heaviest: {heavy_s}")
 parity.append(f"Sweep profile: {len(timings)} queries, {total:.1f} s total; "
               f"heaviest: {heavy_s}\n")
+
+# §2A per-round evidence (round-8 verdict, Next item 4): the catalog
+# extraction migration fixpoint against a real Derby metastore, so the
+# reference's own capability gets a dated parity row every round, not
+# just a pytest green that never rotates.
+from tools.catalog_parity import run_fixpoint
+
+cat = run_fixpoint()
+print(f"{cat['line']} ({cat['sec']}s)")
+parity.append("## §2A catalog fixpoint\n")
+parity.append(f"- {cat['line']} ({cat['sec']}s)\n")
+fails += 0 if cat["ok"] else 1
+
 with open("/root/repo/PARITY.md", "w") as f:
     f.write("\n".join(parity))
 sys.exit(1 if fails else 0)

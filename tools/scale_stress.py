@@ -104,6 +104,38 @@ def inflate(spark: SparkSession, src: str, dst: str, k: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
 
+EVT_STRIDE = 1_000_000_000
+
+
+def inflate_events(spark: SparkSession, src: str, dst: str, k: int) -> None:
+    """Write a K-fold EVENTS corpus under dst; every other table is
+    symlinked from src (which may itself be an inflate()d docs corpus, so
+    the two inflations compose). Copy j shifts event_id and user_id by
+    j*EVT_STRIDE: users are DISJOINT across copies, so per-key state
+    (sessionization, upserts, funnels) replicates the original's structure
+    K-fold -- the streaming analog of the document inflation's
+    disjoint-copy invariant. ts/event_type/value/props are untouched: the
+    day-shard staging and watermark timeline are IDENTICAL to the source,
+    so an incremental replay sees K-fold batch SIZES, not more batches,
+    and time-keyed aggregates scale exactly K-fold per group."""
+    os.makedirs(dst, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        link = f"{dst}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{src}/{t}.parquet", link)
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(j * EVT_STRIDE))
+        .withColumn("user_id", F.col("user_id") + F.lit(j * EVT_STRIDE))
+        for j in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
 def timed_count(df: DataFrame) -> tuple[int, float]:
     t0 = time.monotonic()
     n = df.count()

@@ -21,6 +21,13 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   the registered fixed-cell oracle only covers the fixture contract, so
   this is the first value-level check of the recipe that actually ships
   at 100 TB)
+- q102 token-budget selection  (selection family representative)
+- q68 dup-cluster connected components (graph family representative)
+- q220 incremental-replay equivalence on a K-fold EVENTS corpus
+  (streaming family: inflate_events gives disjoint per-copy users on the
+  same timestamp timeline, so the exactly-once incremental contract --
+  aggregates AND the independently-derived batch count -- is
+  value-verified at scale, not just smoke-executed)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -142,6 +149,36 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     row = check("q103_semdedup_scaled_cells", sdf, con,
                 similarity._oracle_q103(scaled_cent0_sql(k)))
     row.update({"k": k, "n_cells": n_cells})
+    print(json.dumps(row), flush=True)
+    results.append(row)
+
+    # Selection (q102 token-budget select) + graph (q68 dup-cluster
+    # connected components) families: the registered query against the
+    # registered oracle on the inflated documents corpus -- value-level,
+    # not merely the executes-at-10x smoke these families had before.
+    for name in ("q102_token_budget_select", "q68_dup_clusters"):
+        row = check(name, qs[name](spark, dst), con, oracles[name])
+        row["k"] = k
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    # Streaming family: q220's incremental-replay equivalence on a K-fold
+    # EVENTS corpus. inflate() symlinks events (only docs/embeddings grow),
+    # so stage a sibling corpus whose events are inflated with disjoint
+    # user/event ids and the SAME timestamp timeline (K-fold batch sizes,
+    # same staged-batch count); the oracle recomputes the aggregates AND
+    # derives n_batches from the same inflated view, so the exactly-once
+    # incremental contract is value-verified at scale.
+    from tools.scale_stress import inflate_events
+
+    dst_ev = f"{dst}_events"
+    shutil.rmtree(dst_ev, ignore_errors=True)
+    inflate_events(spark, dst, dst_ev, k)
+    register_views(con, dst_ev)
+    row = check("q220_incremental_equivalence",
+                qs["q220_incremental_equivalence"](spark, dst_ev),
+                con, oracles["q220_incremental_equivalence"])
+    row["k"] = k
     print(json.dumps(row), flush=True)
     results.append(row)
 
