@@ -670,10 +670,20 @@ def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle fragment: canonical label per document by recursive
 # transitive closure -- feasible for DuckDB at oracle SF because the edge
-# set is tiny.
-_CC_MAPPED_SQL = f"""
-pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
-edges AS (
+# set is tiny. pairs/edges are MATERIALIZED: the recursive term joins
+# edges every iteration, and without the fence DuckDB re-evaluates the
+# whole inlined q42 LSH pipeline per iteration -- ~30x the q42 oracle's
+# cost at 10x corpus (196 s vs 0.2 s materialized) and a disk-filling
+# temp spill at 30x. A PLAIN twin exists because DuckDB 1.0.0 hits an
+# internal planner assertion ("Recursive CTE scan found without
+# recursive CTE node") when MATERIALIZED appears in a WITH RECURSIVE
+# statement that also nests ORACLE_Q124's unrolled-pagerank subquery
+# (ORACLE_Q130 is the one consumer; it only ever runs at driver SF).
+def _cc_mapped_sql(materialized: bool = True) -> str:
+    m = "MATERIALIZED " if materialized else ""
+    return f"""
+pairs AS {m}(SELECT doc_a, doc_b FROM ({ORACLE_Q42})),
+edges AS {m}(
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
@@ -688,6 +698,9 @@ mapped AS (
   SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN lab l USING (doc_id)
 )"""
+
+
+_CC_MAPPED_SQL = _cc_mapped_sql()
 
 ORACLE_Q68 = f"""
 WITH RECURSIVE
@@ -1225,7 +1238,7 @@ def q130_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q130 = f"""
 WITH RECURSIVE
-{_CC_MAPPED_SQL},
+{_cc_mapped_sql(materialized=False)},
 pr AS (SELECT doc_id, pagerank9 FROM ({ORACLE_Q124})),
 j AS (
   SELECT m.canonical_id AS cluster_id, m.doc_id, p.pagerank9,
@@ -1389,8 +1402,8 @@ GROUP BY src
 
 
 ORACLE_Q141 = f"""
-WITH RECURSIVE pairs AS ({ORACLE_Q42}),
-sym AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({ORACLE_Q42}),
+sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM pairs
