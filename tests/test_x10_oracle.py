@@ -62,7 +62,7 @@ def test_hash_rows_is_order_insensitive_but_value_strict():
 
 
 def test_gate_end_to_end_at_k2(spark, tmp_path):
-    """The whole gate (inflate -> 10 family checks on both engines) at a
+    """The whole gate (inflate -> 15 family checks on both engines) at a
     fixture-cheap configuration (sf0.001, K=2): a regression in the
     inflation invariants, a family pipeline, or a parameterized oracle
     builder fails the suite, not just the out-of-band 10x run."""
@@ -76,7 +76,9 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q218_sorted_neighborhood", "q245_tfidf_simjoin",
         "q49b_lsh_scaled_bits", "q103_semdedup_scaled_cells",
         "q102_token_budget_select", "q68_dup_clusters",
+        "q35_tfidf_topterms", "q81_bm25_topk", "q87_embed_dim_stats",
         "q220_incremental_equivalence",
+        "q01_pricing_summary", "q02_revenue_by_nation",
     ]
     mismatches = [r for r in results if not r["match"]]
     assert not mismatches, f"cross-engine mismatch at K=2: {mismatches}"

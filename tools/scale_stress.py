@@ -136,6 +136,34 @@ def inflate_events(spark: SparkSession, src: str, dst: str, k: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
 
 
+def inflate_tpch(spark: SparkSession, src: str, dst: str, k: int) -> None:
+    """Write a K-fold TPC-H FACT corpus under dst: orders and lineitem get
+    K disjoint copies (o_orderkey/l_orderkey shifted by j*EVT_STRIDE, all
+    other columns -- including the dimension foreign keys -- untouched);
+    every other table is symlinked from src. Dimensions staying shared is
+    the point: FK joins resolve for every copy, so each (join, aggregate)
+    group's sums/counts scale exactly K-fold and its ratios (avg, share)
+    are K-invariant -- any overflow, broadcast-threshold flip, or plan
+    defect that only appears at volume surfaces as a cross-engine value
+    divergence instead of hiding behind fixture size."""
+    os.makedirs(dst, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        link = f"{dst}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{src}/{t}.parquet", link)
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        parts = [
+            base.withColumn(key, F.col(key) + F.lit(j * EVT_STRIDE))
+            for j in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
 def timed_count(df: DataFrame) -> tuple[int, float]:
     t0 = time.monotonic()
     n = df.count()

@@ -23,11 +23,17 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   at 100 TB)
 - q102 token-budget selection  (selection family representative)
 - q68 dup-cluster connected components (graph family representative)
+- q35 tf-idf top terms          (text-analysis family representative)
+- q81 BM25 top-k                (retrieval family representative)
+- q87 per-dimension moments     (vectors family representative)
 - q220 incremental-replay equivalence on a K-fold EVENTS corpus
   (streaming family: inflate_events gives disjoint per-copy users on the
   same timestamp timeline, so the exactly-once incremental contract --
   aggregates AND the independently-derived batch count -- is
   value-verified at scale, not just smoke-executed)
+- q01 pricing summary + q02 revenue-by-nation on K-fold TPC-H FACTS
+  (relational aggregate + multi-way join families: inflate_tpch copies
+  orders/lineitem with disjoint order keys against shared dimensions)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -152,11 +158,16 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     print(json.dumps(row), flush=True)
     results.append(row)
 
-    # Selection (q102 token-budget select) + graph (q68 dup-cluster
-    # connected components) families: the registered query against the
-    # registered oracle on the inflated documents corpus -- value-level,
-    # not merely the executes-at-10x smoke these families had before.
-    for name in ("q102_token_budget_select", "q68_dup_clusters"):
+    # Selection (q102 token-budget select), graph (q68 dup-cluster
+    # connected components), text (q35 tf-idf top terms -- corpus-wide df
+    # against a K-fold vocabulary), retrieval (q81 BM25 top-k), and
+    # vectors (q87 per-dimension moments over the rotated embeddings)
+    # families: the registered query against the registered oracle on the
+    # inflated documents/embeddings corpus -- value-level, not merely the
+    # executes-at-10x smoke these families had before.
+    for name in ("q102_token_budget_select", "q68_dup_clusters",
+                 "q35_tfidf_topterms", "q81_bm25_topk",
+                 "q87_embed_dim_stats"):
         row = check(name, qs[name](spark, dst), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
@@ -181,6 +192,24 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     row["k"] = k
     print(json.dumps(row), flush=True)
     results.append(row)
+
+    # Relational aggregate + multi-way join families: K-fold TPC-H FACTS
+    # (orders/lineitem copies with disjoint order keys, shared dimensions
+    # so FK joins resolve for every copy). Sums/counts scale exactly
+    # K-fold per group, ratios are K-invariant; an overflow or a
+    # broadcast-threshold flip that only appears at volume becomes a
+    # value divergence here instead of hiding behind fixture size.
+    from tools.scale_stress import inflate_tpch
+
+    dst_tpch = f"{dst}_tpch"
+    shutil.rmtree(dst_tpch, ignore_errors=True)
+    inflate_tpch(spark, dst, dst_tpch, k)
+    register_views(con, dst_tpch)
+    for name in ("q01_pricing_summary", "q02_revenue_by_nation"):
+        row = check(name, qs[name](spark, dst_tpch), con, oracles[name])
+        row["k"] = k
+        print(json.dumps(row), flush=True)
+        results.append(row)
 
     return results
 
