@@ -164,6 +164,17 @@ def inflate_tpch(spark: SparkSession, src: str, dst: str, k: int) -> None:
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 
+def inflate_all(spark: SparkSession, src: str, dst: str, k: int) -> None:
+    """Compose the three inflations so EVERY table is K-fold: documents/
+    embeddings (inflate), events (inflate_events), and the TPC-H facts
+    (inflate_tpch). Layered through two scratch dirs whose un-inflated
+    tables are symlinked onward, so each layer stays independently
+    usable and nothing is written twice."""
+    inflate(spark, src, f"{dst}_docs", k)
+    inflate_events(spark, f"{dst}_docs", f"{dst}_ev", k)
+    inflate_tpch(spark, f"{dst}_ev", dst, k)
+
+
 def timed_count(df: DataFrame) -> tuple[int, float]:
     t0 = time.monotonic()
     n = df.count()

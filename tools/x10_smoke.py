@@ -10,8 +10,12 @@ unbounded explode shows up as an error or a timeout here, not in
 production at 100 TB.
 
 Scope notes:
-- documents/embeddings are 10x; the TPC-H tables are symlinked unchanged
-  (their queries re-run as a cheap no-op control).
+- Point --sf-dir at a scale_stress inflation. With inflate() output only
+  documents/embeddings are 10x (the rounds-7/8 configuration); with
+  inflate_all() output (round 9+) EVERY table is 10x -- events and the
+  TPC-H facts included -- so the streaming replays, sessionization, and
+  join-agg families are probed at volume too, not just the text/vector
+  families.
 - The declared quadratic audit baselines (SCALE.md's scale-killer tier)
   are skipped by design: their cost is the documented point.
 - No oracle compare (DuckDB on the quadratic oracles at 50k docs is the
