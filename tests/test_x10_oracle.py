@@ -61,6 +61,39 @@ def test_hash_rows_is_order_insensitive_but_value_strict():
     assert not compare(cols, rows, ["a", "c"], [("x", 1), ("y", 2)])
 
 
+def test_inflate_all_doubles_every_table(spark, tmp_path):
+    """inflate_all composes the three inflations (documents/embeddings,
+    events, TPC-H facts) through symlinked layers: every inflated table
+    must be exactly K-fold, every dimension must pass through unchanged,
+    and the layered symlinks must resolve (a broken chain reads as a
+    missing table, not a wrong count)."""
+    from tools.scale_stress import inflate_all
+
+    dst = str(tmp_path / "all")
+    inflate_all(spark, SF_DIR, dst, 2)
+    inflated = ("documents", "embeddings", "events", "orders", "lineitem")
+    for t in inflated:
+        n_src = spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        n_dst = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        assert n_dst == 2 * n_src, (t, n_src, n_dst)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        n_src = spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        n_dst = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        assert n_dst == n_src, (t, n_src, n_dst)
+    # disjointness of the key shifts: no order key appears in two copies
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+                   ("events", "event_id")):
+        df = spark.read.parquet(f"{dst}/{t}.parquet")
+        n_all = df.count()
+        n_keys = df.select(key).distinct().count()
+        n_src_keys = (
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").select(key)
+            .distinct().count()
+        )
+        assert n_keys == 2 * n_src_keys, (t, n_keys, n_src_keys)
+        assert n_all >= n_keys
+
+
 def test_gate_end_to_end_at_k2(spark, tmp_path):
     """The whole gate (inflate -> 15 family checks on both engines) at a
     fixture-cheap configuration (sf0.001, K=2): a regression in the
