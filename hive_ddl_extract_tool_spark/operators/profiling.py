@@ -629,10 +629,13 @@ def q248_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         # intermediate at s*r*1e6 < s*n*1e6 instead of s^2*1e6 -- the
         # direct product silently NULLed Spark's decimal(38,0) (non-ANSI)
         # once s passed ~3.2e15 (~3 PB of text in one source) while the
-        # DuckDB HUGEINT twin errored loudly; the restructured form holds
-        # both engines exact to ~1e16 docs x ~1e16 chars. The quotient
-        # itself must fit int64 -- true for any single source under
-        # ~10 TB of text; the cross-group SUM widens to decimal regardless.
+        # DuckDB HUGEINT twin errored loudly. The restructured ceiling is
+        # the first term s*q*1e6 ~= n*c^2*1e6 (n docs of avg size c), i.e.
+        # exact while n*c^2 <= ~1e32 -- e.g. 1e12 docs of 10 KB average,
+        # ~1e7x more text than the direct product allowed at that doc
+        # size, far past any single source. The quotient itself must fit
+        # int64 -- true for any single source under ~10 TB of text; the
+        # cross-group SUM widens to decimal regardless.
         F.sum(
             F.expr(
                 "CAST(s AS DECIMAL(38,0)) * (s DIV n) * 1000000"

@@ -1150,6 +1150,7 @@ def _upsert_merge_batch(
     import os
     import shutil
 
+    _recover_state_pointer(base, state_dir)
     ledger = f"{state_dir}/_applied_batch_id"
     if os.path.exists(ledger):
         with open(ledger) as fh:
@@ -1163,6 +1164,42 @@ def _upsert_merge_batch(
     with open(f"{tmp}/_applied_batch_id", "w") as fh:
         fh.write(str(batch_id))
     _publish_state(base, state_dir, tmp)
+
+
+def _recover_state_pointer(base: str, state_dir: str) -> None:
+    """Crash recovery for the ONE non-atomic instant the publish path has:
+    migrating a legacy plain state dir parks it with os.rename before the
+    symlink install (_publish_state), and POSIX cannot atomically replace
+    a real directory with a symlink -- a crash exactly between the two
+    leaves state_dir missing while base holds complete version dirs (the
+    ledger is written last, so a ledger file marks completeness). Called
+    at the top of every merge: when state_dir is gone, re-point it at the
+    version with the highest applied batch id. The parked ``.legacy`` dir
+    competes with its own (older) ledger, so the newest complete state
+    always wins and the replayed batch is correctly skipped; torn version
+    writes (no ledger) are ignored. No-op when state_dir exists (the
+    normal case) or base has no ledgered dirs (fresh start)."""
+    import os
+
+    if os.path.lexists(state_dir) or not os.path.isdir(base):
+        return
+    best, best_id = None, -1
+    for d in os.listdir(base):
+        led = os.path.join(base, d, "_applied_batch_id")
+        if os.path.isfile(led):
+            try:
+                bid = int(open(led).read().strip())
+            except ValueError:
+                continue
+            if bid > best_id:
+                best, best_id = d, bid
+    if best is None:
+        return
+    link_tmp = os.path.join(base, best + ".rlnk")
+    if os.path.lexists(link_tmp):
+        os.remove(link_tmp)
+    os.symlink(best, link_tmp)
+    os.replace(link_tmp, state_dir)
 
 
 def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
@@ -1186,6 +1223,11 @@ def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
         # reset): os.replace over a real directory raises EISDIR, so
         # park it as a version dir first -- ledger and all -- and let the
         # normal retire path below remove it once the pointer has moved.
+        # POSIX cannot make dir->symlink atomic, so a crash between this
+        # rename and the os.replace below leaves state_dir missing; the
+        # merge paths heal that on their next entry via
+        # _recover_state_pointer (newest ledgered version dir wins --
+        # new_dir is already complete, so no state or count is lost).
         legacy = new_dir + ".legacy"
         if os.path.lexists(legacy):
             shutil.rmtree(legacy, ignore_errors=True)
@@ -1532,6 +1574,7 @@ def _cms_merge_batch(
     counters are ADDITIVE, so the q175 batch-id ledger (written inside the
     version dir the crash-atomic _publish_state swap points state_dir at)
     makes replays exactly-once."""
+    _recover_state_pointer(base, state_dir)
     ledger = f"{state_dir}/_applied_batch_id"
     if _os.path.exists(ledger):
         with open(ledger) as fh:

@@ -544,6 +544,27 @@ def test_upsert_merge_migrates_legacy_plain_state_dir(spark, tmp_path):
     assert row["n"] == 2 and row["event_id"] == 2
     assert not os.path.exists(f"{base}/state_v1.legacy"), "legacy dir leaked"
 
+    # migration crash window: POSIX cannot swap dir->symlink atomically,
+    # so simulate a crash BETWEEN the legacy rename and the symlink
+    # install -- state_dir missing, the parked legacy (old state, ledger 1)
+    # and the complete new version (ledger 2) both on disk. The next merge
+    # entry must recover the pointer onto the NEWEST ledgered version and
+    # then skip the replayed batch -- no undercount, no double count.
+    b2 = spark.createDataFrame(
+        [(3, t0 + datetime.timedelta(minutes=2), 7, "view", 3.0)], schema
+    )
+    _upsert_merge_batch(spark, base, state_dir, b2, 2)
+    assert os.readlink(state_dir) == "state_v2"
+    os.remove(state_dir)                                  # pointer lost
+    shutil.copytree(f"{base}/state_v2", f"{base}/state_v1.legacy")
+    with open(f"{base}/state_v1.legacy/_applied_batch_id", "w") as fh:
+        fh.write("1")                                     # parked OLD state
+    _upsert_merge_batch(spark, base, state_dir, b2, 2)    # crash replay
+    assert os.path.islink(state_dir)
+    assert os.readlink(state_dir) == "state_v2", "recovery must pick the newest ledger"
+    row = spark.read.parquet(state_dir).collect()[0]
+    assert row["n"] == 3 and row["event_id"] == 3
+
 
 def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):
     """q212's dimension intervals partition time, so EVERY event must be

@@ -22,6 +22,7 @@ Usage: python tools/catalog_parity.py            # prints the one-liner
 
 from __future__ import annotations
 
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -82,14 +83,21 @@ def scenario_script(workdir: str) -> str:
 
 
 def run_fixpoint(workdir: str | None = None, timeout: int = 300) -> dict:
-    """Run the scenario in a fresh JVM; return a PARITY-ready result row."""
-    if workdir is None:
+    """Run the scenario in a fresh JVM; return a PARITY-ready result row.
+    A self-created scratch dir (Derby metastore_db + warehouse parquet) is
+    removed on the way out -- one leaked multi-MB dir per sweep otherwise."""
+    own_workdir = workdir is None
+    if own_workdir:
         workdir = tempfile.mkdtemp(prefix="catalog_parity_")
     t0 = time.monotonic()
-    proc = subprocess.run(
-        [sys.executable, "-c", scenario_script(workdir)],
-        capture_output=True, text=True, timeout=timeout,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", scenario_script(workdir)],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    finally:
+        if own_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
     ok = "HIVE_METASTORE_OK" in proc.stdout
     return {
         "ok": ok,

@@ -82,7 +82,11 @@ parity.append(f"Sweep profile: {len(timings)} queries, {total:.1f} s total; "
 # just a pytest green that never rotates.
 from tools.catalog_parity import run_fixpoint
 
-cat = run_fixpoint()
+try:
+    cat = run_fixpoint()
+except Exception as exc:  # a hung/killed Derby subprocess must not cost the sweep's parity evidence
+    cat = {"ok": False, "sec": -1.0,
+           "line": f"FAIL §2A catalog fixpoint ({type(exc).__name__}: {exc})"}
 print(f"{cat['line']} ({cat['sec']}s)")
 parity.append("## §2A catalog fixpoint\n")
 parity.append(f"- {cat['line']} ({cat['sec']}s)\n")

@@ -42,14 +42,26 @@ DOC_STRIDE = 1_000_000_000
 VEC_STRIDE = 1_000_000_000
 
 
+def _symlink_table(src: str, dst: str, t: str) -> None:
+    """Symlink dst/t.parquet at the REAL path of src/t.parquet. lexists
+    (not exists) so a dangling link is replaced instead of crashing with
+    FileExistsError; an existing link from a previous inflation into the
+    same dst is re-pointed instead of silently kept (a stale link mixed
+    two corpora); realpath collapses layered inflations (inflate_all) so
+    the final corpus does not dangle if an intermediate scratch layer's
+    own symlinks are removed."""
+    link = f"{dst}/{t}.parquet"
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(os.path.realpath(f"{src}/{t}.parquet"), link)
+
+
 def inflate(spark: SparkSession, src: str, dst: str, k: int) -> None:
     """Write a K-fold corpus under dst; non-inflated tables are symlinked."""
     os.makedirs(dst, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events"):
-        link = f"{dst}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{src}/{t}.parquet", link)
+        _symlink_table(src, dst, t)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     # The disjoint-copy invariant (every shingle of copy j differs from every
@@ -121,9 +133,7 @@ def inflate_events(spark: SparkSession, src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents", "embeddings"):
-        link = f"{dst}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{src}/{t}.parquet", link)
+        _symlink_table(src, dst, t)
     ev = spark.read.parquet(f"{src}/events.parquet")
     parts = [
         ev.withColumn("event_id", F.col("event_id") + F.lit(j * EVT_STRIDE))
@@ -149,9 +159,7 @@ def inflate_tpch(spark: SparkSession, src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
               "events", "documents", "embeddings"):
-        link = f"{dst}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{src}/{t}.parquet", link)
+        _symlink_table(src, dst, t)
     for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         base = spark.read.parquet(f"{src}/{t}.parquet")
         parts = [
@@ -167,9 +175,13 @@ def inflate_tpch(spark: SparkSession, src: str, dst: str, k: int) -> None:
 def inflate_all(spark: SparkSession, src: str, dst: str, k: int) -> None:
     """Compose the three inflations so EVERY table is K-fold: documents/
     embeddings (inflate), events (inflate_events), and the TPC-H facts
-    (inflate_tpch). Layered through two scratch dirs whose un-inflated
-    tables are symlinked onward, so each layer stays independently
-    usable and nothing is written twice."""
+    (inflate_tpch). Layered through two sibling dirs ({dst}_docs,
+    {dst}_ev) whose un-inflated tables are symlinked onward, so each
+    layer stays independently usable and nothing is written twice.
+    LIFETIME: the sibling dirs are NOT disposable scratch -- dst's
+    documents/embeddings/events resolve into them (symlinks collapse to
+    real paths, but the real parquet lives where its layer wrote it);
+    delete them and dst dangles. Remove all three together."""
     inflate(spark, src, f"{dst}_docs", k)
     inflate_events(spark, f"{dst}_docs", f"{dst}_ev", k)
     inflate_tpch(spark, f"{dst}_ev", dst, k)
