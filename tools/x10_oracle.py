@@ -26,6 +26,9 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
 - q35 tf-idf top terms          (text-analysis family representative)
 - q81 BM25 top-k                (retrieval family representative)
 - q87 per-dimension moments     (vectors family representative)
+- q156 BPE merge rounds         (tokenizer family representative)
+- q109 overlapping byte-window chunks (multimodal family representative)
+- q95 + q112 curation funnel / training manifest (curation family)
 - q220 incremental-replay equivalence on a K-fold EVENTS corpus
   (streaming family: inflate_events gives disjoint per-copy users on the
   same timestamp timeline, so the exactly-once incremental contract --
@@ -33,7 +36,12 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   value-verified at scale, not just smoke-executed)
 - q01 pricing summary + q02 revenue-by-nation on K-fold TPC-H FACTS
   (relational aggregate + multi-way join families: inflate_tpch copies
-  orders/lineitem with disjoint order keys against shared dimensions)
+  orders/lineitem with disjoint order keys against shared dimensions;
+  layered on the events corpus, so this third corpus is ALL-inflated)
+- q172 Z-order layout audit, q129 point-in-time SCD join, and q157
+  dataset profile (layout / advanced / profiling families, on the
+  all-inflated corpus -- q157 profiles K-fold orders+documents+events
+  in one run)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -167,7 +175,13 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     # executes-at-10x smoke these families had before.
     for name in ("q102_token_budget_select", "q68_dup_clusters",
                  "q35_tfidf_topterms", "q81_bm25_topk",
-                 "q87_embed_dim_stats"):
+                 "q87_embed_dim_stats",
+                 # round-9 widening to the remaining doc-corpus families:
+                 # tokenizer (BPE merge rounds), multimodal (overlapping
+                 # byte-window chunker on the binary-ish hex encoding),
+                 # curation (gate funnel + the composed training manifest)
+                 "q156_bpe_merge_rounds", "q109_audio_chunks",
+                 "q95_curation_report", "q112_training_manifest"):
         row = check(name, qs[name](spark, dst), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
@@ -199,13 +213,19 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     # K-fold per group, ratios are K-invariant; an overflow or a
     # broadcast-threshold flip that only appears at volume becomes a
     # value divergence here instead of hiding behind fixture size.
+    # Layered on dst_ev, so this third corpus has EVERY table K-fold --
+    # which also hosts the layout (q172 Z-order on K-fold lineitem),
+    # point-in-time join (q129 on K-fold orders), and dataset-profile
+    # (q157 over K-fold orders+documents+events at once) families.
     from tools.scale_stress import inflate_tpch
 
     dst_tpch = f"{dst}_tpch"
     shutil.rmtree(dst_tpch, ignore_errors=True)
-    inflate_tpch(spark, dst, dst_tpch, k)
+    inflate_tpch(spark, dst_ev, dst_tpch, k)
     register_views(con, dst_tpch)
-    for name in ("q01_pricing_summary", "q02_revenue_by_nation"):
+    for name in ("q01_pricing_summary", "q02_revenue_by_nation",
+                 "q172_zorder_layout", "q129_point_in_time_join",
+                 "q157_dataset_profile"):
         row = check(name, qs[name](spark, dst_tpch), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
