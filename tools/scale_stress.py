@@ -135,6 +135,15 @@ def inflate_events(spark: SparkSession, src: str, dst: str, k: int) -> None:
               "lineitem", "documents", "embeddings"):
         _symlink_table(src, dst, t)
     ev = spark.read.parquet(f"{src}/events.parquet")
+    # The disjoint-copy invariant needs every id inside [0, EVT_STRIDE):
+    # a negative or stride-exceeding id in some future data drop would
+    # land copies in each other's ranges and silently merge per-key state
+    # across copies. Assert it instead of assuming it (the inflate() rule).
+    n_bad = ev.filter(
+        (F.col("event_id") < 0) | (F.col("event_id") >= EVT_STRIDE)
+        | (F.col("user_id") < 0) | (F.col("user_id") >= EVT_STRIDE)
+    ).count()
+    assert n_bad == 0, f"{n_bad} events have ids outside [0, EVT_STRIDE)"
     parts = [
         ev.withColumn("event_id", F.col("event_id") + F.lit(j * EVT_STRIDE))
         .withColumn("user_id", F.col("user_id") + F.lit(j * EVT_STRIDE))
@@ -162,6 +171,10 @@ def inflate_tpch(spark: SparkSession, src: str, dst: str, k: int) -> None:
         _symlink_table(src, dst, t)
     for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         base = spark.read.parquet(f"{src}/{t}.parquet")
+        n_bad = base.filter(
+            (F.col(key) < 0) | (F.col(key) >= EVT_STRIDE)
+        ).count()
+        assert n_bad == 0, f"{n_bad} {t} rows have {key} outside [0, EVT_STRIDE)"
         parts = [
             base.withColumn(key, F.col(key) + F.lit(j * EVT_STRIDE))
             for j in range(k)
