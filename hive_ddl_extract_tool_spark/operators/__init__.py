@@ -47,75 +47,78 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 9 instance: (1) empty -- every query has a driver row; (2) behavior
-# changed: q197's oracle widened in round 9 (the piv CTE's HUGEINT sums no
-# longer truncate to BIGINT -- its r6 green row adjudicated the narrower
-# formulation); (3) stalest greens: the 17 r3-era queries (age 5 after the
-# r8 sweep; they would exceed MAX_AGE at r9 close), with q43/q49 -- the
-# declared quadratic audits -- last within their class so an early
-# wall-clock truncation drops them preferentially while still keeping them
-# inside the 45-query gate budget; then the full r4-era block (33 queries,
-# age 4) to buy round 10's headroom. Everything green in r8 (the r2-era
-# rotation plus q190/q49c/q133/q221/q248) and the r5/r6/r7 blocks falls
-# through to module order. tools/freshness.py gates this staging: every
-# oracle-backed query that would exceed age 5 after the r9 sweep must sit
-# inside the ~45-query budget prefix.
+# Round 10 instance: (1) empty -- every query has a driver row; (2) empty --
+# no behavior changes this round (registry kept flat per the r9 verdict);
+# (3) stalest green FIRST: q119_edit_distance_verify (latest green r4, the
+# one query the r9 sweep's 50-query budget missed at staged position 52),
+# then the full r5-era block (49 queries, age 4 -- they would exceed MAX_AGE
+# at r11 close), relational shapes first and the slower streaming trio
+# (q98/q131/q140) last so an early wall-clock truncation drops the queries
+# that can still wait one more round. Total staged: exactly 50 -- the
+# MEASURED driver budget (r9 staged 52 and lost the tail; never again) --
+# with the single must-refresh query at slot 1, never behind a younger
+# block. Everything green in r9 (the r3/r4-era rotation) and the r6/r7/r8
+# blocks falls through to module order. tools/freshness.py gates this
+# staging with its conservative 45-query budget: the 5 tail entries left
+# outside that budget are r5 greens that sit at exactly age 5 (== MAX_AGE)
+# at r10 close, so the gate stays green even on a 45-query truncation, and
+# they lead r11's prefix if the sweep does truncate.
 _PRIORITY = [
-    # (2) behavior changed: q197's piv CTE widened to HUGEINT in round 9
-    "q197_ab_welch",
-    # (3) stalest greens: latest green row is round 3 (age 5)
-    "q56_salted_join",
-    "q58_bucketed_join",
-    "q66_ivf_ann",
-    "q66b_ivf_trained",
-    "q68_dup_clusters",
-    "q81_bm25_topk",
-    "q82_collocations",
-    "q86_decontamination",
-    "q87_embed_dim_stats",
-    "q89_value_histogram",
-    "q93_dim_correlations",
-    "q94_source_overlap",
-    "q96_custdist",
-    "q97_idle_rich_customers",
-    "q99_label_purity",
-    # declared quadratic audits stay last within the age-5 class
-    "q43_ngram_jaccard",
-    "q49_cosine_neardup",
-    # (3 cont.) latest green row is round 4 (age 4) -- next round's stale set
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_order_priority_semi",
-    "q04_customers_without_orders",
-    "q05_distinct_users",
-    "q07_rollup_orders",
-    "q08_cube_lineitem",
-    "q09_grouping_sets",
-    "q10_top_orders_per_customer",
-    "q11_running_revenue",
-    "q12_part_topk",
-    "q13_nation_set_ops",
-    "q14_pivot_status_year",
-    "q20_scalar_gauntlet",
-    "q21_json_extract",
-    "q51b_decode_features_checked",
-    "q52b_zscore_groups_checked",
-    "q60_tumbling_window",
-    "q61_sliding_window",
-    "q62_session_window",
-    "q63_stream_tumbling",
-    "q64_stream_dedup",
-    "q70_stream_static_join",
-    "q103_semdedup",
-    "q107_stream_interval_join",
-    "q108_scd2_merge",
-    "q109_audio_chunks",
-    "q111_big_orders",
-    "q113_zipf_fit",
-    "q114_arrow_batch_stats",
-    "q117_pca_power_iteration",
-    "q118_decayed_engagement",
+    # (3) stalest green: latest green row is round 4 (age 5) -- missed the
+    # r9 sweep by two slots; MUST refresh this round, hence slot 1
     "q119_edit_distance_verify",
+    # (3 cont.) latest green row is round 5 (age 4) -- refresh all 49 now so
+    # nothing exceeds MAX_AGE at r11 close. Relational/selection shapes
+    # first (cheap, high-signal), streaming last.
+    "q134_volume_shipping",
+    "q135_market_share",
+    "q139_cheapest_supplier",
+    "q143_waiting_suppliers",
+    "q148_top_supplier",
+    "q149_important_parts",
+    "q150_shipping_priority",
+    "q151_small_qty_revenue",
+    "q152_predicate_bands",
+    "q110_malformed_quarantine",
+    "q138_cogroup_reconcile",
+    "q147_sql_udf_chunks",
+    "q83_dedup_purge",
+    "q106_minhash_estimator_error",
+    "q120_window_dedup",
+    "q124_dupgraph_pagerank",
+    "q128_incremental_dedup",
+    "q130_canonical_election",
+    "q137_hybrid_dedup_audit",
+    "q141_khop_neighborhood",
+    "q146_source_embedding_drift",
+    "q144_dup_ngram_chars",
+    "q90_sequence_packing",
+    "q91_vocab_coverage",
+    "q85_inverted_index",
+    "q92_bigram_lm_score",
+    "q121_rrf_fusion",
+    "q95_curation_report",
+    "q112_training_manifest",
+    "q145_decontam_dashboard",
+    "q100_gopher_rules",
+    "q101_source_mixing",
+    "q102_token_budget_select",
+    "q104_ngram_decontam",
+    "q105_length_buckets",
+    "q122_dsir_weights",
+    "q123_quality_classifier",
+    "q125_source_divergence",
+    "q126_dsir_resample",
+    "q132_doremi_mixture",
+    "q142_gate_agreement",
+    "q88_sessionize",
+    "q127_event_transitions",
+    "q129_point_in_time_join",
+    "q136_interarrival_histogram",
+    "q116_skew_report",
+    "q98_stream_sessionize",
+    "q131_stream_dedup_gate",
+    "q140_stream_outer_join",
 ]
 
 
