@@ -1178,19 +1178,28 @@ def _recover_state_pointer(base: str, state_dir: str) -> None:
     competes with its own (older) ledger, so the newest complete state
     always wins and the replayed batch is correctly skipped; torn version
     writes (no ledger) are ignored. No-op when state_dir exists (the
-    normal case) or base has no ledgered dirs (fresh start)."""
+    normal case) or base has no ledgered dirs (fresh start). Once the
+    recovered pointer is installed, losing parked ``.legacy`` dirs (ledger
+    below the winner's) are retired here -- the normal publish path only
+    retires the dir the symlink currently names, so a legacy dir that lost
+    this recovery race would otherwise persist on disk indefinitely, a
+    stale full state copy per crash."""
     import os
+    import shutil
 
     if os.path.lexists(state_dir) or not os.path.isdir(base):
         return
     best, best_id = None, -1
+    ledgered: list[tuple[str, int]] = []
     for d in os.listdir(base):
         led = os.path.join(base, d, "_applied_batch_id")
         if os.path.isfile(led):
             try:
-                bid = int(open(led).read().strip())
+                with open(led) as fh:
+                    bid = int(fh.read().strip())
             except ValueError:
                 continue
+            ledgered.append((d, bid))
             if bid > best_id:
                 best, best_id = d, bid
     if best is None:
@@ -1200,6 +1209,9 @@ def _recover_state_pointer(base: str, state_dir: str) -> None:
         os.remove(link_tmp)
     os.symlink(best, link_tmp)
     os.replace(link_tmp, state_dir)
+    for d, bid in ledgered:
+        if d != best and d.endswith(".legacy") and bid < best_id:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def _publish_state(base: str, state_dir: str, new_dir: str) -> None:

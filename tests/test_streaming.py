@@ -564,6 +564,11 @@ def test_upsert_merge_migrates_legacy_plain_state_dir(spark, tmp_path):
     assert os.readlink(state_dir) == "state_v2", "recovery must pick the newest ledger"
     row = spark.read.parquet(state_dir).collect()[0]
     assert row["n"] == 3 and row["event_id"] == 3
+    # the losing parked legacy (ledger 1 < winner's 2) must be retired by
+    # the recovery itself: the normal publish path only retires the dir
+    # the symlink names, so without this the stale full state copy -- live
+    # ledger included -- would persist on disk indefinitely
+    assert not os.path.exists(f"{base}/state_v1.legacy"), "losing legacy dir leaked"
 
 
 def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):

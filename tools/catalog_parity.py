@@ -12,6 +12,13 @@ and DDL timestamp — as a per-round artifact: `tools/drive_driver.py`
 runs it after the sweep and appends the result to PARITY.md, so every
 round's parity file carries a dated §2A line next to the §2B rows.
 
+Since round 10 the scenario replays BOTH config arms: the default
+USE_CONTEXT path (USE db + unqualified names + relative partition
+locations) and the use_context=False path (qualified `db.table` names +
+ABSOLUTE partition locations, ExtractHiveDDL.java:268-274's other branch)
+on an external table whose location is db-neutral, so the same fixpoint
+criterion applies across the rename.
+
 Runs in a subprocess because spark.sql.catalogImplementation is static
 per JVM (the caller's session uses the in-memory catalog); the same
 scenario backs tests/test_hive_metastore.py so the checked logic cannot
@@ -78,6 +85,37 @@ def scenario_script(workdir: str) -> str:
             return "\\n".join(ln for ln in t.replace(db, "DB").splitlines()
                               if "transient_lastDdlTime" not in ln)
         assert canon(add, "hv") == canon(dst, "hv2"), (add, dst)
+
+        # Second arm -- use_context=False (ExtractHiveDDL.java:268-274's
+        # OTHER branch): qualified `db.table` names, NO `USE db;` header,
+        # ABSOLUTE partition locations. An EXTERNAL table at a db-neutral
+        # path makes the absolute locations survive the migration rename
+        # (a managed table's warehouse path embeds the db name, which the
+        # rename would falsify); the db names are chosen so they cannot
+        # collide with the random scratch-path characters.
+        ext = {workdir!r} + "/ext/t"
+        assert "dbsrcq" not in {workdir!r} and "dbdstq" not in {workdir!r}
+        spark.sql("CREATE DATABASE dbsrcq")
+        spark.sql("CREATE EXTERNAL TABLE dbsrcq.t (a INT) PARTITIONED BY (dt STRING) "
+                  "STORED AS PARQUET LOCATION '" + ext + "'")
+        spark.sql("INSERT INTO dbsrcq.t PARTITION (dt='x') VALUES (1)")
+        spark.sql("INSERT INTO dbsrcq.t PARTITION (dt='y') VALUES (2)")
+        cfg_abs = ExtractConfig(use_add_sql=True, use_context=False)
+        add2 = extract_ddl(spark, "dbsrcq", "*", None, cfg_abs)
+        assert "USE dbsrcq;" not in add2                 # qualified-name mode
+        assert add2.count("ADD PARTITION") == 2
+        alters = [ln for ln in add2.splitlines() if "ADD PARTITION" in ln]
+        assert all("ALTER TABLE dbsrcq.t" in ln.replace("`", "") for ln in alters)
+        assert all(ext + "/dt=" in ln for ln in alters)  # absolute locations
+        applied2 = add2.replace("dbsrcq", "dbdstq")
+        stmts2 = [s.strip() for s in "\\n".join(
+            ln for ln in applied2.splitlines() if not ln.startswith("--")
+        ).split(";") if s.strip()]
+        for s in stmts2:
+            spark.sql(s)
+        assert [r[0] for r in spark.sql("SHOW PARTITIONS dbdstq.t").collect()] == ["dt=x", "dt=y"]
+        dst2 = extract_ddl(spark, "dbdstq", "*", None, cfg_abs)
+        assert canon(add2, "dbsrcq") == canon(dst2, "dbdstq"), (add2, dst2)
         print("HIVE_METASTORE_OK")
     """)
 
@@ -103,7 +141,9 @@ def run_fixpoint(workdir: str | None = None, timeout: int = 300) -> dict:
         "ok": ok,
         "sec": round(time.monotonic() - t0, 1),
         "line": ("OK   §2A catalog fixpoint: Derby metastore extract -> apply "
-                 "-> re-extract identical (AS SERDE, ADD PARTITION x2, MSCK)"
+                 "-> re-extract identical, ctx+abs (AS SERDE, ADD PARTITION "
+                 "x2, MSCK; use_context=False arm: qualified names + "
+                 "absolute locations on an external table)"
                  if ok else "FAIL §2A catalog fixpoint"),
         "stdout_tail": proc.stdout[-2000:],
         "stderr_tail": proc.stderr[-2000:],

@@ -64,7 +64,6 @@ for name in sorted(qs):
         print(f"ROWS {name} rows={len(srows)} ({dt:.1f}s)")
         parity.append(f"- ROWS {name} rows={len(srows)}")
 print("FAILS:", fails)
-parity.append(f"\nFAILS: {fails}\n")
 
 # Sweep profile: the round-over-round regression signal BASELINE.md's
 # "Full-sweep series" table tracks (a staging cache that stops hitting
@@ -91,6 +90,11 @@ print(f"{cat['line']} ({cat['sec']}s)")
 parity.append("## §2A catalog fixpoint\n")
 parity.append(f"- {cat['line']} ({cat['sec']}s)\n")
 fails += 0 if cat["ok"] else 1
+
+# The recorded FAILS is the COMBINED total (sweep + §2A), appended only
+# after both gates have run -- writing it mid-stream understated a §2A
+# failure (the exit code flipped but the recorded count stayed 0).
+parity.append(f"FAILS: {fails}\n")
 
 with open("/root/repo/PARITY.md", "w") as f:
     f.write("\n".join(parity))

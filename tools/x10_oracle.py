@@ -34,6 +34,11 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   same timestamp timeline, so the exactly-once incremental contract --
   aggregates AND the independently-derived batch count -- is
   value-verified at scale, not just smoke-executed)
+- q186 interval concurrency on the same K-fold EVENTS corpus (behavior
+  family: the distributed sweep line's TWO-LEVEL prefix sum -- in-bucket
+  window + carry-in over per-hour delta totals -- is exactly the claim
+  that deserves a value check at volume; disjoint per-copy users on an
+  identical timeline make every hour's concurrency scale K-fold)
 - q01 pricing summary + q02 revenue-by-nation on K-fold TPC-H FACTS
   (relational aggregate + multi-way join families: inflate_tpch copies
   orders/lineitem with disjoint order keys against shared dimensions;
@@ -42,6 +47,11 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   dataset profile (layout / advanced / profiling families, on the
   all-inflated corpus -- q157 profiles K-fold orders+documents+events
   in one run)
+- q174 equi-depth histogram on K-fold orders (physical/statistics
+  family: the bounded-cell rank-exact construction -- value cells stay
+  ~constant while per-cell counts scale K-fold, so the bucket
+  boundaries must be IDENTICAL at every K and the depths exactly
+  K-fold; a histogram that global-sorts or interpolates drifts here)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -207,6 +217,21 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     print(json.dumps(row), flush=True)
     results.append(row)
 
+    # Behavior family on the same K-fold events: q186's distributed sweep
+    # line. The scale claim under test is the TWO-LEVEL prefix sum (running
+    # sum windowed WITHIN each hour bucket + a carry-in prefix over the
+    # one-row-per-hour delta table, never a global ordering); disjoint
+    # per-copy users on the identical timeline mean every hour's boundary
+    # count, peak, and end concurrency must scale exactly K-fold -- a
+    # tie-ordering or carry-in defect that fixture volume hides becomes a
+    # cross-engine value divergence here.
+    row = check("q186_concurrent_sessions",
+                qs["q186_concurrent_sessions"](spark, dst_ev),
+                con, oracles["q186_concurrent_sessions"])
+    row["k"] = k
+    print(json.dumps(row), flush=True)
+    results.append(row)
+
     # Relational aggregate + multi-way join families: K-fold TPC-H FACTS
     # (orders/lineitem copies with disjoint order keys, shared dimensions
     # so FK joins resolve for every copy). Sums/counts scale exactly
@@ -225,7 +250,12 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     register_views(con, dst_tpch)
     for name in ("q01_pricing_summary", "q02_revenue_by_nation",
                  "q172_zorder_layout", "q129_point_in_time_join",
-                 "q157_dataset_profile"):
+                 "q157_dataset_profile",
+                 # physical/statistics family: equi-depth histogram over
+                 # K-fold orders -- bounded value cells, rank-exact bucket
+                 # boundaries identical at every K, per-bucket depths
+                 # exactly K-fold
+                 "q174_equidepth_histogram"):
         row = check(name, qs[name](spark, dst_tpch), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
