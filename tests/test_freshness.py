@@ -24,6 +24,22 @@ def test_staged_prefix_keeps_oracle_evidence_fresh():
     )
 
 
+def test_priority_prefix_fits_the_measured_driver_budget():
+    """The staged prefix must not exceed 50 entries — the MEASURED driver
+    sweep budget. Round 9 staged 52 and the driver's wall clock swept
+    exactly 50, so the two tail entries (one of them the round's only
+    must-refresh query) silently missed their refresh. The evaluate() gate
+    catches the OUTCOME with its conservative 45 budget; this pins the
+    CAUSE: anything past position 50 is staged theater, park it in module
+    order instead and promote it next round."""
+    from hive_ddl_extract_tool_spark.operators import _PRIORITY
+
+    assert len(_PRIORITY) <= 50, (
+        f"priority prefix staged {len(_PRIORITY)} deep; the driver sweeps "
+        "~50 queries per round, so entries past 50 never refresh"
+    )
+
+
 def test_every_registered_query_has_some_driver_history_or_prefix_slot():
     """No oracle-backed query may be invisible to the driver forever: it
     either already has a green row, or sits inside the next sweep's budget
