@@ -1,0 +1,204 @@
+"""Spark-only correctness at K=100 — exact K-scaling-law invariants where
+the DuckDB twin can no longer run.
+
+The oracle gate (tools/x10_oracle.py) stops at K=30 because the SINGLE-NODE
+twin becomes the bottleneck (q245's oracle already needs 97 s there; the
+recursive/quadratic oracles fill the disk first). But the disjoint-copy
+inflation makes a stronger kind of check available with no second engine at
+all: for pipelines whose outputs are integer-exact and whose per-copy
+structure provably replicates, the K-fold result is a PURE FUNCTION of the
+1x result —
+
+- documents (inflate): copy j shifts doc_id by DOC_STRIDE and suffixes
+  every word, so per-doc shingle/normalized-text structure maps 1:1 and
+  copies share nothing -> group/pair outputs are the 1x outputs replicated
+  K times with ids shifted. Checked as: the multiset of rows with ids
+  taken mod DOC_STRIDE at K equals K times the 1x multiset.
+- events (inflate_events): copy j shifts user/event ids, the TIMELINE is
+  untouched -> every time-keyed integer aggregate scales exactly K-fold
+  per group and derived batch counts are invariant.
+- TPC-H facts (inflate_tpch): order keys shift, dimensions shared ->
+  per-group counts scale exactly K-fold, group keys and rank-exact
+  histogram boundaries are invariant.
+
+Families and laws (every compared column integer or string — no floats
+cross the law):
+
+- q40 exact dedup            (keep_id mod S, n_dups) multiset: K-fold
+- q202 prefix-filter join    full row (both ids mod S, sz_a, sz_b, inter,
+                             jaccard_ppm) multiset: K-fold. q202 (not
+                             q42) on purpose: the prefix filter is
+                             LOSSLESS, so the law is deterministic; LSH
+                             band recall is probabilistic per copy (the
+                             fixture holds sub-1.0 Jaccard pairs, e.g.
+                             one at exactly 0.8, whose 8-band miss
+                             probability ~2.8e-4/copy would make an
+                             exact-count gate flake at K=100).
+- q186 interval concurrency  per hour_idx: n_boundaries, max_concurrency,
+                             end_concurrency all exactly Kx (two-level
+                             prefix sum: every tie-group-complete running
+                             sum is Kx its 1x value)
+- q220 incremental replay    per event_type: n_events, sum_cents Kx;
+                             n_batches invariant (same staged-shard
+                             timeline, K-fold batch SIZES not counts)
+- q174 equi-depth histogram  per bucket: n_rows Kx; n_cells, min_cell,
+                             max_cell invariant (rank-exact boundaries
+                             cannot move when every cell count scales by
+                             the same K)
+- q02 revenue-by-nation      per (r_name, n_name): n_lineitems Kx
+                             (revenue is a genuine double sum and is
+                             excluded — no float crosses the law)
+
+Usage: python tools/kfold_invariants.py [--sf-dir /root/testdata/sf0.1]
+                                        [--k 100] [--out K100_INVARIANTS.json]
+Prints one JSON line per family and exits nonzero on any violated law.
+tests/test_kfold_invariants.py drives the same gate at sf0.001/K=2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from tools.scale_stress import DOC_STRIDE, inflate, inflate_events, inflate_tpch
+
+
+def _mod_ids(df: DataFrame, id_cols: list[str], stride: int) -> DataFrame:
+    for c in id_cols:
+        df = df.withColumn(c, F.col(c) % stride)
+    return df
+
+
+def hist_law(df_k: DataFrame, df_1: DataFrame, id_cols: list[str],
+             k: int, stride: int = DOC_STRIDE) -> dict:
+    """Multiset law for id-keyed outputs: rows at K, with id columns taken
+    mod stride, must be exactly K copies of the 1x multiset. Compared as
+    group-count histograms over ALL columns (ids modded), joined full
+    outer — tiny regardless of row count. Precondition (asserted): 1x ids
+    live below the stride, so mod is the identity on the 1x side."""
+    cols = df_1.columns
+    n_high = df_1.filter(
+        " OR ".join(f"({c} < 0 OR {c} >= {stride})" for c in id_cols)
+    ).count()
+    assert n_high == 0, f"{n_high} base rows have ids outside [0, stride)"
+    hk = _mod_ids(df_k, id_cols, stride).groupBy(*cols).agg(F.count(F.lit(1)).alias("n_k"))
+    h1 = df_1.groupBy(*cols).agg((F.count(F.lit(1)) * k).alias("n_exp"))
+    bad = (
+        hk.join(h1, cols, "full_outer")
+        .filter((F.col("n_k").isNull()) | (F.col("n_exp").isNull())
+                | (F.col("n_k") != F.col("n_exp")))
+        .count()
+    )
+    return {"rows_k": df_k.count(), "rows_1": df_1.count(), "violations": bad}
+
+
+def row_law(df_k: DataFrame, df_1: DataFrame, scale_cols: list[str], k: int) -> dict:
+    """Row-level law for key-invariant outputs: df_k must equal df_1 with
+    the scale columns multiplied by K and every other column unchanged.
+    Checked as a symmetric multiset difference (exceptAll both ways)."""
+    expected = df_1.select(
+        *[(F.col(c) * k).cast("bigint").alias(c) if c in scale_cols else F.col(c)
+          for c in df_1.columns]
+    )
+    got = df_k.select(
+        *[F.col(c).cast("bigint").alias(c) if c in scale_cols else F.col(c)
+          for c in df_k.columns]
+    )
+    bad = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    return {"rows_k": df_k.count(), "rows_1": df_1.count(), "violations": bad}
+
+
+def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
+    """Inflate the three corpora at K under work_dir and check every law
+    against fresh 1x runs on the base corpus. Factored out of main() so
+    tests/test_kfold_invariants.py can drive the WHOLE gate at a
+    fixture-cheap (sf0.001, K=2) configuration inside the suite."""
+    from hive_ddl_extract_tool_spark.operators import all_queries
+
+    qs = all_queries()
+    results = []
+
+    def check(name, fn) -> None:
+        t0 = time.monotonic()
+        row = {"query": name, "k": k, **fn()}
+        row["sec"] = round(time.monotonic() - t0, 2)
+        row["ok"] = row["violations"] == 0
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    dst_docs = f"{work_dir}/inv_docs_x{k}"
+    shutil.rmtree(dst_docs, ignore_errors=True)
+    inflate(spark, sf_dir, dst_docs, k)
+    check("q40_exact_dedup", lambda: hist_law(
+        qs["q40_exact_dedup"](spark, dst_docs),
+        qs["q40_exact_dedup"](spark, sf_dir), ["keep_id"], k))
+    check("q202_prefix_filter_join", lambda: hist_law(
+        qs["q202_prefix_filter_join"](spark, dst_docs),
+        qs["q202_prefix_filter_join"](spark, sf_dir), ["doc_a", "doc_b"], k))
+
+    dst_ev = f"{work_dir}/inv_ev_x{k}"
+    shutil.rmtree(dst_ev, ignore_errors=True)
+    inflate_events(spark, sf_dir, dst_ev, k)
+    check("q186_concurrent_sessions", lambda: row_law(
+        qs["q186_concurrent_sessions"](spark, dst_ev),
+        qs["q186_concurrent_sessions"](spark, sf_dir),
+        ["n_boundaries", "max_concurrency", "end_concurrency"], k))
+    check("q220_incremental_equivalence", lambda: row_law(
+        qs["q220_incremental_equivalence"](spark, dst_ev),
+        qs["q220_incremental_equivalence"](spark, sf_dir),
+        ["n_events", "sum_cents"], k))
+
+    dst_tpch = f"{work_dir}/inv_tpch_x{k}"
+    shutil.rmtree(dst_tpch, ignore_errors=True)
+    inflate_tpch(spark, sf_dir, dst_tpch, k)
+    check("q174_equidepth_histogram", lambda: row_law(
+        qs["q174_equidepth_histogram"](spark, dst_tpch),
+        qs["q174_equidepth_histogram"](spark, sf_dir), ["n_rows"], k))
+    check("q02_revenue_by_nation", lambda: row_law(
+        qs["q02_revenue_by_nation"](spark, dst_tpch).select(
+            "r_name", "n_name", "n_lineitems"),
+        qs["q02_revenue_by_nation"](spark, sf_dir).select(
+            "r_name", "n_name", "n_lineitems"), ["n_lineitems"], k))
+
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--work-dir", default="/tmp/kfold_inv")
+    args = ap.parse_args()
+
+    from hive_ddl_extract_tool_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="kfold-invariants", cpus=cpus,
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.driver.memory": "24g"})
+
+    t0 = time.monotonic()
+    results = run_gate(spark, args.sf_dir, args.k, args.work_dir)
+    fails = sum(0 if r["ok"] else 1 for r in results)
+    summary = {"sf_dir": args.sf_dir, "k": args.k, "cpus": cpus,
+               "fails": fails, "total_sec": round(time.monotonic() - t0, 1),
+               "results": results}
+    print(json.dumps({"summary": {kk: vv for kk, vv in summary.items()
+                                  if kk != "results"}}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
