@@ -136,7 +136,9 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
 
     dst_docs = f"{work_dir}/inv_docs_x{k}"
     shutil.rmtree(dst_docs, ignore_errors=True)
-    inflate(spark, sf_dir, dst_docs, k)
+    # with_embeddings=False: neither doc-family query reads embeddings, and
+    # the rotation transform's period (the 64-dim embedding) would cap K
+    inflate(spark, sf_dir, dst_docs, k, with_embeddings=False)
     check("q40_exact_dedup", lambda: hist_law(
         qs["q40_exact_dedup"](spark, dst_docs),
         qs["q40_exact_dedup"](spark, sf_dir), ["keep_id"], k))

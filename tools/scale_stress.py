@@ -56,11 +56,18 @@ def _symlink_table(src: str, dst: str, t: str) -> None:
     os.symlink(os.path.realpath(f"{src}/{t}.parquet"), link)
 
 
-def inflate(spark: SparkSession, src: str, dst: str, k: int) -> None:
-    """Write a K-fold corpus under dst; non-inflated tables are symlinked."""
+def inflate(spark: SparkSession, src: str, dst: str, k: int,
+            with_embeddings: bool = True) -> None:
+    """Write a K-fold corpus under dst; non-inflated tables are symlinked.
+
+    with_embeddings=False symlinks embeddings instead of inflating them:
+    the rotation transform's period is the embedding dim (64), so a
+    consumer that never reads embeddings (tools/kfold_invariants.py at
+    K=100) can still inflate documents past that ceiling without
+    planting bit-identical cross-copy vectors."""
     os.makedirs(dst, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+              "lineitem", "events") + (() if with_embeddings else ("embeddings",)):
         _symlink_table(src, dst, t)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
@@ -86,6 +93,9 @@ def inflate(spark: SparkSession, src: str, dst: str, k: int) -> None:
     for p in doc_parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+    if not with_embeddings:
+        return
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
