@@ -34,6 +34,12 @@ cross the law):
                              one at exactly 0.8, whose 8-band miss
                              probability ~2.8e-4/copy would make an
                              exact-count gate flake at K=100).
+- q88 sessionize             per-event (event_id mod S, user_id mod S,
+                             session_seq) multiset: K-fold — the per-user
+                             timeline is untouched and the stride shift
+                             preserves within-user event_id tie order, so
+                             every copy reproduces the 1x session ordinals
+                             verbatim
 - q186 interval concurrency  per hour_idx: n_boundaries, max_concurrency,
                              end_concurrency all exactly Kx (two-level
                              prefix sum: every tie-group-complete running
@@ -68,7 +74,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
-from tools.scale_stress import DOC_STRIDE, inflate, inflate_events, inflate_tpch
+from tools.scale_stress import DOC_STRIDE, EVT_STRIDE, inflate, inflate_events, inflate_tpch
 
 
 def _mod_ids(df: DataFrame, id_cols: list[str], stride: int) -> DataFrame:
@@ -149,6 +155,10 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
     dst_ev = f"{work_dir}/inv_ev_x{k}"
     shutil.rmtree(dst_ev, ignore_errors=True)
     inflate_events(spark, sf_dir, dst_ev, k)
+    check("q88_sessionize", lambda: hist_law(
+        qs["q88_sessionize"](spark, dst_ev),
+        qs["q88_sessionize"](spark, sf_dir),
+        ["event_id", "user_id"], k, stride=EVT_STRIDE))
     check("q186_concurrent_sessions", lambda: row_law(
         qs["q186_concurrent_sessions"](spark, dst_ev),
         qs["q186_concurrent_sessions"](spark, sf_dir),
