@@ -47,78 +47,77 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 10 instance: (1) empty -- every query has a driver row; (2) empty --
-# no behavior changes this round (registry kept flat per the r9 verdict);
-# (3) stalest green FIRST: q119_edit_distance_verify (latest green r4, the
-# one query the r9 sweep's 50-query budget missed at staged position 52),
-# then the full r5-era block (49 queries, age 4 -- they would exceed MAX_AGE
-# at r11 close), relational shapes first and the slower streaming trio
-# (q98/q131/q140) last so an early wall-clock truncation drops the queries
-# that can still wait one more round. Total staged: exactly 50 -- the
-# MEASURED driver budget (r9 staged 52 and lost the tail; never again) --
-# with the single must-refresh query at slot 1, never behind a younger
-# block. Everything green in r9 (the r3/r4-era rotation) and the r6/r7/r8
-# blocks falls through to module order. tools/freshness.py gates this
-# staging with its conservative 45-query budget: the 5 tail entries left
-# outside that budget are r5 greens that sit at exactly age 5 (== MAX_AGE)
-# at r10 close, so the gate stays green even on a 45-query truncation, and
-# they lead r11's prefix if the sweep does truncate.
+# Round 11 instance: (1) empty -- every query has a driver row; (2) empty --
+# registry kept flat per the r10 verdict; (3) stalest green FIRST: the full
+# r6-era block (47 queries, age 4 -- they would exceed MAX_AGE at r12 close),
+# ordered cheap relational/aggregate/UDF shapes first, then dedup/vector/
+# tokenizer/behavior mids, then physical/layout/profiling, with the
+# sink/streaming tier (q169/q194/q170/q175/q178/q180/q182 -- the slowest
+# sf0.01 entries) last so an early wall-clock truncation drops queries that
+# sit at exactly age 5 (== MAX_AGE) at r11 close and can therefore still
+# lead r12's prefix without breaching the gate. The 3 remaining slots (the
+# 50-cap minus 47) are filled with the heaviest r7-era entries
+# (q201/q202/q203) to shave r12's 48-query need down to 45 == the freshness
+# gate's conservative budget. Total staged: exactly 50 -- the MEASURED
+# driver budget, pinned by tests/test_freshness.py since r10. Everything
+# green in r10 (the r5-era rotation) and the r8/r9 blocks falls through to
+# module order.
 _PRIORITY = [
-    # (3) stalest green: latest green row is round 4 (age 5) -- missed the
-    # r9 sweep by two slots; MUST refresh this round, hence slot 1
-    "q119_edit_distance_verify",
-    # (3 cont.) latest green row is round 5 (age 4) -- refresh all 49 now so
-    # nothing exceeds MAX_AGE at r11 close. Relational/selection shapes
-    # first (cheap, high-signal), streaming last.
-    "q134_volume_shipping",
-    "q135_market_share",
-    "q139_cheapest_supplier",
-    "q143_waiting_suppliers",
-    "q148_top_supplier",
-    "q149_important_parts",
-    "q150_shipping_priority",
-    "q151_small_qty_revenue",
-    "q152_predicate_bands",
-    "q110_malformed_quarantine",
-    "q138_cogroup_reconcile",
-    "q147_sql_udf_chunks",
-    "q83_dedup_purge",
-    "q106_minhash_estimator_error",
-    "q120_window_dedup",
-    "q124_dupgraph_pagerank",
-    "q128_incremental_dedup",
-    "q130_canonical_election",
-    "q137_hybrid_dedup_audit",
-    "q141_khop_neighborhood",
-    "q146_source_embedding_drift",
-    "q144_dup_ngram_chars",
-    "q90_sequence_packing",
-    "q91_vocab_coverage",
-    "q85_inverted_index",
-    "q92_bigram_lm_score",
-    "q121_rrf_fusion",
-    "q95_curation_report",
-    "q112_training_manifest",
-    "q145_decontam_dashboard",
-    "q100_gopher_rules",
-    "q101_source_mixing",
-    "q102_token_budget_select",
-    "q104_ngram_decontam",
-    "q105_length_buckets",
-    "q122_dsir_weights",
-    "q123_quality_classifier",
-    "q125_source_divergence",
-    "q126_dsir_resample",
-    "q132_doremi_mixture",
-    "q142_gate_agreement",
-    "q88_sessionize",
-    "q127_event_transitions",
-    "q129_point_in_time_join",
-    "q136_interarrival_histogram",
-    "q116_skew_report",
-    "q98_stream_sessionize",
-    "q131_stream_dedup_gate",
-    "q140_stream_outer_join",
+    # (3) stalest green: latest green row is round 6 (age 4) -- refresh all
+    # 47 now so nothing exceeds MAX_AGE at r12 close. Cheap aggregate/UDF
+    # shapes first, sink/streaming last.
+    "q06_approx_distinct_users",
+    "q15b_approx_percentiles",
+    "q153_promo_share",
+    "q154_returned_items",
+    "q155_nation_profit",
+    "q171_polymorphic_udtf",
+    "q176_grouped_agg_udf",
+    "q181_arrow_python_udf",
+    "q183_bitmap_distinct",
+    "q184_listagg",
+    "q166_deletion_manifest",
+    "q167_cluster_split",
+    "q188_crossdoc_spans",
+    "q191_dupgraph_triangles",
+    "q193_containment_dedup",
+    "q158_pq_distortion",
+    "q159_hard_negatives",
+    "q160_truncation_recall",
+    "q163_ann_rank_quality",
+    "q192_entropy_rate",
+    "q156_bpe_merge_rounds",
+    "q161_char_coverage",
+    "q162_negative_sampling_table",
+    "q164_source_ablation",
+    "q187_weighted_sample",
+    "q196_cdc_apply",
+    "q186_concurrent_sessions",
+    "q189_rolling_active_users",
+    "q195_position_attribution",
+    "q198_ewma",
+    "q199_conversion_paths",
+    "q200_time_weighted_avg",
+    "q165_format_roundtrip",
+    "q179_schema_evolution_merge",
+    "q172_zorder_layout",
+    "q173_bloom_prune_audit",
+    "q174_equidepth_histogram",
+    "q177_join_cardinality_audit",
+    "q157_dataset_profile",
+    "q168_incremental_stats_merge",
+    "q169_python_datasource",
+    "q194_python_datasink",
+    "q170_stream_file_sink",
+    "q175_stream_upsert_sink",
+    "q178_state_store_reader",
+    "q180_stream_update_mode",
+    "q182_stream_session_window",
+    # (3 cont.) heaviest r7-era greens (age 3) promoted into the 3 slack
+    # slots to smooth r12's otherwise-48-query refresh need down to 45.
+    "q201_hll_shard_merge",
+    "q202_prefix_filter_join",
+    "q203_mad_outliers",
 ]
 
 

@@ -1180,10 +1180,12 @@ def _recover_state_pointer(base: str, state_dir: str) -> None:
     writes (no ledger) are ignored. No-op when state_dir exists (the
     normal case) or base has no ledgered dirs (fresh start). Once the
     recovered pointer is installed, losing parked ``.legacy`` dirs (ledger
-    below the winner's) are retired here -- the normal publish path only
-    retires the dir the symlink currently names, so a legacy dir that lost
-    this recovery race would otherwise persist on disk indefinitely, a
-    stale full state copy per crash."""
+    below the winner's) are retired here. This is best-effort, not the
+    only defense: a crash after the pointer install but before this
+    retirement loop leaves the loser on disk with state_dir present, so
+    every later call no-ops past it -- _publish_state therefore sweeps
+    stale ``.legacy`` dirs on every publish as well, and any survivor here
+    is gone by the next merged batch."""
     import os
     import shutil
 
@@ -1224,7 +1226,13 @@ def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
     gone; a crash there made the checkpoint replay rebuild state from the
     single replayed batch, silently undercounting every additive column.
     The superseded version directory is retired only AFTER the pointer
-    moves."""
+    moves. Retirement is finished off by a stale-``.legacy`` sweep at the
+    end of every publish: a crash between the pointer install and the
+    retire step would otherwise leak the parked dir permanently (the
+    recovery path only runs while state_dir is missing), so each publish
+    also removes any ``.legacy`` version whose ledger is below the one
+    just published -- the leak window now closes at the next batch instead
+    of never."""
     import os
     import shutil
 
@@ -1252,6 +1260,22 @@ def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
     os.replace(link_tmp, state_dir)
     if prev and prev != os.path.basename(new_dir):
         shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
+    cur = os.path.basename(new_dir)
+    try:
+        with open(os.path.join(base, cur, "_applied_batch_id")) as fh:
+            cur_id = int(fh.read().strip())
+    except (OSError, ValueError):
+        return
+    for d in os.listdir(base):
+        if not d.endswith(".legacy") or d == cur:
+            continue
+        try:
+            with open(os.path.join(base, d, "_applied_batch_id")) as fh:
+                bid = int(fh.read().strip())
+        except (OSError, ValueError):
+            bid = -1  # torn park with no ledger: strictly older than any published version
+        if bid < cur_id:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def q175_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -571,6 +571,47 @@ def test_upsert_merge_migrates_legacy_plain_state_dir(spark, tmp_path):
     assert not os.path.exists(f"{base}/state_v1.legacy"), "losing legacy dir leaked"
 
 
+def test_publish_sweeps_legacy_leaked_past_recovery_window(spark, tmp_path):
+    """Recovery retires losing ``.legacy`` dirs only while state_dir is
+    MISSING; a crash after the recovered pointer lands but before that
+    retirement loop leaves the loser on disk with state_dir present, where
+    every later call used to no-op past it forever. _publish_state now
+    sweeps stale ``.legacy`` versions (ledger below the one just
+    published) on every publish, so the leak closes at the next merged
+    batch instead of never."""
+    import datetime
+    import os
+    import shutil
+
+    from hive_ddl_extract_tool_spark.streaming.windows import _upsert_merge_batch
+
+    base = str(tmp_path / "swept")
+    state_dir = f"{base}/state"
+    (tmp_path / "swept").mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b0 = spark.createDataFrame([(1, t0, 7, "view", 1.0)], schema)
+    _upsert_merge_batch(spark, base, state_dir, b0, 0)
+
+    # crash-after-pointer-install residue: a losing parked legacy (old
+    # ledger) AND a torn park (no ledger at all), both with state_dir
+    # present and healthy -- the recovery path will never run again
+    shutil.copytree(f"{base}/state_v0", f"{base}/state_vX.legacy")
+    with open(f"{base}/state_vX.legacy/_applied_batch_id", "w") as fh:
+        fh.write("-1")
+    shutil.copytree(f"{base}/state_v0", f"{base}/state_vY.legacy")
+    os.remove(f"{base}/state_vY.legacy/_applied_batch_id")
+
+    b1 = spark.createDataFrame(
+        [(2, t0 + datetime.timedelta(minutes=1), 7, "click", 2.0)], schema
+    )
+    _upsert_merge_batch(spark, base, state_dir, b1, 1)
+    assert not os.path.exists(f"{base}/state_vX.legacy"), "stale ledgered legacy leaked"
+    assert not os.path.exists(f"{base}/state_vY.legacy"), "torn unledgered legacy leaked"
+    row = spark.read.parquet(state_dir).collect()[0]
+    assert row["n"] == 2 and row["event_id"] == 2
+
+
 def test_pit_enrich_intervals_partition_timeline(spark, sf_dir):
     """q212's dimension intervals partition time, so EVERY event must be
     enriched exactly once: the per-tier counts sum to the full event

@@ -95,7 +95,7 @@ def test_inflate_all_doubles_every_table(spark, tmp_path):
 
 
 def test_gate_end_to_end_at_k2(spark, tmp_path):
-    """The whole gate (inflate -> 24 family checks on both engines) at a
+    """The whole gate (inflate -> 26 family checks on both engines) at a
     fixture-cheap configuration (sf0.001, K=2): a regression in the
     inflation invariants, a family pipeline, or a parameterized oracle
     builder fails the suite, not just the out-of-band 10x run."""
@@ -112,10 +112,12 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q35_tfidf_topterms", "q81_bm25_topk", "q87_embed_dim_stats",
         "q156_bpe_merge_rounds", "q109_audio_chunks",
         "q95_curation_report", "q112_training_manifest",
+        "q114_arrow_batch_stats",
         "q220_incremental_equivalence", "q186_concurrent_sessions",
         "q01_pricing_summary", "q02_revenue_by_nation",
         "q172_zorder_layout", "q129_point_in_time_join",
         "q157_dataset_profile", "q174_equidepth_histogram",
+        "q138_cogroup_reconcile",
     ]
     mismatches = [r for r in results if not r["match"]]
     assert not mismatches, f"cross-engine mismatch at K=2: {mismatches}"

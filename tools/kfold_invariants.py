@@ -140,45 +140,56 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
         print(json.dumps(row), flush=True)
         results.append(row)
 
+    # Each corpus is needed only for its own family's checks, so retire it
+    # as soon as those finish (peak residue = ONE corpus, not three; the
+    # K=300 copies are multi-GB), and sweep all three in a finally so an
+    # aborted run leaves no residue under work_dir either.
     dst_docs = f"{work_dir}/inv_docs_x{k}"
-    shutil.rmtree(dst_docs, ignore_errors=True)
-    # with_embeddings=False: neither doc-family query reads embeddings, and
-    # the rotation transform's period (the 64-dim embedding) would cap K
-    inflate(spark, sf_dir, dst_docs, k, with_embeddings=False)
-    check("q40_exact_dedup", lambda: hist_law(
-        qs["q40_exact_dedup"](spark, dst_docs),
-        qs["q40_exact_dedup"](spark, sf_dir), ["keep_id"], k))
-    check("q202_prefix_filter_join", lambda: hist_law(
-        qs["q202_prefix_filter_join"](spark, dst_docs),
-        qs["q202_prefix_filter_join"](spark, sf_dir), ["doc_a", "doc_b"], k))
-
     dst_ev = f"{work_dir}/inv_ev_x{k}"
-    shutil.rmtree(dst_ev, ignore_errors=True)
-    inflate_events(spark, sf_dir, dst_ev, k)
-    check("q88_sessionize", lambda: hist_law(
-        qs["q88_sessionize"](spark, dst_ev),
-        qs["q88_sessionize"](spark, sf_dir),
-        ["event_id", "user_id"], k, stride=EVT_STRIDE))
-    check("q186_concurrent_sessions", lambda: row_law(
-        qs["q186_concurrent_sessions"](spark, dst_ev),
-        qs["q186_concurrent_sessions"](spark, sf_dir),
-        ["n_boundaries", "max_concurrency", "end_concurrency"], k))
-    check("q220_incremental_equivalence", lambda: row_law(
-        qs["q220_incremental_equivalence"](spark, dst_ev),
-        qs["q220_incremental_equivalence"](spark, sf_dir),
-        ["n_events", "sum_cents"], k))
-
     dst_tpch = f"{work_dir}/inv_tpch_x{k}"
-    shutil.rmtree(dst_tpch, ignore_errors=True)
-    inflate_tpch(spark, sf_dir, dst_tpch, k)
-    check("q174_equidepth_histogram", lambda: row_law(
-        qs["q174_equidepth_histogram"](spark, dst_tpch),
-        qs["q174_equidepth_histogram"](spark, sf_dir), ["n_rows"], k))
-    check("q02_revenue_by_nation", lambda: row_law(
-        qs["q02_revenue_by_nation"](spark, dst_tpch).select(
-            "r_name", "n_name", "n_lineitems"),
-        qs["q02_revenue_by_nation"](spark, sf_dir).select(
-            "r_name", "n_name", "n_lineitems"), ["n_lineitems"], k))
+    try:
+        shutil.rmtree(dst_docs, ignore_errors=True)
+        # with_embeddings=False: neither doc-family query reads embeddings,
+        # and the rotation transform's period (the 64-dim embedding) would
+        # cap K
+        inflate(spark, sf_dir, dst_docs, k, with_embeddings=False)
+        check("q40_exact_dedup", lambda: hist_law(
+            qs["q40_exact_dedup"](spark, dst_docs),
+            qs["q40_exact_dedup"](spark, sf_dir), ["keep_id"], k))
+        check("q202_prefix_filter_join", lambda: hist_law(
+            qs["q202_prefix_filter_join"](spark, dst_docs),
+            qs["q202_prefix_filter_join"](spark, sf_dir), ["doc_a", "doc_b"], k))
+        shutil.rmtree(dst_docs, ignore_errors=True)
+
+        shutil.rmtree(dst_ev, ignore_errors=True)
+        inflate_events(spark, sf_dir, dst_ev, k)
+        check("q88_sessionize", lambda: hist_law(
+            qs["q88_sessionize"](spark, dst_ev),
+            qs["q88_sessionize"](spark, sf_dir),
+            ["event_id", "user_id"], k, stride=EVT_STRIDE))
+        check("q186_concurrent_sessions", lambda: row_law(
+            qs["q186_concurrent_sessions"](spark, dst_ev),
+            qs["q186_concurrent_sessions"](spark, sf_dir),
+            ["n_boundaries", "max_concurrency", "end_concurrency"], k))
+        check("q220_incremental_equivalence", lambda: row_law(
+            qs["q220_incremental_equivalence"](spark, dst_ev),
+            qs["q220_incremental_equivalence"](spark, sf_dir),
+            ["n_events", "sum_cents"], k))
+        shutil.rmtree(dst_ev, ignore_errors=True)
+
+        shutil.rmtree(dst_tpch, ignore_errors=True)
+        inflate_tpch(spark, sf_dir, dst_tpch, k)
+        check("q174_equidepth_histogram", lambda: row_law(
+            qs["q174_equidepth_histogram"](spark, dst_tpch),
+            qs["q174_equidepth_histogram"](spark, sf_dir), ["n_rows"], k))
+        check("q02_revenue_by_nation", lambda: row_law(
+            qs["q02_revenue_by_nation"](spark, dst_tpch).select(
+                "r_name", "n_name", "n_lineitems"),
+            qs["q02_revenue_by_nation"](spark, sf_dir).select(
+                "r_name", "n_name", "n_lineitems"), ["n_lineitems"], k))
+    finally:
+        for d in (dst_docs, dst_ev, dst_tpch):
+            shutil.rmtree(d, ignore_errors=True)
 
     return results
 

@@ -52,6 +52,12 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   ~constant while per-cell counts scale K-fold, so the bucket
   boundaries must be IDENTICAL at every K and the depths exactly
   K-fold; a histogram that global-sorts or interpolates drifts here)
+- q114 mapInArrow batch stats on the K-fold docs corpus + q138
+  cogrouped-applyInPandas reconcile on the K-fold TPC-H facts (the
+  Python-interchange families: every other family above stays
+  JVM-side, so until round 11 the pandas/Arrow boundary was only
+  executes-at-scale smoke -- these two value-hash the RecordBatch and
+  cogrouped-pandas paths against DuckDB at volume, q114 row-for-row)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -191,7 +197,16 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
                  # byte-window chunker on the binary-ish hex encoding),
                  # curation (gate funnel + the composed training manifest)
                  "q156_bpe_merge_rounds", "q109_audio_chunks",
-                 "q95_curation_report", "q112_training_manifest"):
+                 "q95_curation_report", "q112_training_manifest",
+                 # round-11 widening: the pandas/Arrow interchange boundary
+                 # at volume. q114 is mapInArrow with exact pyarrow kernels
+                 # (per-doc integer token counts / byte lengths / md5-60
+                 # fingerprints), so the zero-copy RecordBatch path itself
+                 # is value-hash-compared against DuckDB row-for-row on the
+                 # K-fold docs corpus -- previously every 10x/30x family
+                 # stayed JVM-side and the Python boundary was only
+                 # executes-at-scale smoke
+                 "q114_arrow_batch_stats"):
         row = check(name, qs[name](spark, dst), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
@@ -255,7 +270,14 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
                  # K-fold orders -- bounded value cells, rank-exact bucket
                  # boundaries identical at every K, per-bucket depths
                  # exactly K-fold
-                 "q174_equidepth_histogram"):
+                 "q174_equidepth_histogram",
+                 # round-11 widening: cogrouped applyInPandas reconcile on
+                 # K-fold orders+lineitem (disjoint order keys, so every
+                 # header finds its detail inside one hash bucket). The
+                 # vectorized in-bucket pandas merge emits integer-cent
+                 # partials whose sums must match DuckDB exactly -- the
+                 # second Python-interchange surface value-checked at scale
+                 "q138_cogroup_reconcile"):
         row = check(name, qs[name](spark, dst_tpch), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
