@@ -125,6 +125,13 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> tuple[int, list[dict]
         return n_docs, _family_checks(spark, con, dst, k)
     finally:
         con.close()
+        # The three corpora are layered (dst_events symlinks dst's doc
+        # tables, dst_tpch symlinks dst_events'), so they can only be
+        # retired together, after every family check: without this the
+        # K=30 copies persist under work_dir as multi-GB residue -- the
+        # same leak tools/kfold_invariants.py closed in round 11.
+        for d in (dst, f"{dst}_events", f"{dst}_tpch"):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
