@@ -34,6 +34,13 @@ cross the law):
                              one at exactly 0.8, whose 8-band miss
                              probability ~2.8e-4/copy would make an
                              exact-count gate flake at K=100).
+- q114 arrow batch stats     (doc_id mod S, ws_tokens) multiset: K-fold.
+                             The Python-interchange family past the
+                             oracle ceiling: the word-suffix inflation
+                             attaches to every [a-z0-9]+ run, so each
+                             copy's whitespace token count equals its 1x
+                             doc's; n_bytes/fingerprint vary per copy
+                             (suffix bytes, md5) and stay out of the law
 - q88 sessionize             per-event (event_id mod S, user_id mod S,
                              session_seq) multiset: K-fold — the per-user
                              timeline is untouched and the stride shift
@@ -159,6 +166,17 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
         check("q202_prefix_filter_join", lambda: hist_law(
             qs["q202_prefix_filter_join"](spark, dst_docs),
             qs["q202_prefix_filter_join"](spark, sf_dir), ["doc_a", "doc_b"], k))
+        # Python-interchange family (round 11): the mapInArrow kernel's
+        # per-doc outputs, projected to the columns the inflation provably
+        # preserves -- the word-suffix transform attaches to every
+        # [a-z0-9]+ run (asserted by inflate), so each copy's whitespace
+        # token COUNT is identical to the 1x doc's while doc_id shifts by
+        # the stride. n_bytes/fingerprint vary per copy (the suffix adds
+        # bytes and changes the md5) and stay out of the law.
+        check("q114_arrow_batch_stats", lambda: hist_law(
+            qs["q114_arrow_batch_stats"](spark, dst_docs).select("doc_id", "ws_tokens"),
+            qs["q114_arrow_batch_stats"](spark, sf_dir).select("doc_id", "ws_tokens"),
+            ["doc_id"], k))
         shutil.rmtree(dst_docs, ignore_errors=True)
 
         shutil.rmtree(dst_ev, ignore_errors=True)
