@@ -19,9 +19,16 @@ from tests.conftest import SF_DIR
 
 
 def test_gate_end_to_end_at_k2(spark, tmp_path):
+    import os
+
     from tools.kfold_invariants import run_gate
 
     results = run_gate(spark, SF_DIR, 2, str(tmp_path))
+    # round-11 hygiene contract: every inflated corpus is retired by the
+    # gate itself (per-family + finally sweep) -- at K=300 the copies are
+    # multi-GB, so a leak here is real disk residue, not untidiness
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("inv_")]
+    assert not leftovers, f"gate leaked inflated corpora: {leftovers}"
     assert [r["query"] for r in results] == [
         "q40_exact_dedup", "q202_prefix_filter_join",
         "q114_arrow_batch_stats",

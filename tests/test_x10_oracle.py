@@ -104,6 +104,10 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
     n_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     n_docs, results = run_gate(spark, SF_DIR, 2, str(tmp_path))
     assert n_docs == 2 * n_src
+    # round-11 hygiene contract: the layered x{K}/x{K}_events/x{K}_tpch
+    # corpora are retired together in run_gate's finally
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("x2")]
+    assert not leftovers, f"gate leaked inflated corpora: {leftovers}"
     assert [r["query"] for r in results] == [
         "q40_exact_dedup", "q42_minhash_lsh_dedup", "q202_prefix_filter_join",
         "q218_sorted_neighborhood", "q245_tfidf_simjoin",
