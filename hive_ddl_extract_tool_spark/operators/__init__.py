@@ -47,77 +47,79 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 11 instance: (1) empty -- every query has a driver row; (2) empty --
-# registry kept flat per the r10 verdict; (3) stalest green FIRST: the full
-# r6-era block (47 queries, age 4 -- they would exceed MAX_AGE at r12 close),
-# ordered cheap relational/aggregate/UDF shapes first, then dedup/vector/
-# tokenizer/behavior mids, then physical/layout/profiling, with the
-# sink/streaming tier (q169/q194/q170/q175/q178/q180/q182 -- the slowest
-# sf0.01 entries) last so an early wall-clock truncation drops queries that
-# sit at exactly age 5 (== MAX_AGE) at r11 close and can therefore still
-# lead r12's prefix without breaching the gate. The 3 remaining slots (the
-# 50-cap minus 47) are filled with the heaviest r7-era entries
-# (q201/q202/q203) to shave r12's 48-query need down to 45 == the freshness
-# gate's conservative budget. Total staged: exactly 50 -- the MEASURED
-# driver budget, pinned by tests/test_freshness.py since r10. Everything
-# green in r10 (the r5-era rotation) and the r8/r9 blocks falls through to
-# module order.
+# Round 12 instance: (1) empty -- every query has a driver row; (2) empty --
+# registry kept flat per the r11 verdict; (3) stalest green FIRST: the full
+# remaining r7-era block (45 queries, age 4 -- they would exceed MAX_AGE at
+# r13 close; q201/q202/q203 already rode r11's slack slots), ordered by
+# MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py per-query
+# timings, this round's log) so a wall-clock truncation drops the fewest
+# must-refresh entries, with the expensive streaming/scripting tier
+# (q220/q238/q243/q217) at the back of the 45. The 5 remaining slots (the
+# 50-cap minus 45) are filled with the heaviest r8-era entries
+# (q49c/q133/q54/q55/q35 by the same measured timings) to shave r13's
+# otherwise-50-query need -- they are age 3, so losing them to truncation
+# breaches nothing. Staged prefix measured before commit
+# (tools/measure_prefix.py, the r11 discipline): see BASELINE.md
+# §Round-12. Total staged: exactly 50 -- the MEASURED driver budget,
+# pinned by tests/test_freshness.py since r10. Everything green in r11
+# (the r6-era rotation) and the r8/r9/r10 blocks falls through to module
+# order.
 _PRIORITY = [
-    # (3) stalest green: latest green row is round 6 (age 4) -- refresh all
-    # 47 now so nothing exceeds MAX_AGE at r12 close. Cheap aggregate/UDF
-    # shapes first, sink/streaming last.
-    "q06_approx_distinct_users",
-    "q15b_approx_percentiles",
-    "q153_promo_share",
-    "q154_returned_items",
-    "q155_nation_profit",
-    "q171_polymorphic_udtf",
-    "q176_grouped_agg_udf",
-    "q181_arrow_python_udf",
-    "q183_bitmap_distinct",
-    "q184_listagg",
-    "q166_deletion_manifest",
-    "q167_cluster_split",
-    "q188_crossdoc_spans",
-    "q191_dupgraph_triangles",
-    "q193_containment_dedup",
-    "q158_pq_distortion",
-    "q159_hard_negatives",
-    "q160_truncation_recall",
-    "q163_ann_rank_quality",
-    "q192_entropy_rate",
-    "q156_bpe_merge_rounds",
-    "q161_char_coverage",
-    "q162_negative_sampling_table",
-    "q164_source_ablation",
-    "q187_weighted_sample",
-    "q196_cdc_apply",
-    "q186_concurrent_sessions",
-    "q189_rolling_active_users",
-    "q195_position_attribution",
-    "q198_ewma",
-    "q199_conversion_paths",
-    "q200_time_weighted_avg",
-    "q165_format_roundtrip",
-    "q179_schema_evolution_merge",
-    "q172_zorder_layout",
-    "q173_bloom_prune_audit",
-    "q174_equidepth_histogram",
-    "q177_join_cardinality_audit",
-    "q157_dataset_profile",
-    "q168_incremental_stats_merge",
-    "q169_python_datasource",
-    "q194_python_datasink",
-    "q170_stream_file_sink",
-    "q175_stream_upsert_sink",
-    "q178_state_store_reader",
-    "q180_stream_update_mode",
-    "q182_stream_session_window",
-    # (3 cont.) heaviest r7-era greens (age 3) promoted into the 3 slack
-    # slots to smooth r12's otherwise-48-query refresh need down to 45.
-    "q201_hll_shard_merge",
-    "q202_prefix_filter_join",
-    "q203_mad_outliers",
+    # (3) stalest green: latest green row is round 7 (age 4) -- refresh all
+    # 45 now so nothing exceeds MAX_AGE at r13 close. Measured-cheap shapes
+    # first, streaming/scripting tier last.
+    "q216_parameterized_sql",
+    "q241_iter_pandas_udf",
+    "q185_pii_scan",
+    "q235_decile_calibration",
+    "q210_golden_record",
+    "q207_activity_streaks",
+    "q236_sequence_match",
+    "q239_sampling_audit",
+    "q211_try_arithmetic",
+    "q222_blocking_audit",
+    "q48_cosine_topk_pandas",
+    "q228_lr_apportionment",
+    "q224_seasonal_index",
+    "q242_weekly_quantiles",
+    "q244_activity_trend",
+    "q234_vocab_growth",
+    "q206_rolling_p95",
+    "q219_cusum_drift",
+    "q233_k_anonymity",
+    "q237_keyspace_gaps",
+    "q230_local_supplier_volume",
+    "q214_classifier_gains",
+    "q208_association_rules",
+    "q209_weighted_median",
+    "q225_cms_estimator_audit",
+    "q229_fellegi_sunter",
+    "q205_partition_pruned_scan",
+    "q226_merkle_reconcile",
+    "q223_referential_integrity",
+    "q213_phrase_search",
+    "q240_winsorize_audit",
+    "q215_fifo_matching",
+    "q204_compaction_roundtrip",
+    "q227_fd_audit",
+    "q218_sorted_neighborhood",
+    "q245_tfidf_simjoin",
+    "q212_stream_pit_enrich",
+    "q231_kcore_peel",
+    "q246_prf_expansion",
+    "q232_cramers_v",
+    "q220_incremental_equivalence",
+    "q247_coverage_select",
+    "q238_stream_cms",
+    "q243_mmr_rerank",
+    "q217_sql_scripting",
+    # (3 cont.) heaviest r8-era greens (age 3) promoted into the 5 slack
+    # slots to shave r13's otherwise-50-query refresh need down to 45.
+    "q49c_lsh_recall",
+    "q133_semantic_decontam",
+    "q54_skyline",
+    "q55_range_join",
+    "q35_tfidf_topterms",
 ]
 
 

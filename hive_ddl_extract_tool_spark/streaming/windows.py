@@ -1267,7 +1267,7 @@ def _publish_state(base: str, state_dir: str, new_dir: str) -> None:
     except (OSError, ValueError):
         return
     for d in os.listdir(base):
-        if not d.endswith(".legacy") or d == cur:
+        if not d.endswith(".legacy"):
             continue
         try:
             with open(os.path.join(base, d, "_applied_batch_id")) as fh:

@@ -23,7 +23,7 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
 
     from tools.kfold_invariants import run_gate
 
-    results = run_gate(spark, SF_DIR, 2, str(tmp_path))
+    results = run_gate(spark, SF_DIR, 2, str(tmp_path), keep_failed=False)
     # round-11 hygiene contract: every inflated corpus is retired by the
     # gate itself (per-family + finally sweep) -- at K=300 the copies are
     # multi-GB, so a leak here is real disk residue, not untidiness

@@ -102,7 +102,8 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
     from tools.x10_oracle import run_gate
 
     n_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    n_docs, results = run_gate(spark, SF_DIR, 2, str(tmp_path))
+    n_docs, results = run_gate(spark, SF_DIR, 2, str(tmp_path),
+                               keep_failed=False)
     assert n_docs == 2 * n_src
     # round-11 hygiene contract: the layered x{K}/x{K}_events/x{K}_tpch
     # corpora are retired together in run_gate's finally

@@ -129,11 +129,13 @@ def row_law(df_k: DataFrame, df_1: DataFrame, scale_cols: list[str], k: int) -> 
     return {"rows_k": df_k.count(), "rows_1": df_1.count(), "violations": bad}
 
 
-def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
+def run_gate(spark, sf_dir: str, k: int, work_dir: str,
+             keep_failed: bool = True) -> list[dict]:
     """Inflate the three corpora at K under work_dir and check every law
     against fresh 1x runs on the base corpus. Factored out of main() so
     tests/test_kfold_invariants.py can drive the WHOLE gate at a
-    fixture-cheap (sf0.001, K=2) configuration inside the suite."""
+    fixture-cheap (sf0.001, K=2) configuration inside the suite (which
+    passes keep_failed=False so fixtures never accumulate under tmp_path)."""
     from hive_ddl_extract_tool_spark.operators import all_queries
 
     qs = all_queries()
@@ -177,7 +179,8 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
             qs["q114_arrow_batch_stats"](spark, dst_docs).select("doc_id", "ws_tokens"),
             qs["q114_arrow_batch_stats"](spark, sf_dir).select("doc_id", "ws_tokens"),
             ["doc_id"], k))
-        shutil.rmtree(dst_docs, ignore_errors=True)
+        if not keep_failed or all(r["ok"] for r in results):
+            shutil.rmtree(dst_docs, ignore_errors=True)
 
         shutil.rmtree(dst_ev, ignore_errors=True)
         inflate_events(spark, sf_dir, dst_ev, k)
@@ -193,7 +196,8 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
             qs["q220_incremental_equivalence"](spark, dst_ev),
             qs["q220_incremental_equivalence"](spark, sf_dir),
             ["n_events", "sum_cents"], k))
-        shutil.rmtree(dst_ev, ignore_errors=True)
+        if not keep_failed or all(r["ok"] for r in results):
+            shutil.rmtree(dst_ev, ignore_errors=True)
 
         shutil.rmtree(dst_tpch, ignore_errors=True)
         inflate_tpch(spark, sf_dir, dst_tpch, k)
@@ -206,8 +210,16 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> list[dict]:
             qs["q02_revenue_by_nation"](spark, sf_dir).select(
                 "r_name", "n_name", "n_lineitems"), ["n_lineitems"], k))
     finally:
-        for d in (dst_docs, dst_ev, dst_tpch):
-            shutil.rmtree(d, ignore_errors=True)
+        # A recorded law VIOLATION is debuggable only against the inflated
+        # corpus that produced it, so a CLI run leaves the surviving
+        # corpora in place; clean runs (and the in-suite K=2 path) sweep
+        # everything as before.
+        if keep_failed and any(not r["ok"] for r in results):
+            print(f"KEPT surviving corpora under {work_dir}: violation "
+                  "recorded, evidence preserved for debugging", flush=True)
+        else:
+            for d in (dst_docs, dst_ev, dst_tpch):
+                shutil.rmtree(d, ignore_errors=True)
 
     return results
 

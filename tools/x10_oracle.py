@@ -110,28 +110,39 @@ def check(name, sdf, con, sql):
     }
 
 
-def run_gate(spark, sf_dir: str, k: int, work_dir: str) -> tuple[int, list[dict]]:
+def run_gate(spark, sf_dir: str, k: int, work_dir: str,
+             keep_failed: bool = True) -> tuple[int, list[dict]]:
     """Inflate sf_dir by K under work_dir and run every family check on
     both engines. Returns (inflated doc count, result rows). Factored out
     of main() so tests/test_x10_oracle.py can drive the WHOLE gate at a
-    fixture-cheap (sf0.001, K=2) configuration inside the suite."""
+    fixture-cheap (sf0.001, K=2) configuration inside the suite (which
+    passes keep_failed=False so fixtures never accumulate under tmp_path)."""
     dst = f"{work_dir}/x{k}"
     shutil.rmtree(dst, ignore_errors=True)
     inflate(spark, sf_dir, dst, k)
     n_docs = spark.read.parquet(f"{dst}/documents.parquet").count()
 
     con = duckdb.connect()
+    results: list[dict] = []
     try:
-        return n_docs, _family_checks(spark, con, dst, k)
+        results = _family_checks(spark, con, dst, k)
+        return n_docs, results
     finally:
         con.close()
         # The three corpora are layered (dst_events symlinks dst's doc
         # tables, dst_tpch symlinks dst_events'), so they can only be
         # retired together, after every family check: without this the
         # K=30 copies persist under work_dir as multi-GB residue -- the
-        # same leak tools/kfold_invariants.py closed in round 11.
-        for d in (dst, f"{dst}_events", f"{dst}_tpch"):
-            shutil.rmtree(d, ignore_errors=True)
+        # same leak tools/kfold_invariants.py closed in round 11. But a
+        # recorded cross-engine MISMATCH is debuggable only against the
+        # corpus that produced it, so a CLI run leaves the evidence in
+        # place (symlink layering intact) instead of retiring it.
+        if keep_failed and any(not r["match"] for r in results):
+            print(f"KEPT {dst}* under {work_dir}: mismatch recorded, "
+                  "corpora preserved for debugging", flush=True)
+        else:
+            for d in (dst, f"{dst}_events", f"{dst}_tpch"):
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
