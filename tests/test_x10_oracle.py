@@ -117,7 +117,7 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q35_tfidf_topterms", "q81_bm25_topk", "q87_embed_dim_stats",
         "q156_bpe_merge_rounds", "q109_audio_chunks",
         "q95_curation_report", "q112_training_manifest",
-        "q114_arrow_batch_stats",
+        "q114_arrow_batch_stats", "q105_length_buckets",
         "q220_incremental_equivalence", "q186_concurrent_sessions",
         "q01_pricing_summary", "q02_revenue_by_nation",
         "q172_zorder_layout", "q129_point_in_time_join",

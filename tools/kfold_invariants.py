@@ -41,6 +41,16 @@ cross the law):
                              copy's whitespace token count equals its 1x
                              doc's; n_bytes/fingerprint vary per copy
                              (suffix bytes, md5) and stay out of the law
+- q105 length buckets        per (source, bucket) FULL row: n_docs,
+                             n_tokens, padded_tokens exactly Kx;
+                             n_batches recomputed from the scaled inputs
+                             (a ceiling division is NOT linear in K);
+                             waste_ppm INVARIANT (floor(Ka*1e6/(Kb)) ==
+                             floor(a*1e6/b)). The bucket key is a pure
+                             function of the whitespace token count,
+                             which the word-suffix inflation preserves
+                             per copy — the selection/batch-planning
+                             theme past the oracle ceiling
 - q88 sessionize             per-event (event_id mod S, user_id mod S,
                              session_seq) multiset: K-fold — the per-user
                              timeline is untouched and the stride shift
@@ -179,6 +189,36 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             qs["q114_arrow_batch_stats"](spark, dst_docs).select("doc_id", "ws_tokens"),
             qs["q114_arrow_batch_stats"](spark, sf_dir).select("doc_id", "ws_tokens"),
             ["doc_id"], k))
+
+        # Batch-planning family (round 12): q105's per-(source, bucket)
+        # manifest is a pure function of the whitespace token count, which
+        # the word-suffix inflation provably preserves per copy (the suffix
+        # attaches inside existing [a-z0-9]+ runs, never adding whitespace),
+        # so every key survives with the additive columns exactly Kx. The
+        # two derived columns are RECOMPUTED from the scaled inputs rather
+        # than scaled: n_batches is a ceiling division (not linear in K)
+        # and waste_ppm is a floored ratio whose numerator and denominator
+        # both scale Kx, so it must come out invariant — closing the whole
+        # output row, not just the additive columns.
+        def q105_law() -> dict:
+            from hive_ddl_extract_tool_spark.operators.selection import BATCH_TOKENS
+
+            df_k = qs["q105_length_buckets"](spark, dst_docs)
+            df_1 = qs["q105_length_buckets"](spark, sf_dir)
+            expected = df_1.select(
+                "source", "bucket",
+                (F.col("n_docs") * k).cast("bigint").alias("n_docs"),
+                (F.col("n_tokens") * k).cast("bigint").alias("n_tokens"),
+                (F.col("padded_tokens") * k).cast("bigint").alias("padded_tokens"),
+                F.expr(f"(n_docs * {k} * bucket + {BATCH_TOKENS - 1}) "
+                       f"DIV {BATCH_TOKENS}").cast("bigint").alias("n_batches"),
+                F.col("waste_ppm").cast("bigint").alias("waste_ppm"),
+            )
+            got = df_k.select(*expected.columns)
+            bad = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+            return {"rows_k": df_k.count(), "rows_1": df_1.count(), "violations": bad}
+
+        check("q105_length_buckets", q105_law)
         if not keep_failed or all(r["ok"] for r in results):
             shutil.rmtree(dst_docs, ignore_errors=True)
 

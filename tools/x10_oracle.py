@@ -58,6 +58,11 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   JVM-side, so until round 11 the pandas/Arrow boundary was only
   executes-at-scale smoke -- these two value-hash the RecordBatch and
   cogrouped-pandas paths against DuckDB at volume, q114 row-for-row)
+- q105 length-bucket batch planning on the K-fold docs corpus
+  (selection/batch-planning family, round 12: power-of-two CASE
+  bucketing, ceiling-division batch counts, and the decimal-widened
+  waste_ppm ratio at volume -- the same family the Spark-only gate
+  pins by exact law at K=100/300 in tools/kfold_invariants.py)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -224,7 +229,14 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
                  # K-fold docs corpus -- previously every 10x/30x family
                  # stayed JVM-side and the Python boundary was only
                  # executes-at-scale smoke
-                 "q114_arrow_batch_stats"):
+                 "q114_arrow_batch_stats",
+                 # round-12 widening: selection/batch-planning. q105's
+                 # per-(source, bucket) padding manifest exercises the
+                 # power-of-two CASE bucketing, ceiling-division batch
+                 # counts, and the decimal-widened waste_ppm ratio at
+                 # K-fold volume -- the same family the Spark-only K=100/
+                 # 300 gate pins by exact law (kfold_invariants.py)
+                 "q105_length_buckets"):
         row = check(name, qs[name](spark, dst), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
