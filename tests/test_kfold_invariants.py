@@ -35,6 +35,7 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q88_sessionize", "q186_concurrent_sessions",
         "q220_incremental_equivalence",
         "q174_equidepth_histogram", "q02_revenue_by_nation",
+        "q07_rollup_orders",
     ]
     bad = [r for r in results if not r["ok"]]
     assert not bad, f"K-scaling law violated at K=2: {bad}"

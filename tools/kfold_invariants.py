@@ -71,6 +71,11 @@ cross the law):
 - q02 revenue-by-nation      per (r_name, n_name): n_lineitems Kx
                              (revenue is a genuine double sum and is
                              excluded — no float crosses the law)
+- q07 rollup orders          per (status, priority) including the
+                             subtotal and ALL/ALL rollup rows: n_orders
+                             Kx — the Expand/grouping-sets operator past
+                             the oracle ceiling (sum_price is a double
+                             and stays out of the law)
 
 Usage: python tools/kfold_invariants.py [--sf-dir /root/testdata/sf0.1]
                                         [--k 100] [--out K100_INVARIANTS.json]
@@ -249,6 +254,17 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
                 "r_name", "n_name", "n_lineitems"),
             qs["q02_revenue_by_nation"](spark, sf_dir).select(
                 "r_name", "n_name", "n_lineitems"), ["n_lineitems"], k))
+        # Grouping-sets family (round 12): rollup's Expand operator
+        # replicates every order into its 3 grouping sets, and the key
+        # columns (status, priority) are untouched by the inflation, so
+        # every rollup row -- detail, subtotal, AND the grand-total ALL/ALL
+        # row -- must carry exactly Kx its 1x count. sum_price is a genuine
+        # double and stays out of the law (house rule: no float crosses).
+        check("q07_rollup_orders", lambda: row_law(
+            qs["q07_rollup_orders"](spark, dst_tpch).select(
+                "status", "priority", "n_orders"),
+            qs["q07_rollup_orders"](spark, sf_dir).select(
+                "status", "priority", "n_orders"), ["n_orders"], k))
     finally:
         # A recorded law VIOLATION is debuggable only against the inflated
         # corpus that produced it, so a CLI run leaves the surviving
