@@ -155,14 +155,27 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
 
     qs = all_queries()
     results = []
+    corpus = "docs"  # which corpus the current check's law runs against
 
     def check(name, fn) -> None:
         t0 = time.monotonic()
-        row = {"query": name, "k": k, **fn()}
+        # A check that CRASHES (Spark/py error rather than a recorded law
+        # violation) is still a failed law for retention purposes: record
+        # it as an ok=False row so the finally block preserves the corpus
+        # that produced the crash instead of sweeping the evidence.
+        try:
+            row = {"query": name, "k": k, **fn()}
+            row["ok"] = row["violations"] == 0
+        except Exception as exc:  # noqa: BLE001 - recorded, not swallowed silently
+            row = {"query": name, "k": k, "violations": -1, "ok": False,
+                   "error": f"{type(exc).__name__}: {exc}"[:500]}
         row["sec"] = round(time.monotonic() - t0, 2)
-        row["ok"] = row["violations"] == 0
+        row["corpus"] = corpus
         print(json.dumps(row), flush=True)
         results.append(row)
+
+    def corpus_ok(tag: str) -> bool:
+        return all(r["ok"] for r in results if r["corpus"] == tag)
 
     # Each corpus is needed only for its own family's checks, so retire it
     # as soon as those finish (peak residue = ONE corpus, not three; the
@@ -171,6 +184,7 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
     dst_docs = f"{work_dir}/inv_docs_x{k}"
     dst_ev = f"{work_dir}/inv_ev_x{k}"
     dst_tpch = f"{work_dir}/inv_tpch_x{k}"
+    completed = False
     try:
         shutil.rmtree(dst_docs, ignore_errors=True)
         # with_embeddings=False: neither doc-family query reads embeddings,
@@ -224,9 +238,12 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             return {"rows_k": df_k.count(), "rows_1": df_1.count(), "violations": bad}
 
         check("q105_length_buckets", q105_law)
-        if not keep_failed or all(r["ok"] for r in results):
+        # Retention is scoped per corpus: a later family's violation must
+        # not pin THIS corpus on disk (at K=300 each is multi-GB).
+        if not keep_failed or corpus_ok("docs"):
             shutil.rmtree(dst_docs, ignore_errors=True)
 
+        corpus = "events"
         shutil.rmtree(dst_ev, ignore_errors=True)
         inflate_events(spark, sf_dir, dst_ev, k)
         check("q88_sessionize", lambda: hist_law(
@@ -241,9 +258,10 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             qs["q220_incremental_equivalence"](spark, dst_ev),
             qs["q220_incremental_equivalence"](spark, sf_dir),
             ["n_events", "sum_cents"], k))
-        if not keep_failed or all(r["ok"] for r in results):
+        if not keep_failed or corpus_ok("events"):
             shutil.rmtree(dst_ev, ignore_errors=True)
 
+        corpus = "tpch"
         shutil.rmtree(dst_tpch, ignore_errors=True)
         inflate_tpch(spark, sf_dir, dst_tpch, k)
         check("q174_equidepth_histogram", lambda: row_law(
@@ -265,17 +283,28 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
                 "status", "priority", "n_orders"),
             qs["q07_rollup_orders"](spark, sf_dir).select(
                 "status", "priority", "n_orders"), ["n_orders"], k))
+        completed = True
     finally:
-        # A recorded law VIOLATION is debuggable only against the inflated
-        # corpus that produced it, so a CLI run leaves the surviving
-        # corpora in place; clean runs (and the in-suite K=2 path) sweep
-        # everything as before.
-        if keep_failed and any(not r["ok"] for r in results):
-            print(f"KEPT surviving corpora under {work_dir}: violation "
-                  "recorded, evidence preserved for debugging", flush=True)
-        else:
-            for d in (dst_docs, dst_ev, dst_tpch):
+        # A recorded law VIOLATION (including a crash captured as an
+        # ok=False row) is debuggable only against the inflated corpus
+        # that produced it, so a CLI run keeps exactly the corpora whose
+        # OWN families failed -- not all survivors. If the gate aborted
+        # outside a check (e.g. inflate itself crashed), keep whatever is
+        # still on disk: that partial corpus IS the crash evidence. Clean
+        # runs (and the in-suite K=2 path) sweep everything as before.
+        kept = []
+        for tag, d in (("docs", dst_docs), ("events", dst_ev),
+                       ("tpch", dst_tpch)):
+            if keep_failed and (not corpus_ok(tag) or not completed):
+                if os.path.exists(d):
+                    kept.append(d)
+            else:
                 shutil.rmtree(d, ignore_errors=True)
+        if kept:
+            why = ("gate aborted mid-run" if not completed
+                   else "violation recorded")
+            print(f"KEPT {', '.join(kept)}: {why}, evidence preserved "
+                  "for debugging", flush=True)
 
     return results
 

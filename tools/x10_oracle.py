@@ -129,8 +129,10 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
 
     con = duckdb.connect()
     results: list[dict] = []
+    completed = False
     try:
-        results = _family_checks(spark, con, dst, k)
+        _family_checks(spark, con, dst, k, results)
+        completed = True
         return n_docs, results
     finally:
         con.close()
@@ -139,18 +141,24 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
         # retired together, after every family check: without this the
         # K=30 copies persist under work_dir as multi-GB residue -- the
         # same leak tools/kfold_invariants.py closed in round 11. But a
-        # recorded cross-engine MISMATCH is debuggable only against the
-        # corpus that produced it, so a CLI run leaves the evidence in
-        # place (symlink layering intact) instead of retiring it.
-        if keep_failed and any(not r["match"] for r in results):
-            print(f"KEPT {dst}* under {work_dir}: mismatch recorded, "
+        # recorded cross-engine MISMATCH -- or a crash mid-gate, which
+        # needs the evidence most -- is debuggable only against the corpus
+        # that produced it, so a CLI run leaves it in place (symlink
+        # layering intact) instead of retiring it. results is appended to
+        # in place by _family_checks so partial rows survive an abort.
+        if keep_failed and (not completed
+                            or any(not r["match"] for r in results)):
+            why = ("gate aborted mid-run" if not completed
+                   else "mismatch recorded")
+            print(f"KEPT {dst}* under {work_dir}: {why}, "
                   "corpora preserved for debugging", flush=True)
         else:
             for d in (dst, f"{dst}_events", f"{dst}_tpch"):
                 shutil.rmtree(d, ignore_errors=True)
 
 
-def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
+def _family_checks(spark, con, dst: str, k: int,
+                   results: list[dict]) -> list[dict]:
     from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
     from hive_ddl_extract_tool_spark.operators import similarity
     from pyspark.sql import functions as F
@@ -158,7 +166,6 @@ def _family_checks(spark, con, dst: str, k: int) -> list[dict]:
     register_views(con, dst)
 
     qs, oracles = all_queries(), all_oracles()
-    results = []
     for name in ("q40_exact_dedup", "q42_minhash_lsh_dedup",
                  "q202_prefix_filter_join", "q218_sorted_neighborhood",
                  "q245_tfidf_simjoin"):
