@@ -47,79 +47,80 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 12 instance: (1) empty -- every query has a driver row; (2) empty --
-# registry kept flat per the r11 verdict; (3) stalest green FIRST: the full
-# remaining r7-era block (45 queries, age 4 -- they would exceed MAX_AGE at
-# r13 close; q201/q202/q203 already rode r11's slack slots), ordered by
-# MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py per-query
-# timings, this round's log) so a wall-clock truncation drops the fewest
-# must-refresh entries, with the expensive streaming/scripting tier
-# (q220/q238/q243/q217) at the back of the 45. The 5 remaining slots (the
-# 50-cap minus 45) are filled with the heaviest r8-era entries
-# (q49c/q133/q54/q55/q35 by the same measured timings) to shave r13's
-# otherwise-50-query need -- they are age 3, so losing them to truncation
-# breaches nothing. Staged prefix measured before commit
+# Round 13 instance: (1) empty -- every query has a driver row; (2) empty --
+# registry kept flat per the r12 verdict; (3) stalest green FIRST: the full
+# remaining r8-era block (45 queries, age 4 -- they would exceed MAX_AGE at
+# r14 close; q49c/q133/q54/q55/q35 already rode r12's slack slots), ordered
+# by MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py per-query
+# timings, this round's 247/247 FAILS: 0 log) so a wall-clock truncation
+# drops the fewest must-refresh entries. The LSH/dedup tier (q40/q41/q42/
+# q44/q45/q49b) is in this cohort; its staged pipelines are shared via
+# cached_df, so whichever of them runs first pays the staging cost once.
+# The 5 remaining slots (the 50-cap minus 45) are filled with the heaviest
+# r9-era entries (q103/q107/q117/q66/q114 by the same measured timings) to
+# shave r14's otherwise-50-query need -- they are age 3, so losing them to
+# truncation breaches nothing. Staged prefix measured before commit
 # (tools/measure_prefix.py, the r11 discipline): see BASELINE.md
-# §Round-12. Total staged: exactly 50 -- the MEASURED driver budget,
-# pinned by tests/test_freshness.py since r10. Everything green in r11
-# (the r6-era rotation) and the r8/r9/r10 blocks falls through to module
+# §Round-13. Total staged: exactly 50 -- the MEASURED driver budget,
+# pinned by tests/test_freshness.py since r10. Everything green in r12
+# (the r7-era rotation) and the r9/r10/r11 blocks falls through to module
 # order.
 _PRIORITY = [
-    # (3) stalest green: latest green row is round 7 (age 4) -- refresh all
-    # 45 now so nothing exceeds MAX_AGE at r13 close. Measured-cheap shapes
-    # first, streaming/scripting tier last.
-    "q216_parameterized_sql",
-    "q241_iter_pandas_udf",
-    "q185_pii_scan",
-    "q235_decile_calibration",
-    "q210_golden_record",
-    "q207_activity_streaks",
-    "q236_sequence_match",
-    "q239_sampling_audit",
-    "q211_try_arithmetic",
-    "q222_blocking_audit",
-    "q48_cosine_topk_pandas",
-    "q228_lr_apportionment",
-    "q224_seasonal_index",
-    "q242_weekly_quantiles",
-    "q244_activity_trend",
-    "q234_vocab_growth",
-    "q206_rolling_p95",
-    "q219_cusum_drift",
-    "q233_k_anonymity",
-    "q237_keyspace_gaps",
-    "q230_local_supplier_volume",
-    "q214_classifier_gains",
-    "q208_association_rules",
-    "q209_weighted_median",
-    "q225_cms_estimator_audit",
-    "q229_fellegi_sunter",
-    "q205_partition_pruned_scan",
-    "q226_merkle_reconcile",
-    "q223_referential_integrity",
-    "q213_phrase_search",
-    "q240_winsorize_audit",
-    "q215_fifo_matching",
-    "q204_compaction_roundtrip",
-    "q227_fd_audit",
-    "q218_sorted_neighborhood",
-    "q245_tfidf_simjoin",
-    "q212_stream_pit_enrich",
-    "q231_kcore_peel",
-    "q246_prf_expansion",
-    "q232_cramers_v",
-    "q220_incremental_equivalence",
-    "q247_coverage_select",
-    "q238_stream_cms",
-    "q243_mmr_rerank",
-    "q217_sql_scripting",
-    # (3 cont.) heaviest r8-era greens (age 3) promoted into the 5 slack
-    # slots to shave r13's otherwise-50-query refresh need down to 45.
-    "q49c_lsh_recall",
-    "q133_semantic_decontam",
-    "q54_skyline",
-    "q55_range_join",
-    "q35_tfidf_topterms",
+    # (3) stalest green: latest green row is round 8 (age 4) -- refresh all
+    # 45 now so nothing exceeds MAX_AGE at r14 close. Measured-cheap shapes
+    # first.
+    "q42_minhash_lsh_dedup",
+    "q31_token_count",
+    "q33_fingerprint",
+    "q50_binary_metadata",
+    "q22_array_functions",
+    "q40_exact_dedup",
+    "q30_text_stats",
+    "q36_hash_split",
+    "q73_stratified_sample",
+    "q53_sql_ml_inference",
+    "q23_explode_tokens",
+    "q26_correlated_subquery",
+    "q28_unpivot",
+    "q15_percentiles",
+    "q27_range_frame_window",
+    "q19_string_extras",
+    "q25_date_extras",
+    "q67_pandas_udf_scalar",
+    "q78_udtf_chunk",
+    "q72_embed_quantize",
+    "q32_langid",
+    "q76_heavy_hitters",
+    "q65_frame_sample",
+    "q59_asof_join",
+    "q248_anova_sources",
+    "q17_conditional_aggs",
+    "q24_map_functions",
+    "q47_ann_lsh",
+    "q34_quality_score",
+    "q74_funnel",
+    "q75_cohort_retention",
+    "q18_null_handling",
+    "q69_regression_stats",
+    "q77_variant_json",
+    "q41_minhash_signatures",
+    "q44_simhash",
+    "q49b_cosine_neardup_lsh",
+    "q80_rolling_anomaly",
+    "q16_window_extras",
+    "q45_simhash_neardup",
+    "q46_cosine_topk",
+    "q71_repetition_metrics",
+    "q79_resample_ffill",
+    "q190_good_turing",
+    "q221_benford_audit",
+    # (3 cont.) heaviest r9-era greens (age 3) promoted into the 5 slack
+    # slots to shave r14's otherwise-50-query refresh need down to 45.
+    "q103_semdedup",
+    "q107_stream_interval_join",
+    "q117_pca_power_iteration",
+    "q66_ivf_ann",
+    "q114_arrow_batch_stats",
 ]
 
 
