@@ -238,6 +238,24 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             return {"rows_k": df_k.count(), "rows_1": df_1.count(), "violations": bad}
 
         check("q105_length_buckets", q105_law)
+
+        # Selection/apportionment family (round 13): q228's
+        # largest-remainder allocation is a pure function of the
+        # per-source whitespace-token masses, which the word-suffix
+        # inflation preserves per copy exactly (the suffix attaches inside
+        # [a-z0-9]+ runs, never adding whitespace), so on the K-fold
+        # corpus every mass scales exactly Kx -- and the Hamilton method
+        # is provably K-invariant on Kx-scaled masses: floor(K*n*B / K*T)
+        # = floor(n*B/T), (K*n*B) mod (K*T) = K*(n*B mod T) so the
+        # remainder RANKING (and its source tiebreak) is unchanged, hence
+        # alloc/got_extra/total_alloc must come out IDENTICAL at every K
+        # while n_tokens scales Kx. A full-output row law over integer
+        # floor-division and modulus -- the gates q100/q95 could never
+        # join (their stopword/byte-length inputs are not
+        # inflation-invariant), closing the selection theme instead.
+        check("q228_lr_apportionment", lambda: row_law(
+            qs["q228_lr_apportionment"](spark, dst_docs),
+            qs["q228_lr_apportionment"](spark, sf_dir), ["n_tokens"], k))
         # Retention is scoped per corpus: a later family's violation must
         # not pin THIS corpus on disk (at K=300 each is multi-GB).
         if not keep_failed or corpus_ok("docs"):

@@ -243,7 +243,14 @@ def _family_checks(spark, con, dst: str, k: int,
                  # counts, and the decimal-widened waste_ppm ratio at
                  # K-fold volume -- the same family the Spark-only K=100/
                  # 300 gate pins by exact law (kfold_invariants.py)
-                 "q105_length_buckets"):
+                 "q105_length_buckets",
+                 # round-13 widening: selection/apportionment. q228's
+                 # largest-remainder slot allocation exercises exact
+                 # DECIMAL/HUGEINT quota arithmetic and the
+                 # remainder-ranked tiebreak at K-fold token masses --
+                 # the same family the Spark-only K=100/300 gate pins by
+                 # a full-output invariance law
+                 "q228_lr_apportionment"):
         row = check(name, qs[name](spark, dst), con, oracles[name])
         row["k"] = k
         print(json.dumps(row), flush=True)
