@@ -111,12 +111,15 @@ def hist_law(df_k: DataFrame, df_1: DataFrame, id_cols: list[str],
     mod stride, must be exactly K copies of the 1x multiset. Compared as
     group-count histograms over ALL columns (ids modded), joined full
     outer — tiny regardless of row count. Precondition (asserted): 1x ids
-    live below the stride, so mod is the identity on the 1x side."""
+    live below the stride, so mod is the identity on the 1x side. With no
+    id columns the law degrades to a pure value-multiset comparison (used
+    by outputs whose key column is renamed per copy, e.g. q85's terms)."""
     cols = df_1.columns
-    n_high = df_1.filter(
-        " OR ".join(f"({c} < 0 OR {c} >= {stride})" for c in id_cols)
-    ).count()
-    assert n_high == 0, f"{n_high} base rows have ids outside [0, stride)"
+    if id_cols:
+        n_high = df_1.filter(
+            " OR ".join(f"({c} < 0 OR {c} >= {stride})" for c in id_cols)
+        ).count()
+        assert n_high == 0, f"{n_high} base rows have ids outside [0, stride)"
     hk = _mod_ids(df_k, id_cols, stride).groupBy(*cols).agg(F.count(F.lit(1)).alias("n_k"))
     h1 = df_1.groupBy(*cols).agg((F.count(F.lit(1)) * k).alias("n_exp"))
     bad = (
@@ -256,6 +259,35 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
         check("q228_lr_apportionment", lambda: row_law(
             qs["q228_lr_apportionment"](spark, dst_docs),
             qs["q228_lr_apportionment"](spark, sf_dir), ["n_tokens"], k))
+
+        # Retrieval/index family (round 13): q85's full inverted index
+        # under a RENAMING-invariant projection. Copy j maps every term t
+        # to t·"x{j}" injectively, and the doc membership of each renamed
+        # term replicates its original's, so the (df, total_tf) value
+        # multiset at K must be exactly K copies of the 1x multiset --
+        # term strings and postings (which embed shifted doc_ids inside a
+        # string) stay out of the law. Soundness needs the 1x vocabulary
+        # to be SUFFIX-FREE: no term may equal another term + "x" +
+        # digits, or a copy's renamed term would merge with an original
+        # term's group. The vocabulary is closed (~31 terms), so the law
+        # asserts that precondition outright on the bounded 1x term list
+        # instead of assuming the data drop never changes.
+        def q85_law() -> dict:
+            df_1 = qs["q85_inverted_index"](spark, sf_dir)
+            terms = {r[0] for r in df_1.select("term").collect()}
+            colliding = [
+                t for t in terms
+                for i in range(1, len(t))
+                if t[i] == "x" and t[i + 1:].isdigit() and t[:i] in terms
+            ]
+            assert not colliding, (
+                f"vocabulary not suffix-free, law unsound: {colliding[:5]}"
+            )
+            return hist_law(
+                qs["q85_inverted_index"](spark, dst_docs).select("df", "total_tf"),
+                df_1.select("df", "total_tf"), [], k)
+
+        check("q85_inverted_index", q85_law)
         # Retention is scoped per corpus: a later family's violation must
         # not pin THIS corpus on disk (at K=300 each is multi-GB).
         if not keep_failed or corpus_ok("docs"):
@@ -276,6 +308,17 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             qs["q220_incremental_equivalence"](spark, dst_ev),
             qs["q220_incremental_equivalence"](spark, sf_dir),
             ["n_events", "sum_cents"], k))
+        # Funnel family (round 13): q74's click→purchase conversion is a
+        # value-RANGE window computed entirely WITHIN user_id, and
+        # inflate_events gives copy j's users the original timeline
+        # verbatim under disjoint ids -- so every copy user's (n_clicks,
+        # n_converted) must equal its 1x original's exactly, user_id
+        # shifted by the stride. A pure count law (the blessed kind: no
+        # float, no text-derived feature crosses it).
+        check("q74_funnel", lambda: hist_law(
+            qs["q74_funnel"](spark, dst_ev),
+            qs["q74_funnel"](spark, sf_dir),
+            ["user_id"], k, stride=EVT_STRIDE))
         if not keep_failed or corpus_ok("events"):
             shutil.rmtree(dst_ev, ignore_errors=True)
 
