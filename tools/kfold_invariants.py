@@ -76,6 +76,27 @@ cross the law):
                              Kx — the Expand/grouping-sets operator past
                              the oracle ceiling (sum_price is a double
                              and stays out of the law)
+- q228 LR apportionment      FULL row: alloc/got_extra/total_alloc
+                             IDENTICAL at every K while n_tokens scales
+                             Kx — Hamilton's method is K-invariant on
+                             Kx-scaled masses (floor(K·n·B/(K·T)) =
+                             floor(n·B/T); the remainder ranking and its
+                             tiebreak cancel K). The selection theme's
+                             law: the word-suffix inflation preserves
+                             per-source whitespace-token mass exactly
+- q85 inverted index         (df, total_tf) value multiset: K-fold under
+                             the injective per-copy term renaming
+                             t → t·"x{j}" — sound only if the 1x
+                             vocabulary is SUFFIX-FREE (no term equals
+                             another + "x" + digits), asserted in-law on
+                             the bounded term list; term strings and
+                             postings (shifted doc_ids inside strings)
+                             stay out of the law
+- q74 funnel                 per (user_id mod S): (n_clicks, n_converted)
+                             multiset K-fold — the click→purchase window
+                             runs entirely WITHIN user_id and each copy
+                             user replays the original timeline verbatim
+                             under disjoint ids
 
 Usage: python tools/kfold_invariants.py [--sf-dir /root/testdata/sf0.1]
                                         [--k 100] [--out K100_INVARIANTS.json]
@@ -91,6 +112,7 @@ import os
 import shutil
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -170,8 +192,13 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             row = {"query": name, "k": k, **fn()}
             row["ok"] = row["violations"] == 0
         except Exception as exc:  # noqa: BLE001 - recorded, not swallowed silently
+            # Keep the tail of the traceback too: on a multi-hour K=300
+            # run the retained corpus alone can't pinpoint which line of
+            # a multi-stage law crashed.
+            frames = traceback.format_exc().strip().splitlines()
             row = {"query": name, "k": k, "violations": -1, "ok": False,
-                   "error": f"{type(exc).__name__}: {exc}"[:500]}
+                   "error": f"{type(exc).__name__}: {exc}"[:500],
+                   "trace": "\n".join(frames[-8:])[:1500]}
         row["sec"] = round(time.monotonic() - t0, 2)
         row["corpus"] = corpus
         print(json.dumps(row), flush=True)

@@ -63,6 +63,11 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   bucketing, ceiling-division batch counts, and the decimal-widened
   waste_ppm ratio at volume -- the same family the Spark-only gate
   pins by exact law at K=100/300 in tools/kfold_invariants.py)
+- q228 largest-remainder apportionment on the K-fold docs corpus
+  (selection/apportionment family, round 13: Hamilton quotas,
+  remainder ranking, and the source tiebreak over K-fold-scaled
+  token masses -- the 28th family; the Spark-only gate additionally
+  pins its full-row K-invariance as an exact law at K=100/300)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -158,7 +163,10 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
 
 
 def _family_checks(spark, con, dst: str, k: int,
-                   results: list[dict]) -> list[dict]:
+                   results: list[dict]) -> None:
+    # In-place append to results is the single contract: run_gate's
+    # finally block reads the same list to preserve partial rows on an
+    # abort, so this function deliberately returns nothing.
     from hive_ddl_extract_tool_spark.operators import all_oracles, all_queries
     from hive_ddl_extract_tool_spark.operators import similarity
     from pyspark.sql import functions as F
@@ -326,8 +334,6 @@ def _family_checks(spark, con, dst: str, k: int,
         row["k"] = k
         print(json.dumps(row), flush=True)
         results.append(row)
-
-    return results
 
 
 def main() -> int:
