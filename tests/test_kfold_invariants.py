@@ -33,6 +33,7 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q40_exact_dedup", "q202_prefix_filter_join",
         "q114_arrow_batch_stats", "q105_length_buckets",
         "q228_lr_apportionment", "q85_inverted_index",
+        "q161_char_coverage",
         "q88_sessionize", "q186_concurrent_sessions",
         "q220_incremental_equivalence", "q74_funnel",
         "q174_equidepth_histogram", "q02_revenue_by_nation",

@@ -97,6 +97,32 @@ cross the law):
                              runs entirely WITHIN user_id and each copy
                              user replays the original timeline verbatim
                              under disjoint ids
+- q161 char coverage         FULL rows (coverage_bp, n_chars_needed,
+                             covered_mass, total_mass) against a
+                             CLOSED-FORM census prediction: the
+                             word-suffix inflation adds exactly one "x"
+                             plus the digits of j per [a-z0-9]+ run in
+                             copy j, so the K-fold census is K*mass_1
+                             plus run-count-weighted corrections on
+                             {x, 0-9}; the ranking and integer
+                             cross-multiplication thresholds are re-run
+                             driver-side on that alphabet-sized table
+                             and must match the registered query exactly
+
+Rejected candidates (recorded so the next round does not re-derive them):
+q100/q95/q31-bpe (round 13): their stopword/byte-length/fingerprint
+inputs are not inflation-invariant — no exact law exists. q68 dup
+clusters (round 14): every q42-derived graph output is downstream of LSH
+banding, whose recall is probabilistic PER COPY for sub-1.0-Jaccard
+pairs; a sandwich law (identical-shingle-set edges band deterministically,
+exact verify caps at the q202 lossless truth) WOULD be exact if the
+identical-set subgraph alone induced the full-truth components, but the
+fixture deliberately holds sub-1.0 pairs as their own clusters (e.g. the
+J=0.8 pair), so the union-find precondition fails by design and a band
+miss really can move a cluster boundary — the whole q42-graph theme
+(q68/q124/q141/q191/q231) is therefore permanently out of the exact-law
+set; its at-scale evidence is the cross-engine q68 row in
+tools/x10_oracle.py at K=10/30 instead.
 
 Usage: python tools/kfold_invariants.py [--sf-dir /root/testdata/sf0.1]
                                         [--k 100] [--out K100_INVARIANTS.json]
@@ -315,6 +341,68 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
                 df_1.select("df", "total_tf"), [], k)
 
         check("q85_inverted_index", q85_law)
+
+        # Tokenizer/vocab family (round 14): q161's SentencePiece-style
+        # character-coverage table, pinned by a CLOSED-FORM census
+        # prediction. The word-suffix inflation does NOT preserve
+        # character masses (copy j appends "x{j}" to every [a-z0-9]+
+        # run), so a naive xK law is wrong -- but the additions are
+        # exactly computable: the corpus is asserted pure [a-z0-9 ] and
+        # the suffix attaches to existing runs without creating new ones,
+        # so with W = the 1x corpus's total run count,
+        #
+        #   mass_K(c)  = K * mass_1(c)                       c not in x,0-9
+        #   mass_K(x)  = K * mass_1(x) + W * (K-1)           one x per run
+        #   mass_K(d)  = K * mass_1(d) + W * sum_j count_d(str(j)), j=1..K-1
+        #
+        # The law recomputes the full expected census from the 1x census,
+        # re-runs the ranking (c desc, ch) and the integer
+        # cross-multiplication thresholds driver-side on that alphabet-
+        # sized table, and requires the registered query's K-fold rows to
+        # match EXACTLY -- every quantity is an integer, no probabilistic
+        # step exists anywhere in the pipeline.
+        def q161_law() -> dict:
+            from hive_ddl_extract_tool_spark.operators.tokenizer import COVERAGE_BP
+
+            docs_1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            census_rows = (
+                docs_1.select(F.explode(F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[^ \t\n\x0B\f\r]"), 0)).alias("ch"))
+                .groupBy("ch").agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            w_runs = (
+                docs_1.select(F.size(F.regexp_extract_all(
+                    "text", F.lit(r"[a-z0-9]+"), 0)).alias("n"))
+                .agg(F.sum("n")).collect()[0][0]
+            )
+            mass = {r["ch"]: r["c"] * k for r in census_rows}
+            mass["x"] = mass.get("x", 0) + w_runs * (k - 1)
+            for j in range(1, k):
+                for d in str(j):
+                    mass[d] = mass.get(d, 0) + w_runs
+            ranked = sorted(mass.items(), key=lambda t: (-t[1], t[0]))
+            total = sum(mass.values())
+            cum, expected = 0, []
+            thresholds = {bp: None for bp in COVERAGE_BP}
+            for rk, (_ch, c) in enumerate(ranked, start=1):
+                cum += c
+                for bp in COVERAGE_BP:
+                    if thresholds[bp] is None and cum * 10000 >= bp * total:
+                        thresholds[bp] = (rk, cum)
+            for bp in COVERAGE_BP:
+                rk, cov = thresholds[bp]
+                expected.append((bp, rk, cov, total))
+            got = sorted(
+                tuple(r) for r in
+                qs["q161_char_coverage"](spark, dst_docs).collect()
+            )
+            bad = sum(1 for g, e in zip(got, sorted(expected)) if g != e)
+            bad += abs(len(got) - len(expected))
+            return {"rows_k": len(got), "rows_1": len(expected),
+                    "violations": bad}
+
+        check("q161_char_coverage", q161_law)
         # Retention is scoped per corpus: a later family's violation must
         # not pin THIS corpus on disk (at K=300 each is multi-GB).
         if not keep_failed or corpus_ok("docs"):
