@@ -47,80 +47,81 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 13 instance: (1) empty -- every query has a driver row; (2) empty --
-# registry kept flat per the r12 verdict; (3) stalest green FIRST: the full
-# remaining r8-era block (45 queries, age 4 -- they would exceed MAX_AGE at
-# r14 close; q49c/q133/q54/q55/q35 already rode r12's slack slots), ordered
-# by MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py per-query
-# timings, this round's 247/247 FAILS: 0 log) so a wall-clock truncation
-# drops the fewest must-refresh entries. The LSH/dedup tier (q40/q41/q42/
-# q44/q45/q49b) is in this cohort; its staged pipelines are shared via
-# cached_df, so whichever of them runs first pays the staging cost once.
-# The 5 remaining slots (the 50-cap minus 45) are filled with the heaviest
-# r9-era entries (q103/q107/q117/q66/q114 by the same measured timings) to
-# shave r14's otherwise-50-query need -- they are age 3, so losing them to
-# truncation breaches nothing. Staged prefix measured before commit
-# (tools/measure_prefix.py, the r11 discipline): see BASELINE.md
-# §Round-13. Total staged: exactly 50 -- the MEASURED driver budget,
-# pinned by tests/test_freshness.py since r10. Everything green in r12
-# (the r7-era rotation) and the r9/r10/r11 blocks falls through to module
-# order.
+# Round 14 instance: (1) empty -- every query has a driver row; (2) empty --
+# registry kept flat per the r13 verdict; (3) stalest green FIRST: the full
+# remaining r9-era block (45 queries, age 4 -- they would exceed MAX_AGE at
+# r15 close; q103/q107/q117/q66/q114 already rode r13's slack slots),
+# ordered by MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py
+# per-query timings, this round's 247/247 FAILS: 0 opening drive) with the
+# streaming-harness tier last -- its finite-replay micro-batches are the
+# cohort's cost outliers, so a wall-clock truncation drops replay shapes
+# before any cheap relational refresh. The 5 remaining slots (the 50-cap
+# minus 45) are filled with the heaviest r10-era entries by the same
+# measured timings (q140/q106/q130/q138/q131) to shave r15's otherwise-
+# 50-query need -- they are age 3, so losing them to truncation breaches
+# nothing. Staged prefix measured before commit (tools/measure_prefix.py,
+# the r11 discipline): see BASELINE.md §Round-14. Total staged: exactly
+# 50 -- the MEASURED driver budget, pinned by tests/test_freshness.py
+# since r10. Everything green in r13 (the r8-era rotation) and the
+# r10/r11/r12 blocks falls through to module order.
 _PRIORITY = [
-    # (3) stalest green: latest green row is round 8 (age 4) -- refresh all
-    # 45 now so nothing exceeds MAX_AGE at r14 close. Measured-cheap shapes
+    # (3) stalest green: latest green row is round 9 (age 4) -- refresh all
+    # 45 now so nothing exceeds MAX_AGE at r15 close. Measured-cheap shapes
     # first.
-    "q42_minhash_lsh_dedup",
-    "q31_token_count",
-    "q33_fingerprint",
-    "q50_binary_metadata",
-    "q22_array_functions",
-    "q40_exact_dedup",
-    "q30_text_stats",
-    "q36_hash_split",
-    "q73_stratified_sample",
-    "q53_sql_ml_inference",
-    "q23_explode_tokens",
-    "q26_correlated_subquery",
-    "q28_unpivot",
-    "q15_percentiles",
-    "q27_range_frame_window",
-    "q19_string_extras",
-    "q25_date_extras",
-    "q67_pandas_udf_scalar",
-    "q78_udtf_chunk",
-    "q72_embed_quantize",
-    "q32_langid",
-    "q76_heavy_hitters",
-    "q65_frame_sample",
-    "q59_asof_join",
-    "q248_anova_sources",
-    "q17_conditional_aggs",
-    "q24_map_functions",
-    "q47_ann_lsh",
-    "q34_quality_score",
-    "q74_funnel",
-    "q75_cohort_retention",
-    "q18_null_handling",
-    "q69_regression_stats",
-    "q77_variant_json",
-    "q41_minhash_signatures",
-    "q44_simhash",
-    "q49b_cosine_neardup_lsh",
-    "q80_rolling_anomaly",
-    "q16_window_extras",
-    "q45_simhash_neardup",
-    "q46_cosine_topk",
-    "q71_repetition_metrics",
-    "q79_resample_ffill",
-    "q190_good_turing",
-    "q221_benford_audit",
-    # (3 cont.) heaviest r9-era greens (age 3) promoted into the 5 slack
-    # slots to shave r14's otherwise-50-query refresh need down to 45.
-    "q103_semdedup",
-    "q107_stream_interval_join",
-    "q117_pca_power_iteration",
-    "q66_ivf_ann",
-    "q114_arrow_batch_stats",
+    "q12_part_topk",
+    "q68_dup_clusters",
+    "q52b_zscore_groups_checked",
+    "q66b_ivf_trained",
+    "q51b_decode_features_checked",
+    "q97_idle_rich_customers",
+    "q89_value_histogram",
+    "q04_customers_without_orders",
+    "q08_cube_lineitem",
+    "q13_nation_set_ops",
+    "q96_custdist",
+    "q14_pivot_status_year",
+    "q43_ngram_jaccard",
+    "q86_decontamination",
+    "q56_salted_join",
+    "q07_rollup_orders",
+    "q11_running_revenue",
+    "q20_scalar_gauntlet",
+    "q94_source_overlap",
+    "q109_audio_chunks",
+    "q108_scd2_merge",
+    "q03_order_priority_semi",
+    "q05_distinct_users",
+    "q09_grouping_sets",
+    "q10_top_orders_per_customer",
+    "q113_zipf_fit",
+    "q81_bm25_topk",
+    "q82_collocations",
+    "q118_decayed_engagement",
+    "q197_ab_welch",
+    "q21_json_extract",
+    "q58_bucketed_join",
+    "q111_big_orders",
+    "q02_revenue_by_nation",
+    "q01_pricing_summary",
+    "q87_embed_dim_stats",
+    "q93_dim_correlations",
+    "q99_label_purity",
+    "q49_cosine_neardup",
+    # (3 cont.) the streaming-harness tier: cost outliers of the cohort,
+    # staged last so truncation drops replay shapes, not cheap refreshes.
+    "q60_tumbling_window",
+    "q62_session_window",
+    "q61_sliding_window",
+    "q63_stream_tumbling",
+    "q64_stream_dedup",
+    "q70_stream_static_join",
+    # (3 cont.) heaviest r10-era greens (age 3) promoted into the 5 slack
+    # slots to shave r15's otherwise-50-query refresh need down to 45.
+    "q140_stream_outer_join",
+    "q106_minhash_estimator_error",
+    "q130_canonical_election",
+    "q138_cogroup_reconcile",
+    "q131_stream_dedup_gate",
 ]
 
 
