@@ -35,7 +35,7 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q228_lr_apportionment", "q85_inverted_index",
         "q161_char_coverage",
         "q88_sessionize", "q186_concurrent_sessions",
-        "q220_incremental_equivalence", "q74_funnel",
+        "q220_incremental_equivalence", "q74_funnel", "q59_asof_join",
         "q174_equidepth_histogram", "q02_revenue_by_nation",
         "q07_rollup_orders",
     ]

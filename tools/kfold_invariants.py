@@ -108,6 +108,13 @@ cross the law):
                              cross-multiplication thresholds are re-run
                              driver-side on that alphabet-sized table
                              and must match the registered query exactly
+- q59 as-of join             (user_id, click_id, view_id) mod S multiset:
+                             K-fold — the per-user last(ignorenulls)
+                             as-of fill runs within user_id over
+                             (ts, event_id) order, the uniform per-copy
+                             id shift preserves tie order (q88's
+                             argument), and users are disjoint across
+                             copies; gap_sec is a double and stays out
 
 Rejected candidates (recorded so the next round does not re-derive them):
 q100/q95/q31-bpe (round 13): their stopword/byte-length/fingerprint
@@ -122,7 +129,15 @@ J=0.8 pair), so the union-find precondition fails by design and a band
 miss really can move a cluster boundary — the whole q42-graph theme
 (q68/q124/q141/q191/q231) is therefore permanently out of the exact-law
 set; its at-scale evidence is the cross-engine q68 row in
-tools/x10_oracle.py at K=10/30 instead.
+tools/x10_oracle.py at K=10/30 instead. q104/q86 and every consumer of
+q36's hash split (round 14): split_of(doc_id) is an id-hash, so copy j's
+shifted ids land in DIFFERENT train/val/test buckets than their
+originals — the split partition reshuffles per copy and contamination
+structure is not a function of the 1x output. q109/q65/q50 multimodal
+byte-window shapes (round 14): they chunk/hash the text BYTES, which the
+word-suffix inflation changes per copy (lengths, boundaries, hashes) —
+no exact law; their at-scale evidence stays the cross-engine q109 row at
+K=10/30 plus the full-surface smoke.
 
 Usage: python tools/kfold_invariants.py [--sf-dir /root/testdata/sf0.1]
                                         [--k 100] [--out K100_INVARIANTS.json]
@@ -170,8 +185,16 @@ def hist_law(df_k: DataFrame, df_1: DataFrame, id_cols: list[str],
         assert n_high == 0, f"{n_high} base rows have ids outside [0, stride)"
     hk = _mod_ids(df_k, id_cols, stride).groupBy(*cols).agg(F.count(F.lit(1)).alias("n_k"))
     h1 = df_1.groupBy(*cols).agg((F.count(F.lit(1)) * k).alias("n_exp"))
+    # Null-safe join keys: a nullable law column (e.g. q59's view_id for a
+    # click with no prior view) forms a real group on both sides, but a
+    # plain column-list join never matches NULL = NULL -- each null-keyed
+    # group would surface as two spurious one-sided rows.
+    cond = None
+    for c in cols:
+        eq = hk[c].eqNullSafe(h1[c])
+        cond = eq if cond is None else (cond & eq)
     bad = (
-        hk.join(h1, cols, "full_outer")
+        hk.join(h1, cond, "full_outer")
         .filter((F.col("n_k").isNull()) | (F.col("n_exp").isNull())
                 | (F.col("n_k") != F.col("n_exp")))
         .count()
@@ -434,6 +457,23 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
             qs["q74_funnel"](spark, dst_ev),
             qs["q74_funnel"](spark, sf_dir),
             ["user_id"], k, stride=EVT_STRIDE))
+        # Temporal/as-of join family (round 14): q59's per-user as-of fill
+        # (union-tag + last(ignorenulls) window) runs entirely WITHIN
+        # user_id over (ts, event_id) order. Copy j's users replay the
+        # original timeline verbatim under disjoint ids, and the uniform
+        # per-copy event_id shift preserves within-user tie order -- the
+        # same argument q88's law rests on -- so every copy reproduces the
+        # 1x (click -> prior view) pairing exactly with ids shifted. The
+        # law carries the integer id triple; gap_sec is a rounded double
+        # and stays out. A click with no prior view has a NULL view_id on
+        # both sides (mod of null is null, and hist_law's below-stride
+        # assert ignores nulls -- correctly, since null needs no shift).
+        check("q59_asof_join", lambda: hist_law(
+            qs["q59_asof_join"](spark, dst_ev).select(
+                "user_id", "click_id", "view_id"),
+            qs["q59_asof_join"](spark, sf_dir).select(
+                "user_id", "click_id", "view_id"),
+            ["user_id", "click_id", "view_id"], k, stride=EVT_STRIDE))
         if not keep_failed or corpus_ok("events"):
             shutil.rmtree(dst_ev, ignore_errors=True)
 
