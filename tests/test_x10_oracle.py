@@ -120,6 +120,7 @@ def test_gate_end_to_end_at_k2(spark, tmp_path):
         "q114_arrow_batch_stats", "q105_length_buckets",
         "q228_lr_apportionment",
         "q220_incremental_equivalence", "q186_concurrent_sessions",
+        "q59_asof_join",
         "q01_pricing_summary", "q02_revenue_by_nation",
         "q172_zorder_layout", "q129_point_in_time_join",
         "q157_dataset_profile", "q174_equidepth_histogram",

@@ -68,6 +68,11 @@ hash, shared via tools/verify_lib.py), upgrading "executes at scale" to
   remainder ranking, and the source tiebreak over K-fold-scaled
   token masses -- the 28th family; the Spark-only gate additionally
   pins its full-row K-invariance as an exact law at K=100/300)
+- q59 as-of join on the K-fold events corpus (temporal-join family,
+  round 14: the union-tag + last(ignorenulls) merge_asof shape's
+  per-user tie ordering value-verified at volume, gap_sec included --
+  the 29th family; the Spark-only gate additionally pins its id-triple
+  law at K=100/300)
 
 Usage: python tools/x10_oracle.py [--sf-dir /root/testdata/sf0.1] [--k 10]
                                   [--out X10_ORACLE.json]
@@ -295,6 +300,22 @@ def _family_checks(spark, con, dst: str, k: int,
     row = check("q186_concurrent_sessions",
                 qs["q186_concurrent_sessions"](spark, dst_ev),
                 con, oracles["q186_concurrent_sessions"])
+    row["k"] = k
+    print(json.dumps(row), flush=True)
+    results.append(row)
+
+    # Temporal/as-of join family (round 14) on the same K-fold events:
+    # q59's union-tag + last(ignorenulls) window as-of fill -- the
+    # join-free merge_asof shape whose per-user (ts, event_id) tie
+    # ordering is exactly what volume stresses. Disjoint per-copy users
+    # replay the identical timeline, so every copy must reproduce the 1x
+    # click->prior-view pairing (ids shifted, gap_sec verbatim); a
+    # tie-break or window-frame defect that fixture volume hides becomes
+    # a cross-engine value divergence here. Complements the Spark-only
+    # q59 exact law at K=100/300 in tools/kfold_invariants.py with a
+    # second engine's full-row values (gap_sec included) to K=30.
+    row = check("q59_asof_join", qs["q59_asof_join"](spark, dst_ev),
+                con, oracles["q59_asof_join"])
     row["k"] = k
     print(json.dumps(row), flush=True)
     results.append(row)
