@@ -47,81 +47,82 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 14 instance: (1) empty -- every query has a driver row; (2) empty --
-# registry kept flat per the r13 verdict; (3) stalest green FIRST: the full
-# remaining r9-era block (45 queries, age 4 -- they would exceed MAX_AGE at
-# r15 close; q103/q107/q117/q66/q114 already rode r13's slack slots),
+# Round 15 instance: (1) empty -- every query has a driver row; (2) empty --
+# registry kept flat per the r14 verdict; (3) stalest green FIRST: the full
+# remaining r10-era block (45 queries, age 4 -- they would exceed MAX_AGE at
+# r16 close; q140/q106/q130/q138/q131 already rode r14's slack slots),
 # ordered by MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py
-# per-query timings, this round's 247/247 FAILS: 0 opening drive) with the
-# streaming-harness tier last -- its finite-replay micro-batches are the
-# cohort's cost outliers, so a wall-clock truncation drops replay shapes
-# before any cheap relational refresh. The 5 remaining slots (the 50-cap
-# minus 45) are filled with the heaviest r10-era entries by the same
-# measured timings (q140/q106/q130/q138/q131) to shave r15's otherwise-
-# 50-query need -- they are age 3, so losing them to truncation breaches
+# per-query timings from the r14 closing 247/247 FAILS: 0 drive -- operator
+# code unchanged since) with the streaming-harness tier last -- its
+# finite-replay micro-batches are the cohort's cost outliers, so a
+# wall-clock truncation drops replay shapes before any cheap relational
+# refresh. The 5 remaining slots (the 50-cap minus 45) are filled with the
+# heaviest r11-era entries by the same measured timings
+# (q169/q158/q180/q182/q202) to shave r16's otherwise-50-query refresh
+# need down to 45 -- they are age 3, so losing them to truncation breaches
 # nothing. Staged prefix measured before commit (tools/measure_prefix.py,
-# the r11 discipline): see BASELINE.md §Round-14. Total staged: exactly
+# the r11 discipline): see BASELINE.md §Round-15. Total staged: exactly
 # 50 -- the MEASURED driver budget, pinned by tests/test_freshness.py
-# since r10. Everything green in r13 (the r8-era rotation) and the
-# r10/r11/r12 blocks falls through to module order.
+# since r10. Everything green in r14 (the r9-era rotation) and the
+# r11/r12/r13 blocks falls through to module order.
 _PRIORITY = [
-    # (3) stalest green: latest green row is round 9 (age 4) -- refresh all
-    # 45 now so nothing exceeds MAX_AGE at r15 close. Measured-cheap shapes
+    # (3) stalest green: latest green row is round 10 (age 4) -- refresh all
+    # 45 now so nothing exceeds MAX_AGE at r16 close. Measured-cheap shapes
     # first.
-    "q12_part_topk",
-    "q68_dup_clusters",
-    "q52b_zscore_groups_checked",
-    "q66b_ivf_trained",
-    "q51b_decode_features_checked",
-    "q97_idle_rich_customers",
-    "q89_value_histogram",
-    "q04_customers_without_orders",
-    "q08_cube_lineitem",
-    "q13_nation_set_ops",
-    "q96_custdist",
-    "q14_pivot_status_year",
-    "q43_ngram_jaccard",
-    "q86_decontamination",
-    "q56_salted_join",
-    "q07_rollup_orders",
-    "q11_running_revenue",
-    "q20_scalar_gauntlet",
-    "q94_source_overlap",
-    "q109_audio_chunks",
-    "q108_scd2_merge",
-    "q03_order_priority_semi",
-    "q05_distinct_users",
-    "q09_grouping_sets",
-    "q10_top_orders_per_customer",
-    "q113_zipf_fit",
-    "q81_bm25_topk",
-    "q82_collocations",
-    "q118_decayed_engagement",
-    "q197_ab_welch",
-    "q21_json_extract",
-    "q58_bucketed_join",
-    "q111_big_orders",
-    "q02_revenue_by_nation",
-    "q01_pricing_summary",
-    "q87_embed_dim_stats",
-    "q93_dim_correlations",
-    "q99_label_purity",
-    "q49_cosine_neardup",
-    # (3 cont.) the streaming-harness tier: cost outliers of the cohort,
-    # staged last so truncation drops replay shapes, not cheap refreshes.
-    "q60_tumbling_window",
-    "q62_session_window",
-    "q61_sliding_window",
-    "q63_stream_tumbling",
-    "q64_stream_dedup",
-    "q70_stream_static_join",
-    # (3 cont.) heaviest r10-era greens (age 3) promoted into the 5 slack
-    # slots to shave r15's otherwise-50-query refresh need down to 45.
-    "q140_stream_outer_join",
-    "q106_minhash_estimator_error",
-    "q130_canonical_election",
-    "q138_cogroup_reconcile",
-    "q131_stream_dedup_gate",
+    "q119_edit_distance_verify",
+    "q142_gate_agreement",
+    "q148_top_supplier",
+    "q149_important_parts",
+    "q147_sql_udf_chunks",
+    "q83_dedup_purge",
+    "q85_inverted_index",
+    "q105_length_buckets",
+    "q110_malformed_quarantine",
+    "q90_sequence_packing",
+    "q88_sessionize",
+    "q127_event_transitions",
+    "q139_cheapest_supplier",
+    "q150_shipping_priority",
+    "q151_small_qty_revenue",
+    "q152_predicate_bands",
+    "q128_incremental_dedup",
+    "q144_dup_ngram_chars",
+    "q91_vocab_coverage",
+    "q101_source_mixing",
+    "q136_interarrival_histogram",
+    "q116_skew_report",
+    "q124_dupgraph_pagerank",
+    "q137_hybrid_dedup_audit",
+    "q95_curation_report",
+    "q112_training_manifest",
+    "q125_source_divergence",
+    "q126_dsir_resample",
+    "q129_point_in_time_join",
+    "q143_waiting_suppliers",
+    "q123_quality_classifier",
+    "q120_window_dedup",
+    "q122_dsir_weights",
+    "q132_doremi_mixture",
+    "q134_volume_shipping",
+    "q135_market_share",
+    "q104_ngram_decontam",
+    "q141_khop_neighborhood",
+    "q121_rrf_fusion",
+    "q92_bigram_lm_score",
+    "q146_source_embedding_drift",
+    "q145_decontam_dashboard",
+    "q102_token_budget_select",
+    "q100_gopher_rules",
+    # (3 cont.) the streaming-harness tier: the cohort's cost outlier,
+    # staged last so truncation drops the replay shape, not cheap refreshes.
+    "q98_stream_sessionize",
+    # (3 cont.) heaviest r11-era greens (age 3) promoted into the 5 slack
+    # slots to shave r16's otherwise-50-query refresh need down to 45.
+    "q169_python_datasource",
+    "q158_pq_distortion",
+    "q180_stream_update_mode",
+    "q182_stream_session_window",
+    "q202_prefix_filter_join",
 ]
 
 
@@ -139,6 +140,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
+
+    # A typo in the rotation must fail fast, not silently demote a
+    # must-refresh query to module order (the freshness gate would only
+    # catch that indirectly, a round later, when the age math trips).
+    unknown = set(_PRIORITY) - merged.keys()
+    if unknown:
+        raise ValueError(f"_PRIORITY names not in registry: {sorted(unknown)}")
 
     oracles = all_oracles()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

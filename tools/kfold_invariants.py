@@ -386,8 +386,12 @@ def run_gate(spark, sf_dir: str, k: int, work_dir: str,
         # step exists anywhere in the pipeline.
         def q161_law() -> dict:
             from hive_ddl_extract_tool_spark.operators.tokenizer import COVERAGE_BP
+            from hive_ddl_extract_tool_spark.tables import load as load_table
 
-            docs_1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            # load() (not raw spark.read.parquet) so the law pins the
+            # session confs itself instead of relying on an earlier check
+            # in run_gate having already called the helper.
+            docs_1 = load_table(spark, sf_dir, "documents")
             census_rows = (
                 docs_1.select(F.explode(F.regexp_extract_all(
                     F.lower("text"), F.lit(r"[^ \t\n\x0B\f\r]"), 0)).alias("ch"))

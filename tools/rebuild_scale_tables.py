@@ -10,7 +10,9 @@ content); replaces only the numeric cells. Rows map to log entries by
 POSITION — both tables list the gate's families in execution order, so
 after adding a family to tools/x10_oracle.py, first insert a placeholder
 row at the matching position in BOTH tables (and bump N_FAMILIES), then
-run this. Numbers use the narrow no-break space (U+202F) thousands
+run this. A misplaced placeholder cannot silently shift numbers under the
+wrong label: every row's label cell is parsed for its query code (e.g.
+``q42``) and asserted against the log entry's query name before rewrite. Numbers use the narrow no-break space (U+202F) thousands
 separator the rest of SCALE.md uses; the staged-read footnote markers
 (¹ on q42/q202/q218, ² on q220, ³ on q40's K=1 warm-up cell) are
 re-applied by query name.
@@ -36,6 +38,24 @@ STAGED2 = {"q220_incremental_equivalence"}  # ² memory-sink read
 
 def fmt(n: int) -> str:
     return f"{n:,}".replace(",", SEP)
+
+
+_QCODE = re.compile(r"q\d+[a-z]?")
+
+
+def label_code(*cells: str) -> str:
+    """Short query code (``q42``, ``q49b``) from a row's label cells, so a
+    misplaced placeholder row cannot silently receive another family's
+    numbers (positional zip otherwise trusts row order blindly). The q103
+    scaled-cells row's table-1 query cell names the internal helper, so it
+    is special-cased."""
+    for c in cells:
+        if "_semdedup_from_ranked" in c:
+            return "q103"
+        m = _QCODE.search(c)
+        if m:
+            return m.group(0)
+    raise AssertionError(f"no query code found in label cells {cells!r}")
 
 
 def load(path: str) -> list[dict]:
@@ -70,6 +90,9 @@ def main() -> int:
     for o, res in zip(old, k10):
         cells = o.split("|")
         assert res["match"], res
+        code = label_code(cells[2], cells[1])
+        assert res["query"].startswith(code + "_") or res["query"] == code, \
+            (code, res["query"])
         mark = ("¹" if res["query"] in STAGED1
                 else "²" if res["query"] in STAGED2 else "")
         txt = fmt(res["rows_spark"])
@@ -90,6 +113,9 @@ def main() -> int:
     for o, r1, r3, r10, r30 in zip(old, k1, k3, k10, k30):
         cells = o.split("|")
         assert r30["match"] and r1["query"] == r30["query"], (r1, r30)
+        code = label_code(cells[1])
+        assert r1["query"].startswith(code + "_") or r1["query"] == code, \
+            (code, r1["query"])
         for i, rr in zip((2, 3, 4, 5), (r1, r3, r10, r30)):
             cells[i] = f" {rr['sec_spark']} "
         if r1["query"] == "q40_exact_dedup":  # ³ fresh-process warm-up
