@@ -239,7 +239,10 @@ def _verified_intersections(ds: DataFrame, cand: DataFrame):
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select("doc_b"))
-        .distinct()
+        # No .distinct(): a LEFT SEMI join is EXISTS -- duplicate build-side
+        # keys cannot change its output, so deduping here only bought an
+        # extra Exchange + AQE round (r15 measurement: one full shuffle of
+        # the candidate-doc ids removed at every scale, result identical).
     )
     ds_c = ds.join(cand_docs, "doc_id", "semi")
     sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -35,15 +35,30 @@ def _dbl(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dot(a, b) -> Column:
+    """Double-accumulated dot product, ascending index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> Column:
+    """Double-accumulated L2 norm, ascending index order -- the exact
+    subexpression _cosine uses, exposed so hot paths can hoist it to a
+    per-ROW projection instead of recomputing both norms per candidate
+    PAIR (r15: the verify stage then does 1/3 of the float work; the
+    value is bit-identical because expression and accumulation order are
+    unchanged)."""
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def _cosine(a, b) -> Column:
     """Double-accumulated cosine, ascending index order (bit-identical to the
     DuckDB list_transform/list_sum oracle; DuckDB's builtin
     list_cosine_similarity accumulates in float32 and does NOT match)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(_dbl(b), F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 # DuckDB fragment: cosine(qe, ce) with identical accumulation
@@ -59,15 +74,29 @@ COSINE_SQL = """
 # --------------------------------------------------------------------------
 
 def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norms hoisted to per-ROW projections on each side (r15): the scored
+    cross join evaluates only the dot product per pair instead of dot + both
+    norms -- 1/3 of the float work on the O(|Q|*N) stage, bit-identical
+    values (same expressions, same accumulation order)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+    )
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -125,31 +154,56 @@ def _buckets(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> Data
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return emb.select("vec_id", bucket.alias("bucket"))
+    return emb.select("vec_id", "embedding", bucket.alias("bucket"))
 
 
 def _ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (vec_id, bucket): the signature build (8 hyperplane
-    projections per vector) is the expensive linear pass, and both q47's
-    query/corpus sides and q49b's candidate generation reuse it."""
+    """Persisted (vec_id, embedding, bucket): the signature build (8
+    hyperplane projections per vector) is the expensive linear pass, and
+    both q47's query/corpus sides and q49b's candidate generation reuse it.
+
+    The embedding column rides along since r15 (guide §8: attach the heavy
+    payload once at artifact-build time): the build scans embeddings anyway,
+    so staging the vector costs no extra scan or join, and q47 stops
+    re-joining the corpus by vec_id just to get the vector back -- at scale
+    that join was two full corpus exchanges per run. q49b's integer-only
+    candidate fan-out is unchanged: it reads (vec_id, bucket) and parquet
+    column pruning never materializes the vectors (pinned by
+    tests/test_plans.py::test_bucketed_neardup_candidates_prune_vectors)."""
     return cached_df(spark, f"ann_buckets:{sf_dir}", lambda: _buckets(spark, sf_dir))
 
 
 def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: join query and corpus only within the same LSH bucket, then exact
     cosine + top-3 inside the bucket. The bucket equi-join replaces the cross
-    product -- the shuffle moves each vector once, keyed by bucket."""
-    emb = load(spark, sf_dir, "embeddings")
-    bk = _ann_buckets(spark, sf_dir)
-    vecs = emb.join(bk, "vec_id")
+    product -- the shuffle moves each vector once, keyed by bucket. Both
+    sides read the staged (vec_id, embedding, bucket) artifact directly: no
+    join back to the embeddings table (r15: "2 Exchange + 1 join removed";
+    plan evidence in plans/r15/q47_ann_lsh_*.txt). Norms are hoisted out of
+    the per-pair cosine: |q| and |c| are per-ROW projections computed before
+    the bucket join (same expression, same accumulation order, bit-identical
+    result), so the verify stage does 1/3 of the float work per candidate."""
+    vecs = _ann_buckets(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+        "bucket",
     )
-    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        "bucket",
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -107,6 +107,18 @@ def test_bucketed_neardup_has_no_cartesian(spark, sf_dir):
     assert_no_cartesian(QUERIES["q49b_cosine_neardup_lsh"](spark, sf_dir))
 
 
+def test_bucketed_neardup_candidates_prune_vectors(spark, sf_dir):
+    """r15: the staged ANN artifact carries (vec_id, embedding, bucket) so
+    q47 stops re-joining the corpus for the vector -- but q49b's 37x
+    multi-probe fan-out must keep shuffling INTEGERS only: every scan of
+    the staged artifact in its plan must prune the embedding column."""
+    from hive_ddl_extract_tool_spark.operators.similarity import _ann_buckets
+
+    _ann_buckets(spark, sf_dir)  # ensure the artifact is staged
+    df = QUERIES["q49b_cosine_neardup_lsh"](spark, sf_dir)
+    assert_read_schema_only(df, "ann_buckets", {"vec_id", "bucket"})
+
+
 def test_salted_join_plan_shows_salt_expansion(spark, sf_dir):
     """q56's plan must carry the salt plumbing: the small side explodes the
     0..n_salts-1 sequence, and the join keys include the salt column."""
