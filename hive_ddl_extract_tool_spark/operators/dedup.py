@@ -68,7 +68,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) -> Data
     it -- without the persist, documents would be scanned and re-shingled up
     to 3x per query. Single-consumer pipelines (q41 standalone) leave it off
     so the shingle stream fuses straight into their aggregation (measured:
-    the persist costs ~1.2 s at sf0.1 with no reuse to amortize it)."""
+    the persist costs ~1.2 s at sf0.1 with no reuse to amortize it).
+
+    r15 note: a doc_id-BUCKETED staged table (guide §2.4) was built and
+    measured here -- it provably removes three consumer-side Exchanges
+    (MinHash groupBy, verify sizes, verify join big side) -- but the
+    bucketed saveAsTable write+readback cost q42 +2.3 s at sf0.1 against
+    the parquet stage (interleaved 12-run A/B, bias-corrected), so it was
+    rejected and the plain parquet stage kept; see OPTIMIZATION_r15.md
+    §E4 for the numbers and the conditions under which the bucketed
+    variant wins (many consumers per staging, artifact >> exchange
+    overhead)."""
 
     def build() -> DataFrame:
         return _doc_shingles_raw(spark, sf_dir).distinct()
@@ -106,11 +116,19 @@ DS_HASH_SQL = (
 # --------------------------------------------------------------------------
 
 def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped by the 128-bit md5 of the normalized text, not the text
+    itself (r15, guide §2.3 "shuffle keys instead of payloads"): the dedup
+    exchange ships a 32-byte digest per document instead of the whole
+    normalized body -- at corpus scale that shrinks the one data-sized
+    shuffle by ~2-3 orders of magnitude. Group membership is unchanged for
+    any input that does not contain an md5 collision (probability ~2^-64
+    at a billion docs; the oracle still groups by the full text, so the
+    driver's hash comparison would catch a collision as a row diff)."""
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), WS, " "))
     return (
-        docs.select(norm.alias("norm"), "doc_id")
-        .groupBy("norm")
+        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("keep_id", "n_dups")
     )
@@ -428,10 +446,20 @@ WHERE round(inter / (za.sz + zb.sz - inter), 6) >= {JACCARD_THRESHOLD}
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bit weighted vote over token hashes; one aggregation pyramid
     (doc,token)->(doc,bit)->(doc). The bit explosion (x60) happens after tf
-    aggregation, so volume is bounded by vocab size per doc."""
+    aggregation, so volume is bounded by vocab size per doc.
+
+    r15 (guide §2.4): the whole pyramid runs behind ONE exchange. Documents
+    are repartitioned by doc_id BEFORE tokenizing -- the shuffle carries
+    each raw text once (about the bytes the old (doc_id, token, tf)
+    exchange carried) -- and every later aggregate's keys start with
+    doc_id, so HashPartitioning(doc_id) satisfies all three clusterings
+    and the (doc,token) tf, (doc,bit) vote, and per-doc fold stages plan
+    with NO further Exchange (was 3; plan diff in plans/r15/)."""
     docs = load(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(_words()).alias("token"))
+        docs.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(_words()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", h60("token"))
@@ -1289,7 +1317,9 @@ def q137_hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         pairs.select(F.col("doc_a").alias("vec_id"))
         .union(pairs.select("doc_b"))
-        .distinct()
+        # no .distinct(): LEFT SEMI build side -- duplicates cannot change
+        # the output, the dedup only added an exchange (r15, same fix as
+        # _verified_intersections.cand_docs)
     )
     emb = load(spark, sf_dir, "embeddings")
     dbl = _dbl(F.col("embedding"))

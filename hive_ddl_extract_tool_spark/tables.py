@@ -44,13 +44,33 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
+# (app_id, path) -> StructType. Every schema-less spark.read.parquet() runs
+# a footer-inference JOB before the query proper (visible as the "parquet
+# at" jobs in the event log, ~40-80 ms each on local[32]); a bench/driver
+# sweep re-loads the same 10 immutable fixture files hundreds of times, so
+# r15 caches the inferred schema per session and passes it explicitly --
+# later loads skip the inference job entirely. App-scoped on purpose: a new
+# session (or a data drop between sessions) re-infers from the files.
+_SCHEMAS: dict[tuple[str, str], object] = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMAS.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_defaults(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
 
 
 def events_ts_type(spark: SparkSession, sf_dir: str):
@@ -60,7 +80,9 @@ def events_ts_type(spark: SparkSession, sf_dir: str):
     _events_stream) consult, so the two paths cannot drift if a third
     encoding ever ships."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    return _read_parquet_cached_schema(spark, f"{sf_dir}/events.parquet").schema[
+        "ts"
+    ].dataType
 
 
 def normalize_events_ts(df: DataFrame, ts_type) -> DataFrame:
@@ -81,7 +103,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts has shipped in two parquet encodings (see events_ts_type /
     normalize_events_ts); probe once and normalize in the plan."""
     ts_type = events_ts_type(spark, sf_dir)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_parquet_cached_schema(spark, f"{sf_dir}/events.parquet")
     return normalize_events_ts(df, ts_type)
 
 
