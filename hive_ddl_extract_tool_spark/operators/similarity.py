@@ -178,8 +178,8 @@ def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine + top-3 inside the bucket. The bucket equi-join replaces the cross
     product -- the shuffle moves each vector once, keyed by bucket. Both
     sides read the staged (vec_id, embedding, bucket) artifact directly: no
-    join back to the embeddings table (r15: "2 Exchange + 1 join removed";
-    plan evidence in plans/r15/q47_ann_lsh_*.txt). Norms are hoisted out of
+    join back to the embeddings table (r15 plan diff: 3 Exchange -> 1 and
+    3 joins -> 1, plans/r15/q47_ann_lsh_*.txt). Norms are hoisted out of
     the per-pair cosine: |q| and |c| are per-ROW projections computed before
     the bucket join (same expression, same accumulation order, bit-identical
     result), so the verify stage does 1/3 of the float work per candidate."""
