@@ -73,8 +73,13 @@ def cached_df(spark: SparkSession, key: str, builder: Callable[[], DataFrame]) -
     for k in [k for k in _CACHE if k[0] != app_id]:
         _evict(k)
     stage_dir = tempfile.mkdtemp(prefix="stage_" + "".join(c if c.isalnum() else "_" for c in key) + "_")
-    builder().write.mode("overwrite").parquet(stage_dir)
-    df = spark.read.parquet(stage_dir)
+    built = builder()
+    built.write.mode("overwrite").parquet(stage_dir)
+    # Read back with the builder's schema stated explicitly: a schema-less
+    # read runs a footer-inference JOB first (r15; same fix as
+    # tables._read_parquet_cached_schema), and the staged files were just
+    # written from exactly this schema.
+    df = spark.read.schema(built.schema).parquet(stage_dir)
     _CACHE[full_key] = (df, stage_dir)
     return df
 
