@@ -9,6 +9,16 @@ JSON line:
 Each query is timed action-to-action (trigger the full plan with a count on
 the result), session warm. Set BENCH_QUERIES=q01_...,q02_... to subset;
 BENCH_ALL=1 to run every registered query instead of the headline set.
+
+r16 addition (telemetry only -- no existing key changed, no timing
+methodology changed): the host is multi-tenant and bursty (the identical
+binary has measured 24 s and 62 s back to back), so the JSON line now also
+carries a "probes" map -- the wall seconds of a fixed 8-process spin
+workload run BEFORE the sweep and AFTER each query, outside the timed
+region. On an idle box every probe sits near the same floor (~0.02-0.05 s);
+a probe several times the run's own minimum marks the adjacent query
+timings as contention-contaminated. Consumers that predate r16 can ignore
+the new keys.
 """
 
 from __future__ import annotations
@@ -17,6 +27,35 @@ import json
 import os
 import sys
 import time
+
+PROBE_WORKERS = 8
+PROBE_LOOPS = 300_000
+
+
+def _spin(n: int) -> int:
+    x = 1
+    for _ in range(n):
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+    return x
+
+
+def _make_prober():
+    """Persistent process pool -> probe() measuring one 8-way spin. Returns
+    a no-op prober on any failure: telemetry must never break the bench."""
+    try:
+        import multiprocessing as mp
+
+        pool = mp.get_context("fork").Pool(PROBE_WORKERS)
+
+        def probe() -> float:
+            t0 = time.perf_counter()
+            pool.map(_spin, [PROBE_LOOPS] * PROBE_WORKERS)
+            return round(time.perf_counter() - t0, 4)
+
+        probe()  # warm the pool (fork + import cost stays out of sample 1)
+        return probe
+    except Exception:
+        return lambda: None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -68,11 +107,15 @@ def main() -> None:
     # warm the session + file listing so q01 doesn't pay JVM startup
     queries["q01_pricing_summary"](spark, sf_dir).count()
 
+    probe = _make_prober()
+    probes: dict[str, float | None] = {"pre_sweep": probe()}
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # contention probe AFTER the timing capture -- never inside it
+        probes[name] = probe()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -81,6 +124,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # r16 telemetry (see module docstring); additions only
+        "probes": probes,
+        "probe_workers": PROBE_WORKERS,
+        "probe_loops": PROBE_LOOPS,
     }))
 
 
