@@ -63,12 +63,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) -> Data
     bytes ~3x; every downstream consumer (minhash, jaccard, sizes) only needs
     hash identity, and the oracles hash identically.
 
-    cache=True persists the set: q42 consumes it in two subtrees (signatures
-    and the Jaccard verify) Catalyst does not CSE across, and q43 self-joins
-    it -- without the persist, documents would be scanned and re-shingled up
+    cache=True persists the set for pipelines with several corpus-sized
+    consumers Catalyst does not CSE across: q43 self-joins it, q202/q218
+    derive both their candidate keys and their verify shingles from it --
+    without the persist, documents would be scanned and re-shingled up
     to 3x per query. Single-consumer pipelines (q41 standalone) leave it off
     so the shingle stream fuses straight into their aggregation (measured:
-    the persist costs ~1.2 s at sf0.1 with no reuse to amortize it).
+    the persist costs ~1.2 s at sf0.1 with no reuse to amortize it). The
+    q42/q193 chain no longer uses it at all (r16): its signatures come off
+    the raw stream and its verify off the candidate-only q42_dsc stage, so
+    nothing corpus-sized is written per session on that path.
 
     r15 note: a doc_id-BUCKETED staged table (guide §2.4) was built and
     measured here -- it provably removes three consumer-side Exchanges
@@ -103,6 +107,21 @@ def _doc_shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
         .select("doc_id", h60("shingle").alias("sh"))
     )
+
+
+# r16 measured-and-REJECTED: a per-doc hash-ARRAY pipeline (transform(sharr,
+# h60) + array_min/array_distinct reductions) that made the MinHash signature
+# a pure projection with zero exchanges. Interleaved A/B at sf0.1: q41
+# 2.5 -> 10.6 s, q42 5.3 -> 32 s (probes idle, so real). Two causes, both
+# visible in the captured plan: (a) higher-order functions are
+# CodegenFallback -- every md5 ran interpreted instead of inside
+# WholeStageCodegen; (b) the emptiness filter (size(hms) > 0) was pushed
+# below the projections, duplicating the whole split/shingle/md5 pipeline
+# into the Filter with the split re-inlined per element_at access (the
+# O(words^2) pathology _doc_shingles_raw's materialized word array exists to
+# avoid). The exploded row stream + codegen'd groupBy stays the right shape
+# for corpus-sized hashing; per-row HOF signatures remain correct where rows
+# are few and codegen is unavailable anyway (the q131 streaming arm).
 
 
 # DuckDB twin of _doc_shingles
@@ -158,7 +177,9 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built from the RAW shingle stream (no distinct): min() is insensitive to
     duplicate shingles, so the usual dedup shuffle is skipped entirely and
     the only exchange carries map-side-combined partial minima -- one row
-    per (doc, partition), constant in document length."""
+    per (doc, partition), constant in document length. (A zero-exchange
+    array-HOF variant was measured 4x slower -- see the rejection note
+    above q40.)"""
     return _minhash_from_shingles(_doc_shingles_raw(spark, sf_dir))
 
 
@@ -210,7 +231,7 @@ def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_df(spark, f"q42_pairs:{sf_dir}", lambda: _q42_build(spark, sf_dir))
 
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str, ds: DataFrame) -> DataFrame:
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged LSH band-candidate pairs (doc_a < doc_b): the shared front
     half of every shingle-verified pipeline (q42 resemblance, q193
     containment). Band keys straight off the WIDE signature: band b's key
@@ -220,12 +241,19 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str, ds: DataFrame) -> DataFram
     detour: one exchange and all string building removed from the band
     build (measured ~0.7 s at sf0.1). Staged because the candidate set
     feeds the semi-filter AND the verify join (no CSE across subtrees),
-    and it is tiny by construction."""
+    and it is tiny by construction.
+
+    The signatures come straight from the RAW shingle stream: every band
+    key is a min() over the doc's shingle hashes, which duplicate shingles
+    cannot change, so no distinct shingle set is built first (r16 -- the
+    r15 chain staged the corpus-sized distinct set and computed the
+    signatures from the staged copy; the one exchange here carries
+    map-side-combined partial minima, one row per (doc, partition))."""
     rows_per_band = N_HASHES // N_BANDS
     assert rows_per_band == 2, "band-key pair layout assumes 2 rows/band"
 
     def build_cand() -> DataFrame:
-        bands = _band_rows(_minhash_wide(ds))
+        bands = _band_rows(_minhash_wide(_doc_shingles_raw(spark, sf_dir)))
         a, b = bands.alias("a"), bands.alias("b")
         return (
             a.join(
@@ -242,51 +270,95 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str, ds: DataFrame) -> DataFram
     return cached_df(spark, f"q42_cand:{sf_dir}", build_cand)
 
 
-def _verified_intersections(ds: DataFrame, cand: DataFrame):
-    """Shared verify front half for every candidate-pair pipeline (q42
-    resemblance, q193 containment, q202 prefix-filter): semi-filter the
-    shingle table to candidate documents FIRST -- the (doc_id, sh)
-    exchanges then carry |cand_docs| * ~shingles rows instead of the
-    whole corpus (at 100 TB the difference between a corpus-sized
-    shuffle and a near-dup-sized one) -- then count exact pairwise
-    intersections. No broadcast hint on cand_docs: it grows with the
-    corpus's near-dup population, so forcing a driver-side broadcast
-    would OOM on a dup-heavy crawl; AQE demotes the semi-join to
-    broadcast at runtime whenever it IS small. Returns (inter, sizes):
-    (doc_a, doc_b, inter) and per-doc distinct-shingle counts."""
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select("doc_b"))
-        # No .distinct(): a LEFT SEMI join is EXISTS -- duplicate build-side
-        # keys cannot change its output, so deduping here only bought an
-        # extra Exchange + AQE round (r15 measurement: one full shuffle of
-        # the candidate-doc ids removed at every scale, result identical).
-    )
-    ds_c = ds.join(cand_docs, "doc_id", "semi")
-    sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+def _cand_shingle_sizes(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    cand: DataFrame,
+    ds: DataFrame | None = None,
+) -> DataFrame:
+    """Staged (doc_id, sh, sz): the DISTINCT shingles of every document in
+    a candidate pair, with the doc's distinct-shingle count attached to
+    each row. THE verify-side artifact (r16, guide §8 "decide with small
+    rows"): it is near-dup-population-sized, so the exact-Jaccard verify
+    reads IT -- twice, as the two join sides -- instead of re-deriving
+    candidate shingles per subtree (the r15 shape re-scanned the
+    corpus-sized shingle table four times per verify and re-ran the
+    candidate-docs semi-filter in each copy).
+
+    ds=None rebuilds from the RAW shingle stream (one extra documents
+    scan; dedup happens AFTER the semi-filter, so the distinct shuffle is
+    candidate-sized, never corpus-sized). Passing a staged distinct
+    shingle table reuses it instead (q202/q218, whose candidate
+    generation needs the full table anyway).
+
+    Carrying sz per row (a window count) instead of a separate
+    (doc_id, sz) aggregate removes the two sizes joins and their
+    aggregate from every consumer's final plan; the repartition keys the
+    one exchange on doc_id, which satisfies the distinct's (doc_id, sh)
+    clustering AND the window's partitioning, so dedup + count plan with
+    no further shuffle (the q44 pyramid trick). No broadcast hint on
+    cand_docs, as before: AQE demotes the semi to broadcast when small."""
+
+    def build() -> DataFrame:
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select("doc_b"))
+            # No .distinct(): a LEFT SEMI join is EXISTS -- duplicate
+            # build-side keys cannot change its output (r15).
+        )
+        src = _doc_shingles_raw(spark, sf_dir) if ds is None else ds
+        ds_c = src.join(cand_docs, "doc_id", "semi").repartition("doc_id")
+        if ds is None:
+            ds_c = ds_c.distinct()
+        return ds_c.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+
+    return cached_df(spark, key, build)
+
+
+def _verified_pair_stats(ds_c: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared exact verify for every candidate-pair pipeline (q42
+    resemblance, q193 containment, q202 prefix-filter, q218 SNM):
+    (doc_a, doc_b, inter, sz_a, sz_b) -- pairwise distinct-shingle
+    intersection counts plus both docs' set sizes, from the staged
+    candidate-shingle artifact (_cand_shingle_sizes). sz is constant per
+    doc, so min() after the pair grouping recovers it exactly; every
+    downstream similarity (Jaccard, containment) is a projection of this
+    one aggregate -- no sizes joins."""
+    sa, sb = ds_c.alias("sa"), ds_c.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            ds_c.alias("sb"),
+            sb,
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("sa.sz").alias("sz_a"),
+            F.min("sb.sz").alias("sz_b"),
+        )
     )
-    return inter, sizes
 
 
 def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _doc_shingles(spark, sf_dir, cache=True)
-    cand = _lsh_candidates(spark, sf_dir, ds)
-    inter, sizes = _verified_intersections(ds, cand)
+    """r16 shape (guide §8): candidates from the RAW shingle stream (min is
+    duplicate-insensitive, so the corpus-sized distinct of the r15 chain is
+    not needed for signatures), then verify on the staged candidate-only
+    shingle artifact. Nothing corpus-sized is ever staged or re-read: the
+    old chain wrote the full distinct shingle set to scratch and scanned it
+    four more times in the verify; this one scans documents twice (once per
+    staging job) and every staged artifact is near-dup-population-sized."""
+    cand = _lsh_candidates(spark, sf_dir)
+    ds_c = _cand_shingle_sizes(spark, sf_dir, f"q42_dsc:{sf_dir}", cand)
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        _verified_pair_stats(ds_c, cand)
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 6).alias("jaccard"),
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -349,19 +421,14 @@ def q193_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-filtered to candidate docs before the verify joins, all ratios
     integer ppm. The smaller-set side is reported as the contained doc
     (ties break to doc_a)."""
-    ds = _doc_shingles(spark, sf_dir, cache=True)
-    cand = _lsh_candidates(spark, sf_dir, ds)
-    inter, sizes = _verified_intersections(ds, cand)
-    scored = (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("za.sz").alias("sza"),
-            F.col("zb.sz").alias("szb"),
-            "inter",
-        )
+    cand = _lsh_candidates(spark, sf_dir)
+    ds_c = _cand_shingle_sizes(spark, sf_dir, f"q42_dsc:{sf_dir}", cand)
+    scored = _verified_pair_stats(ds_c, cand).select(
+        "doc_a",
+        "doc_b",
+        F.col("sz_a").alias("sza"),
+        F.col("sz_b").alias("szb"),
+        "inter",
     )
     small_is_a = (F.col("sza") < F.col("szb")) | (
         (F.col("sza") == F.col("szb")) & (F.col("doc_a") < F.col("doc_b"))
@@ -1903,18 +1970,17 @@ def _q202_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q42/q193 staging discipline)."""
     ds = _doc_shingles(spark, sf_dir, cache=True)
     cand = _q202_candidates(ds)
-    inter, sizes = _verified_intersections(ds, cand)
+    ds_c = _cand_shingle_sizes(spark, sf_dir, f"q202_dsc:{sf_dir}", cand, ds=ds)
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        _verified_pair_stats(ds_c, cand)
         .select(
             "doc_a",
             "doc_b",
-            F.col("za.sz").cast("bigint").alias("sz_a"),
-            F.col("zb.sz").cast("bigint").alias("sz_b"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
             F.col("inter").cast("bigint").alias("inter"),
             F.expr(
-                "CAST(inter * 1000000 DIV (za.sz + zb.sz - inter) AS BIGINT)"
+                "CAST(inter * 1000000 DIV (sz_a + sz_b - inter) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)
@@ -2003,15 +2069,14 @@ def _q218_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.distinct()
-    inter, sizes = _verified_intersections(ds, cand)
+    ds_c = _cand_shingle_sizes(spark, sf_dir, f"q218_dsc:{sf_dir}", cand, ds=ds)
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        _verified_pair_stats(ds_c, cand)
         .select(
             "doc_a",
             "doc_b",
             F.expr(
-                "CAST(inter * 1000000 DIV (za.sz + zb.sz - inter) AS BIGINT)"
+                "CAST(inter * 1000000 DIV (sz_a + sz_b - inter) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)

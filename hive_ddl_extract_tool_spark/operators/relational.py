@@ -94,21 +94,37 @@ GROUP BY l_returnflag, l_linestatus
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem |><| orders |><| customer |><| nation |><| region.
 
-    nation/region are broadcast explicitly (tiny at every SF); the
-    lineitem-orders join is the only shuffle that grows with data size and it
-    is an equi-join on the natural key, which AQE will skew-split if needed.
+    r16 (guide §3/§2.3): the dimension chain is PRE-JOINED into one
+    (c_custkey, n_name, r_name) input with the region filter applied inside
+    it, and the fact joins run smallest-first (orders |><| customers, then
+    lineitem last). Catalyst cannot reorder this itself (no CBO stats), and
+    it wins twice at scale: the r_name filter drops ~3/5 of customers -- and
+    therefore of orders -- BEFORE anything order- or lineitem-sized is
+    joined, and lineitem (the biggest table) is shuffled into exactly one
+    join on its natural key instead of carrying the whole chain. Locally it
+    also collapses the 5 sequential AQE broadcast-build jobs to 2-3. The
+    dims are broadcast explicitly (tiny at every SF); the surviving big
+    joins are equi-joins on natural keys, which AQE skew-splits if needed.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
-    nation = F.broadcast(load(spark, sf_dir, "nation"))
-    region = F.broadcast(load(spark, sf_dir, "region"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    nr = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    cust = (
+        customer.join(F.broadcast(nr), customer.c_nationkey == nr.n_nationkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(li.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(
             # exact 1e-4-dollar integers (see q01's money discipline)

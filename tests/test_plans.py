@@ -7,6 +7,8 @@ results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from hive_ddl_extract_tool_spark.operators import all_queries
 from hive_ddl_extract_tool_spark.plans.explain import (
@@ -144,11 +146,12 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
 
 
 def test_q42_scans_documents_once(spark, sf_dir):
-    """The MinHash-LSH pipeline consumes the shingle set in two subtrees
-    (signatures, Jaccard verify): documents must be scanned ONCE -- the
-    staged shingle parquet feeds every consumer, so the final plan contains
-    at most one reference to the raw documents file (and the staging job
-    itself is the single real scan)."""
+    """The MinHash-LSH verify must run entirely on the two staged
+    near-dup-sized artifacts (band candidates + candidate shingles with
+    sizes): the final build plan reads NO corpus-sized input -- not the
+    raw documents file and not a full staged shingle set (r16: the
+    corpus-sized distinct shingle stage is gone from the q42 chain; each
+    staging job performs its own single documents scan)."""
     from hive_ddl_extract_tool_spark.operators._cache import clear_cache
     from hive_ddl_extract_tool_spark.operators.dedup import _q42_build
 
@@ -156,9 +159,42 @@ def test_q42_scans_documents_once(spark, sf_dir):
     # assert on the BUILD pipeline: the registered q42 stages its result,
     # so its own plan is just the staged read
     plan = formatted_plan(_q42_build(spark, sf_dir))
-    assert plan.count("documents.parquet") <= 1, (
-        f"documents scanned more than once:\n{plan}"
+    assert plan.count("documents.parquet") == 0, (
+        f"corpus scanned in the verify:\n{plan}"
     )
+    assert "q42_dsc" in plan and "q42_cand" in plan, plan
+    assert "stage_doc_shingles" not in plan, (
+        f"corpus-sized shingle stage in the verify:\n{plan[:2000]}"
+    )
+    # exactly one shuffle: the (doc_a, doc_b) pair aggregation (formatted
+    # plans print each node twice -- tree + details)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q42_dsc_stage_is_one_exchange(spark, sf_dir):
+    """The candidate-shingle staging job (q42_dsc) must plan its
+    semi-filter -> distinct -> per-doc size chain behind ONE doc_id
+    exchange: HashPartitioning(doc_id) satisfies both the (doc_id, sh)
+    dedup clustering and the window partitioning, so no further shuffle
+    may appear (r16)."""
+    from hive_ddl_extract_tool_spark.operators import dedup as d
+    from hive_ddl_extract_tool_spark.operators._cache import clear_cache
+
+    clear_cache()
+    cand = d._lsh_candidates(spark, sf_dir)
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(cand.select("doc_b"))
+    build = (
+        d._doc_shingles_raw(spark, sf_dir)
+        .join(cand_docs, "doc_id", "semi")
+        .repartition("doc_id")
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    plan = formatted_plan(build)
+    assert plan.count("Exchange hashpartitioning") <= 2, (
+        f"dedup/size chain shuffles beyond the doc_id repartition:\n{plan}"
+    )
+    assert "Window" in plan, plan
 
 
 def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
@@ -859,12 +895,17 @@ def test_entropy_rate_single_scan_window_total(spark, sf_dir):
 
 
 def test_containment_rides_staged_candidates(spark, sf_dir):
-    """q193 must verify containment on the SAME staged LSH candidate set
-    q42 uses (one band join per session) and semi-filter the shingle
-    table to candidate docs before the verify joins."""
+    """q193 must verify containment on the SAME staged artifacts q42 uses:
+    the LSH candidate set (one band join per session) and the
+    candidate-only shingle+size table (r16) -- the semi-filter to
+    candidate docs happens once, in the q42_dsc staging job, so the final
+    plan must read those two artifacts and never a corpus-sized input
+    (raw documents or the full staged shingle set)."""
     plan = formatted_plan(QUERIES["q193_containment_dedup"](spark, sf_dir))
     assert "q42_cand" in plan, f"containment not riding staged candidates:\n{plan[:2000]}"
-    assert "LeftSemi" in plan, f"shingle table not semi-filtered:\n{plan[:2000]}"
+    assert "q42_dsc" in plan, f"verify not riding the candidate shingle stage:\n{plan[:2000]}"
+    assert "documents.parquet" not in plan, f"corpus re-scanned in the verify:\n{plan[:2000]}"
+    assert "stage_doc_shingles" not in plan, f"corpus-sized shingle stage in the verify:\n{plan[:2000]}"
 
 
 def test_python_datasink_readback_plan(spark, sf_dir):
@@ -950,7 +991,9 @@ def test_prefix_filter_join_shapes(spark, sf_dir):
     # (three consumers), so its own plan is just the staged read
     plan = formatted_plan(_q202_build(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "LeftSemi" in plan, f"shingles not semi-filtered:\n{plan[:2000]}"
+    # the semi-filter to candidate docs runs once, inside the q202_dsc
+    # staging job (r16); the verify must read that staged artifact
+    assert "q202_dsc" in plan, f"verify not riding candidate shingle stage:\n{plan[:2000]}"
     # the dfreq aggregate scales with the corpus: its join must stay a
     # shuffle join (MERGE hint) -- at a 10x-inflated sf0.1 the static
     # under-estimate crossed the broadcast threshold and the driver-side
@@ -1102,7 +1145,9 @@ def test_sorted_neighborhood_banded_window(spark, sf_dir):
     clear_cache()
     plan = formatted_plan(_q218_build(spark, sf_dir))
     assert "SinglePartition" not in plan, f"unbanded global sort window:\n{plan[:2000]}"
-    assert "LeftSemi" in plan, plan
+    # the semi-filter to candidate docs runs once, inside the q218_dsc
+    # staging job (r16); the verify must read that staged artifact
+    assert "q218_dsc" in plan, plan
 
 
 def test_cusum_window_over_days_not_events(spark, sf_dir):
