@@ -47,82 +47,84 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS file: drop everything it turned green to the back, promote
 # whatever it still never reached.
 #
-# Round 15 instance: (1) empty -- every query has a driver row; (2) empty --
-# registry kept flat per the r14 verdict; (3) stalest green FIRST: the full
-# remaining r10-era block (45 queries, age 4 -- they would exceed MAX_AGE at
-# r16 close; q140/q106/q130/q138/q131 already rode r14's slack slots),
-# ordered by MEASURED sf0.01 sweep cost ascending (tools/drive_driver.py
-# per-query timings from the r14 closing 247/247 FAILS: 0 drive -- operator
-# code unchanged since) with the streaming-harness tier last -- its
-# finite-replay micro-batches are the cohort's cost outliers, so a
-# wall-clock truncation drops replay shapes before any cheap relational
-# refresh. The 5 remaining slots (the 50-cap minus 45) are filled with the
-# heaviest r11-era entries by the same measured timings
-# (q169/q158/q180/q182/q202) to shave r16's otherwise-50-query refresh
-# need down to 45 -- they are age 3, so losing them to truncation breaches
-# nothing. Staged prefix measured before commit (tools/measure_prefix.py,
-# the r11 discipline): see BASELINE.md §Round-15. Total staged: exactly
-# 50 -- the MEASURED driver budget, pinned by tests/test_freshness.py
-# since r10. Everything green in r14 (the r9-era rotation) and the
-# r11/r12/r13 blocks falls through to module order.
+# Round 16 instance: (1) empty -- every query has a driver row; (2) the
+# four queries whose PLANS were rewritten by this optimization round and
+# whose cohort slot does not already stage them -- q42 (candidate-sized
+# verify artifacts), q02 (pre-joined dim chain), q202/q218 (shared verify
+# helper) -- their old green rows adjudicate the old plans, so they go
+# first (q193, the fifth rewrite, is already in the stale cohort below);
+# (3) stalest green: the full r11-era block (45 queries, age 4 -- they
+# would exceed MAX_AGE at r17 close), ordered by MEASURED sf0.01 sweep
+# cost ascending (tools/drive_driver.py per-query timings from this
+# round's opening 247/247 FAILS: 0 drive) with the streaming-harness /
+# sink tier last -- its finite-replay micro-batches are the cohort's cost
+# outliers, so a wall-clock truncation drops replay shapes before any
+# cheap relational refresh. The 1 remaining slot is the heaviest r12-era
+# entry (q217) to shave r17's refresh need -- age 3, so losing it to
+# truncation breaches nothing. Staged prefix measured before commit
+# (tools/measure_prefix.py, the r11 discipline): see BASELINE.md
+# §Round-16. Total staged: exactly 50 -- the MEASURED driver budget,
+# pinned by tests/test_freshness.py since r10. Everything green in r15
+# (the r10-era rotation) and the r12/r13/r14 blocks falls through to
+# module order.
 _PRIORITY = [
-    # (3) stalest green: latest green row is round 10 (age 4) -- refresh all
-    # 45 now so nothing exceeds MAX_AGE at r16 close. Measured-cheap shapes
-    # first.
-    "q119_edit_distance_verify",
-    "q142_gate_agreement",
-    "q148_top_supplier",
-    "q149_important_parts",
-    "q147_sql_udf_chunks",
-    "q83_dedup_purge",
-    "q85_inverted_index",
-    "q105_length_buckets",
-    "q110_malformed_quarantine",
-    "q90_sequence_packing",
-    "q88_sessionize",
-    "q127_event_transitions",
-    "q139_cheapest_supplier",
-    "q150_shipping_priority",
-    "q151_small_qty_revenue",
-    "q152_predicate_bands",
-    "q128_incremental_dedup",
-    "q144_dup_ngram_chars",
-    "q91_vocab_coverage",
-    "q101_source_mixing",
-    "q136_interarrival_histogram",
-    "q116_skew_report",
-    "q124_dupgraph_pagerank",
-    "q137_hybrid_dedup_audit",
-    "q95_curation_report",
-    "q112_training_manifest",
-    "q125_source_divergence",
-    "q126_dsir_resample",
-    "q129_point_in_time_join",
-    "q143_waiting_suppliers",
-    "q123_quality_classifier",
-    "q120_window_dedup",
-    "q122_dsir_weights",
-    "q132_doremi_mixture",
-    "q134_volume_shipping",
-    "q135_market_share",
-    "q104_ngram_decontam",
-    "q141_khop_neighborhood",
-    "q121_rrf_fusion",
-    "q92_bigram_lm_score",
-    "q146_source_embedding_drift",
-    "q145_decontam_dashboard",
-    "q102_token_budget_select",
-    "q100_gopher_rules",
-    # (3 cont.) the streaming-harness tier: the cohort's cost outlier,
-    # staged last so truncation drops the replay shape, not cheap refreshes.
-    "q98_stream_sessionize",
-    # (3 cont.) heaviest r11-era greens (age 3) promoted into the 5 slack
-    # slots to shave r16's otherwise-50-query refresh need down to 45.
-    "q169_python_datasource",
-    "q158_pq_distortion",
-    "q180_stream_update_mode",
-    "q182_stream_session_window",
+    # (2) plans rewritten this round -- need fresh adjudication first
+    "q02_revenue_by_nation",
+    "q42_minhash_lsh_dedup",
+    "q218_sorted_neighborhood",
     "q202_prefix_filter_join",
+    # (3) stalest green: latest green row is round 11 (age 4) -- refresh
+    # all 45 now. Measured-cheap shapes first.
+    "q181_arrow_python_udf",
+    "q184_listagg",
+    "q200_time_weighted_avg",
+    "q174_equidepth_histogram",
+    "q155_nation_profit",
+    "q177_join_cardinality_audit",
+    "q168_incremental_stats_merge",
+    "q153_promo_share",
+    "q187_weighted_sample",
+    "q196_cdc_apply",
+    "q154_returned_items",
+    "q183_bitmap_distinct",
+    "q166_deletion_manifest",
+    "q193_containment_dedup",
+    "q192_entropy_rate",
+    "q161_char_coverage",
+    "q162_negative_sampling_table",
+    "q164_source_ablation",
+    "q199_conversion_paths",
+    "q167_cluster_split",
+    "q189_rolling_active_users",
+    "q195_position_attribution",
+    "q198_ewma",
+    "q201_hll_shard_merge",
+    "q176_grouped_agg_udf",
+    "q160_truncation_recall",
+    "q172_zorder_layout",
+    "q179_schema_evolution_merge",
+    "q173_bloom_prune_audit",
+    "q15b_approx_percentiles",
+    "q188_crossdoc_spans",
+    "q186_concurrent_sessions",
+    "q203_mad_outliers",
+    "q157_dataset_profile",
+    "q06_approx_distinct_users",
+    "q191_dupgraph_triangles",
+    "q156_bpe_merge_rounds",
+    "q159_hard_negatives",
+    "q171_polymorphic_udtf",
+    "q163_ann_rank_quality",
+    # (3 cont.) the physical-roundtrip + streaming-harness/sink tier: the
+    # cohort's cost outliers, staged last so truncation drops replay
+    # shapes, not cheap refreshes.
+    "q165_format_roundtrip",
+    "q178_state_store_reader",
+    "q194_python_datasink",
+    "q175_stream_upsert_sink",
+    "q170_stream_file_sink",
+    # heaviest r12-era green (age 3) in the last slack slot
+    "q217_sql_scripting",
 ]
 
 

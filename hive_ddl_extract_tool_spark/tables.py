@@ -44,14 +44,33 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
-# (app_id, path) -> StructType. Every schema-less spark.read.parquet() runs
-# a footer-inference JOB before the query proper (visible as the "parquet
-# at" jobs in the event log, ~40-80 ms each on local[32]); a bench/driver
-# sweep re-loads the same 10 immutable fixture files hundreds of times, so
-# r15 caches the inferred schema per session and passes it explicitly --
-# later loads skip the inference job entirely. App-scoped on purpose: a new
-# session (or a data drop between sessions) re-infers from the files.
-_SCHEMAS: dict[tuple[str, str], object] = {}
+# (app_id, path, mtime_ns, size) -> StructType. Every schema-less
+# spark.read.parquet() runs a footer-inference JOB before the query proper
+# (visible as the "parquet at" jobs in the event log, ~40-80 ms each on
+# local[32]); a bench/driver sweep re-loads the same 10 immutable fixture
+# files hundreds of times, so r15 caches the inferred schema per session and
+# passes it explicitly -- later loads skip the inference job entirely
+# (measured r16: 41 -> 2 "parquet at" jobs per headline sweep). App-scoped
+# on purpose: a new session re-infers from the files. The file's
+# (mtime_ns, size) is part of the key (r16, ADVICE): replacing a fixture
+# mid-session re-infers instead of serving the dead file's schema, at the
+# cost of one os.stat per load; entries from other app ids are evicted on
+# insert, mirroring operators/_cache.py, so long processes that restart
+# sessions do not accumulate stale schemas.
+_SCHEMAS: dict[tuple[str, str, int, int], object] = {}
+
+
+def _schema_key(spark: SparkSession, path: str) -> tuple[str, str, int, int]:
+    import os
+
+    try:
+        st = os.stat(path)
+        mtime_ns, size = st.st_mtime_ns, st.st_size
+    except OSError:
+        # directory-style parquet or exotic path: fall back to path-only
+        # keying (the r15 behavior) rather than failing the load
+        mtime_ns, size = -1, -1
+    return (spark.sparkContext.applicationId, path, mtime_ns, size)
 
 
 def _infer_schema_driver_side(path: str):
@@ -60,7 +79,17 @@ def _infer_schema_driver_side(path: str):
     schema-less spark.read.parquet runs one. Verified bit-equal to Spark's
     inference for every fixture table at every SF (r15: 30/30 schemas,
     incl. timestamp_ntz and array<double>). Returns None on any surprise
-    so the caller falls back to a normal inference read."""
+    so the caller falls back to a normal inference read.
+
+    Scope guard (r16, ADVICE): this path only ever serves tables.load(),
+    i.e. the 10 immutable fixture tables above -- the verified allowlist.
+    events, the one table that HAS shipped multiple encodings (and where
+    the arrow mapping would silently diverge under nanosAsLong), is pinned
+    to driver_side_infer=False at both call sites. A future fixture with a
+    new encoding re-enters this function only via a changed file, which
+    the (mtime, size) cache key surfaces as a fresh inference -- still
+    through the same arrow mapping, so any NEW divergent encoding must be
+    added to the exempt list exactly as events was."""
     try:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -73,8 +102,11 @@ def _infer_schema_driver_side(path: str):
 def _read_parquet_cached_schema(
     spark: SparkSession, path: str, driver_side_infer: bool = True
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
+    key = _schema_key(spark, path)
     schema = _SCHEMAS.get(key)
+    if schema is None:
+        for k in [k for k in _SCHEMAS if k[0] != key[0]]:
+            del _SCHEMAS[k]
     if schema is None and driver_side_infer:
         schema = _infer_schema_driver_side(path)
         if schema is not None:
