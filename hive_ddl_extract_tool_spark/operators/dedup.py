@@ -177,9 +177,12 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built from the RAW shingle stream (no distinct): min() is insensitive to
     duplicate shingles, so the usual dedup shuffle is skipped entirely and
     the only exchange carries map-side-combined partial minima -- one row
-    per (doc, partition), constant in document length. (A zero-exchange
-    array-HOF variant was measured 4x slower -- see the rejection note
-    above q40.)"""
+    per (doc, partition), constant in document length. (Two rejected r16
+    variants, both measured: a zero-exchange array-HOF build, 4x slower --
+    see the note above q40 -- and a repartition("doc_id")-before-tokenize
+    fold, neutral at sf0.1 (+0.03 s, controls ±0.2) while shipping raw
+    text through its one exchange instead of the partial minima, which is
+    strictly more bytes at any real scale.)"""
     return _minhash_from_shingles(_doc_shingles_raw(spark, sf_dir))
 
 
@@ -1386,7 +1389,7 @@ def q137_hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select("doc_b"))
         # no .distinct(): LEFT SEMI build side -- duplicates cannot change
         # the output, the dedup only added an exchange (r15, same fix as
-        # _verified_intersections.cand_docs)
+        # _cand_shingle_sizes.cand_docs)
     )
     emb = load(spark, sf_dir, "embeddings")
     dbl = _dbl(F.col("embedding"))
@@ -2034,7 +2037,7 @@ def _q218_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents share it with probability equal to their Jaccard (the
     MinHash estimator), so near-duplicates sort adjacent and the W-row
     window catches them. Candidates verify exactly through the shared
-    _verified_intersections pipeline at the q42 threshold.
+    _verified_pair_stats pipeline at the q42 threshold.
 
     Like every SNM, pairs straddling a sort boundary beyond W are
     missed by construction; the oracle replicates the SAME banded
@@ -2481,7 +2484,7 @@ def q229_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = q202_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
     ta, tb = attrs.alias("ta"), attrs.alias("tb")
     # NO forced broadcast on the pair side: it grows with the corpus's
-    # near-dup population, the exact build side _verified_intersections and
+    # near-dup population, the exact build side _cand_shingle_sizes and
     # q128 refuse to pin (a dup-heavy crawl OOMs the driver). AQE demotes
     # these joins to broadcast at runtime whenever the pair set IS small.
     m = (

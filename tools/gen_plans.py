@@ -23,18 +23,21 @@ SHOW = {
         "combine); whole-stage codegen spans the pipeline."
     ),
     "q02_revenue_by_nation": (
-        "BroadcastHashJoins for every dimension; the only shuffle-bearing "
-        "join is lineitem-orders (AQE-managed); r_name filter applied at the "
-        "broadcast build side."
+        "Pre-joined customer x nation x region dimension input with the "
+        "r_name filter applied inside it (r16), facts joined smallest-first "
+        "so lineitem shuffles into exactly one join; every dimension build "
+        "is a BroadcastHashJoin."
     ),
     "q12_part_topk": (
         "TakeOrderedAndProject (per-partition heap + driver merge), never a "
         "global Sort; ReadSchema pruned to the 4 projected columns."
     ),
     "q42_minhash_lsh_dedup": (
-        "ReusedExchange for the self-joined band signatures; the candidate "
-        "join shuffles band keys, not documents; exact-Jaccard verify joins "
-        "run only on candidate pairs."
+        "Verify runs entirely on two staged near-dup-sized artifacts (r16: "
+        "band candidates + candidate shingles with per-doc sizes attached), "
+        "so it is 2 broadcast joins + ONE shuffle exchange with no sizes "
+        "joins and no corpus-sized input; band signatures fold off the raw "
+        "shingle stream (min is duplicate-insensitive)."
     ),
     "q47_ann_lsh": (
         "Bucket signatures computed as pure projections (no explode/Exchange "
