@@ -137,16 +137,20 @@ DS_HASH_SQL = (
 def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped by the 128-bit md5 of the normalized text, not the text
     itself (r15, guide §2.3 "shuffle keys instead of payloads"): the dedup
-    exchange ships a 32-byte digest per document instead of the whole
-    normalized body -- at corpus scale that shrinks the one data-sized
-    shuffle by ~2-3 orders of magnitude. Group membership is unchanged for
-    any input that does not contain an md5 collision (probability ~2^-64
-    at a billion docs; the oracle still groups by the full text, so the
-    driver's hash comparison would catch a collision as a row diff)."""
+    exchange ships a digest per document instead of the whole normalized
+    body -- at corpus scale that shrinks the one data-sized shuffle by
+    ~2-3 orders of magnitude. The digest travels as 16 BINARY bytes
+    (unhex; r16) rather than md5's 32-char hex string -- unhex is a
+    bijection on hex output, so the groups are identical and the key
+    bytes halve again. Group membership is unchanged for any input that
+    does not contain an md5 collision (probability ~2^-64 at a billion
+    docs on the same 128 bits; the oracle still groups by the full text,
+    so the driver's hash comparison would catch a collision as a row
+    diff)."""
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), WS, " "))
     return (
-        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        docs.select(F.unhex(F.md5(norm)).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("keep_id", "n_dups")
